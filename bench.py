@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries timed are the registry entries marked ``bench=True`` — the
+reference-parity pipeline shapes (pricing summary, selective agg,
+star join, wordcount, LSH dedup, ANN, terasort). Each timing includes
+full execution to a count/collect action (no caching between queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pandamapreduce_spark.plans import REGISTRY
+from pandamapreduce_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("pandamapreduce-bench")
+
+    bench_queries = {name: q for name, q in REGISTRY.items() if q.bench}
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/session on a trivial action so q1 isn't charged startup.
+    spark.range(1).count()
+
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_elapsed",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Catalog: load the driver's TPC-H-ish star schema + extension tables.
+
+Tables (see TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file each under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+At 100 TB these would be partitioned/bucketed parquet datasets; the
+loader is path-based so the same code reads a directory tree. Parquet
+scans get predicate pushdown + column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor —
+#: region/nation are fixed-size in TPC-H; supplier/part/customer grow
+#: with SF but stay broadcastable until very large SF. Join helpers
+#: use this to hint broadcast.
+BROADCAST_TABLES = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Load one table. ``spread=True`` repartitions to the cluster's
+    parallelism — use for CPU-heavy per-row operators (hashing,
+    shingling, vector math) over tables that arrive as few/small files:
+    a single small parquet file otherwise pins the whole computation to
+    one core. At real scale inputs arrive pre-split and the repartition
+    collapses to a cheap exchange of already-distributed data.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism * 2)
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, read as nanos-long (see
+        # session.py); truncate to micros exactly as DuckDB does.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer div: float division would lose precision at 2^63-scale nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so SQL-surface queries work."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

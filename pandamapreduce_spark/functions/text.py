@@ -1,0 +1,104 @@
+"""Text column functions: tokenization, n-gram shingling, normalization,
+MinHash signatures, and md5-derived integer hashes.
+
+The reference's tokenizer is its wordcount map callback
+(``apps/wordcount/wc_api.cu:35-59``: split on non-alpha after
+uppercasing, keep long words); these generalize it into reusable
+column builders. Hashing uses md5 — available with identical output in
+both Spark and DuckDB — so every derived operator (minhash, simhash,
+fingerprints, LSH) is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization ---------------------------------------------------------
+
+
+def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Split into tokens, dropping empty strings (split artifacts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
+
+
+def tokens_sql(expr: str, pattern: str = r"\s+") -> str:
+    return f"list_filter(string_split_regex(trim({expr}), '{pattern}'), t -> t <> '')"
+
+
+# --- normalization --------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, non-alnum → space,
+    collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " +", " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    return f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+# --- n-gram shingles ------------------------------------------------------
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Built entirely from JVM expressions: split → sequence → transform,
+    so it codegens; no Python crosses the row path.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def word_ngrams_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"[array_to_string(({toks})[i:i+{n - 1}], ' ') for i in range(1, len({toks}) - {n} + 2)] "
+        f"ELSE [] END)"
+    )
+
+
+# --- md5-derived hashes ---------------------------------------------------
+
+
+def hex16(col: Column | str) -> Column:
+    """First 16 hex digits of md5 as a non-negative bigint (63-bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def hex16_sql(expr: str) -> str:
+    return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
+
+
+# --- MinHash --------------------------------------------------------------
+
+
+def minhash_sig(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: array of ``num_hashes`` hex-string minima.
+
+    Hash family i = md5(i || ':' || shingle); the min over the doc's
+    shingle set approximates a uniform permutation minimum. String min
+    over fixed-length hex == numeric min. Empty shingle sets map to
+    nulls so they never collide.
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))),
+    )
+    return F.when(F.size(shingles) > 0, sig).otherwise(F.array_repeat(F.lit(None).cast("string"), num_hashes))
+
+
+def minhash_sig_sql(shingles_expr: str, num_hashes: int) -> str:
+    return (
+        f"CASE WHEN len({shingles_expr}) > 0 THEN "
+        f"[list_min([md5(concat(cast(i as varchar), ':', s)) for s in {shingles_expr}]) for i in range(0, {num_hashes})] "
+        f"ELSE [NULL for i in range(0, {num_hashes})] END"
+    )

@@ -1,0 +1,171 @@
+"""Tera pipeline: teragen → terasort → teravalidate, Spark-native.
+
+Reference semantics (studied, re-implemented from the published
+algorithm — the reference itself bundles the ASF-licensed Hadoop
+algorithm and the public spark-terasort Scala spec):
+
+- **teragen** (``apps/terasort/teragen_api.cu:85-124``, Hadoop
+  TeraGen): record r uses the 128-bit LCG ``X' = (A*X + C) mod 2^128``
+  (L'Ecuyer constants, ``Random16.cpp``) advanced r+1 steps from seed
+  0 via O(log n) jump; record = 10-byte key (bytes 0-9 of rand) +
+  90-byte framed value (breaks 0x00 0x11, 32 ASCII hex digits of the
+  record number, 0x88 0x99 0xAA 0xBB, 12×4 repeated rand hex chars,
+  trailer 0xCC 0xDD 0xEE 0xFF) — ``generateRecord``,
+  ``teragen_api.cu:28-66``.
+- **terasort** (``apps/terasort/terasort_main.cpp:103``,
+  ``TeraSort.scala:60-63``): total order by unsigned-lexicographic
+  byte key = range partition + in-partition sort.
+- **teravalidate** (``TeraValidate.scala:64-125``): per-partition
+  in-order assertion + min/max boundary non-overlap across partitions
+  + global count + checksum preservation.
+
+Scale: teragen is embarrassingly parallel (per-partition LCG jump —
+the reference's determinism-by-construction trick, SURVEY §5.1);
+terasort's only shuffle is the range exchange; teravalidate reduces
+~10 summary rows per partition.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# L'Ecuyer 128-bit LCG constants (public: Mathematics of Computation 68,
+# pp. 249-260; used by sortbenchmark.org gensort and Hadoop teragen).
+_A = 0x2360ED051FC65DA44385DF649FCCF645
+_C = 0x4A696D47726179524950202020202001
+_M = 1 << 128
+
+KEY_LEN = 10
+VALUE_LEN = 90
+RECORD_LEN = KEY_LEN + VALUE_LEN
+
+_HEX = b"0123456789abcdef"
+
+
+def lcg_skip(n: int, x: int = 0) -> int:
+    """Advance the LCG ``n`` steps from state ``x`` in O(log n) by
+    iterated squaring of the affine map (f^2 = (a², a·c + c))."""
+    a, c = _A, _C
+    while n:
+        if n & 1:
+            x = (a * x + c) % _M
+        c = (a * c + c) % _M
+        a = (a * a) % _M
+        n >>= 1
+    return x
+
+
+def _record(rand: int, record_number: int) -> tuple[bytes, bytes]:
+    """Build one 100-byte record: (10-byte key, 90-byte value)."""
+    rb = rand.to_bytes(16, "big")
+    key = rb[:KEY_LEN]
+    rec_hex = b"%032x" % record_number
+    rand_hex = b"%032x" % rand
+    filler = bytes(b for i in range(12) for b in (rand_hex[20 + i],) * 4)
+    value = b"\x00\x11" + rec_hex + b"\x88\x99\xaa\xbb" + filler + b"\xcc\xdd\xee\xff"
+    return key, value
+
+
+def generate_partition(first_record: int, num_records: int) -> Iterator[tuple[bytes, bytes]]:
+    """Deterministic per-partition generator (seeded skip-ahead): the
+    reference's A4 pattern — output is invariant to partitioning."""
+    x = lcg_skip(first_record)
+    for r in range(first_record, first_record + num_records):
+        x = (_A * x + _C) % _M
+        yield _record(x, r)
+
+
+TERA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), False),
+        T.StructField("value", T.BinaryType(), False),
+    ]
+)
+
+
+def teragen(spark: SparkSession, num_records: int, num_partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic synthetic source (SURVEY A4)."""
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    per = num_records // parts
+    extra = num_records % parts
+
+    def gen(idx: int, _it: Iterable) -> Iterator[tuple[bytes, bytes]]:
+        first = idx * per + min(idx, extra)
+        n = per + (1 if idx < extra else 0)
+        return generate_partition(first, n)
+
+    rdd = spark.sparkContext.parallelize(range(parts), parts).mapPartitionsWithIndex(gen)
+    return spark.createDataFrame(rdd, TERA_SCHEMA)
+
+
+def terasort(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Total-order sort by unsigned-lexicographic binary key
+    (``TeraSort.scala:60-63``): range-partition + sort within
+    partitions. Catalyst compiles ``repartitionByRange + sortWithin``
+    to a range exchange with sampled bounds — the distributed
+    equivalent of the reference's 7-byte-prefix partitioner (O11)."""
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, "key").sortWithinPartitions("key")
+    return df.repartitionByRange("key").sortWithinPartitions("key")
+
+
+_VALIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("min_key", T.BinaryType(), True),
+        T.StructField("max_key", T.BinaryType(), True),
+        T.StructField("in_order", T.BooleanType(), False),
+        T.StructField("checksum", T.DecimalType(38, 0), False),
+    ]
+)
+
+
+def teravalidate_partitions(df: DataFrame) -> DataFrame:
+    """Per-partition validation summaries (``TeraValidate.scala:64-108``):
+    record count, min/max key, sortedness, crc32 checksum sum."""
+
+    def summarize(idx: int, it: Iterable) -> Iterator[tuple]:
+        n = 0
+        first = last = None
+        in_order = True
+        checksum = 0
+        for row in it:
+            k, v = row[0], row[1]
+            kb = bytes(k)
+            if first is None:
+                first = kb
+            elif kb < last:
+                in_order = False
+            last = kb
+            n += 1
+            checksum += zlib.crc32(kb + bytes(v))
+        from decimal import Decimal
+
+        yield (idx, n, first, last, in_order, Decimal(checksum))
+
+    rdd = df.rdd.mapPartitionsWithIndex(summarize)
+    return df.sparkSession.createDataFrame(rdd, _VALIDATE_SCHEMA)
+
+
+def teravalidate(sorted_df: DataFrame) -> dict:
+    """Global validation verdict (``TeraValidate.scala:110-125``):
+    partitions internally sorted, partition boundaries non-overlapping,
+    plus global count/checksum for comparison with the input."""
+    parts = [r for r in teravalidate_partitions(sorted_df).collect() if r.n_records > 0]
+    parts.sort(key=lambda r: r.partition_id)
+    boundaries_ok = all(
+        bytes(parts[i].max_key) <= bytes(parts[i + 1].min_key) for i in range(len(parts) - 1)
+    )
+    return {
+        "n_records": sum(r.n_records for r in parts),
+        "checksum": int(sum(int(r.checksum) for r in parts)),
+        "all_sorted": all(r.in_order for r in parts),
+        "boundaries_ok": boundaries_ok,
+        "n_partitions": len(parts),
+    }

@@ -1,0 +1,18 @@
+"""Query plans: the engine's declared query surface.
+
+``registry`` holds every named query as a (Spark builder, DuckDB oracle
+SQL) pair; ``__spark_entry__.py`` and the test suite both consume it.
+"""
+
+from pandamapreduce_spark.plans.registry import REGISTRY, Query, query
+
+# Import for side effect: module import registers its queries.
+from pandamapreduce_spark.plans import relational  # noqa: E402,F401
+from pandamapreduce_spark.plans import text  # noqa: E402,F401
+from pandamapreduce_spark.plans import dedup  # noqa: E402,F401
+from pandamapreduce_spark.plans import similarity  # noqa: E402,F401
+from pandamapreduce_spark.plans import mapreduce  # noqa: E402,F401
+from pandamapreduce_spark.plans import streaming_plans  # noqa: E402,F401
+from pandamapreduce_spark.plans import multimodal  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "query"]

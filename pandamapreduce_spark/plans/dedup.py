@@ -1,0 +1,268 @@
+"""Deduplication query surface over ``documents`` (+ embeddings).
+
+Training-data-pipeline operators (SURVEY §2.3 "ext" rows): exact dedup,
+normalized dedup, MinHash-LSH near-dup candidates, Jaccard-verified
+near-dup pairs, SimHash signatures, embedding-cosine near-dup. The
+MapReduce shape is the reference's own algebra — shingle emit (map) →
+band signature (combine) → bucket join (shuffle/group) → verify
+(reduce) — cf. V-SMART-Join (PAPERS.md) and the reference pipeline
+``src/panda/PandaMapReduceJob.cpp:885-955``.
+
+Every operator uses md5-derived hashing so the DuckDB oracle reproduces
+it bit-for-bit (``functions.text``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.functions import (
+    cosine,
+    cosine_sql,
+    hex16,
+    hex16_sql,
+    minhash_sig,
+    minhash_sig_sql,
+    normalize_text,
+    normalize_text_sql,
+    tokens,
+    tokens_sql,
+    word_ngrams,
+    word_ngrams_sql,
+)
+from pandamapreduce_spark.plans.registry import query
+
+# MinHash-LSH parameters: 12 hashes in 4 bands of 3 → catches
+# Jaccard ≳ 0.5 pairs with good probability at tiny signature cost.
+NUM_HASHES = 12
+NUM_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+@query(
+    "q30_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """,
+    doc="Exact dedup: hash-group on content, keep min doc_id as canonical.",
+    tags=("dedup",),
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: group key is md5(text) (fixed 32 bytes), so the shuffle
+    carries hashes + ids, never the document bodies — this is THE
+    100 TB exact-dedup plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+@query(
+    "q31_dedup_normalized",
+    oracle=f"""
+    SELECT md5({normalize_text_sql("text")}) AS norm_hash,
+           min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY norm_hash
+    """,
+    doc="Normalized dedup: canonicalize (lower/strip punct/collapse ws) before hashing.",
+    tags=("dedup",),
+)
+def q31_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(normalize_text("text")).alias("norm_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("norm_hash")
+    )
+
+
+def _band_sql(sig: str, band: int) -> str:
+    lo = band * ROWS_PER_BAND + 1
+    hi = lo + ROWS_PER_BAND - 1
+    return f"md5(array_to_string(({sig})[{lo}:{hi}], '|'))"
+
+
+def _lsh_pairs_sql() -> str:
+    sig = minhash_sig_sql(word_ngrams_sql("text", 3), NUM_HASHES)
+    bands_list = ", ".join(
+        f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {sig} AS sig FROM documents
+      WHERE len({word_ngrams_sql("text", 3)}) > 0
+    ),
+    bands AS (
+      SELECT doc_id, unnest([{bands_list}], recursive := true) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The MapReduce formulation of MinHash (shingle emit → per-hash min
+    # aggregation): each md5 is evaluated exactly once per (doc,
+    # shingle, hash) — unlike a nested array-transform expression,
+    # which Catalyst may re-evaluate per hash function. Partial
+    # aggregation collapses the explode before the shuffle, so shuffle
+    # volume is docs × NUM_HASHES strings.
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    shingle = docs.select("doc_id", F.explode(word_ngrams("text", 3)).alias("s"))
+    sigs = shingle.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s")))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]))
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "q32_minhash_lsh_candidates",
+    oracle=_lsh_pairs_sql() + " ORDER BY doc_a, doc_b",
+    doc="MinHash-LSH near-dup candidate pairs: shingle → 12-hash signature → 4 bands → bucket self-join.",
+    bench=True,
+    tags=("dedup", "lsh"),
+)
+def q32_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the self-join is on (band, band_key) — cardinality per
+    bucket is tiny for non-dup corpora, so the join output stays near-
+    linear. Skewed buckets (boilerplate dups) are the known hazard; AQE
+    skew-join handles moderate skew, and a bucket-size cap is the
+    production mitigation (documented, not needed at test SF)."""
+    return _lsh_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_cols(g1: F.Column, g2: F.Column) -> F.Column:
+    inter = F.size(F.filter(g1, lambda x: F.array_contains(g2, x)))
+    union = F.size(g1) + F.size(g2) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def _jaccard_sql(g1: str, g2: str) -> str:
+    inter = f"len(list_filter({g1}, x -> list_contains({g2}, x)))"
+    return f"(cast({inter} as double) / cast(len({g1}) + len({g2}) - {inter} as double))"
+
+
+@query(
+    "q33_neardup_verified",
+    oracle=f"""
+    WITH pairs AS ({_lsh_pairs_sql()}),
+    g AS (SELECT doc_id, {word_ngrams_sql("text", 3)} AS grams FROM documents)
+    SELECT p.doc_a, p.doc_b, {_jaccard_sql("ga.grams", "gb.grams")} AS jaccard
+    FROM pairs p JOIN g ga ON p.doc_a = ga.doc_id JOIN g gb ON p.doc_b = gb.doc_id
+    WHERE {_jaccard_sql("ga.grams", "gb.grams")} >= 0.1
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Verified near-dups: LSH candidates filtered by exact shingle Jaccard >= 0.1.",
+    tags=("dedup", "lsh", "jaccard"),
+)
+def q33_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: candidates (cheap, LSH) → exact
+    verify (expensive, only on candidates). Scale: verify joins carry
+    shingle arrays only for candidate ids — a tiny fraction of corpus."""
+    pairs = _lsh_pairs_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", word_ngrams("text", 3).alias("grams"))
+    ga, gb = g.alias("ga"), g.alias("gb")
+    jac = _jaccard_cols(F.col("ga.grams"), F.col("gb.grams"))
+    return (
+        pairs.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "q34_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, {hex16_sql("t")} AS h, count(*) AS w
+      FROM tok GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+      cast({" + ".join(f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))} as bigint) AS simhash
+    FROM bits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=f"SimHash ({SIMHASH_BITS}-bit): per-token md5 bit votes weighted by term frequency.",
+    tags=("dedup", "simhash"),
+)
+def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explode → two-level groupBy, both partially aggregated;
+    signature is one bigint per doc, so near-dup scan over signatures
+    (hamming ≤ k via bit_count(xor)) is trivially distributable."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    bits = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("w")).withColumn("h", hex16("t"))
+    vote = [
+        F.when(F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, F.col("w")).otherwise(-F.col("w"))) > 0, 1 << j).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    ]
+    total = vote[0]
+    for v in vote[1:]:
+        total = total + v
+    return bits.groupBy("doc_id").agg(total.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "q35_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cosine_sql("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_sql("a.embedding", "b.embedding")} >= 0.93
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup: label-blocked pair scan, cosine >= 0.93.",
+    tags=("dedup", "embedding"),
+)
+def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: blocking on label turns O(n²) into Σ O(n_b²); for real
+    corpora the block key is an LSH bucket (q41) — same plan shape.
+    Cosine is the bitwise-reproducible fold from ``functions.vector``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.93)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,550 @@
+"""Relational query surface: scan / project / filter / group-agg /
+distinct / order-by+limit / joins (inner, semi, anti) / windows /
+set ops / rollup — the declarative generalization of the reference's
+MapReduce algebra (SURVEY §2.3).
+
+Reference parity notes: the reference expresses projection/filtering
+inside user map callbacks (``apps/wordcount/wc_api.cu:35-59``),
+aggregation as combiner+reduce (``wc_api.cu:89-96,126-134``), grouping
+via its nested-loop "sort" stages (``src/PandaSort.cu:33-313``), and
+partitioning via hash/range partitioners
+(``src/panda/Partitioner.cpp:7-19``,
+``apps/terasort/TeraSortPartitioner.cpp:24-33``). Here each becomes a
+declarative DataFrame plan, so Catalyst supplies pushdown, pruning,
+partial aggregation, and broadcast-join selection.
+
+Scale notes (100 TB posture) per query are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.plans.numeric import DEC, davg, davg_sql, dmul, dmul_sql, dsum, dsum_sql
+from pandamapreduce_spark.plans.registry import query
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           cast(round(sum({dmul_sql('l_extendedprice', '1 - l_discount')}), 2) as double) AS sum_disc_price,
+           cast(round(sum({dmul_sql('l_extendedprice', '(1 - l_discount) * (1 + l_tax)')}), 2) as double) AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: full-scan group-agg with 8 aggregates.",
+    bench=True,
+    tags=("agg", "scan"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on a 6-value grouping key; partial aggregation
+    (map-side combine, reference O6) collapses input before shuffle, so
+    shuffle volume is O(#groups × #partitions) regardless of SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(dmul("l_extendedprice", F.lit(1.0) - F.col("l_discount"))), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dmul("l_extendedprice", (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax")))), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_quantity < 5 AND l_discount > 0.08
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Selection + projection; filters and column pruning push to the parquet scan.",
+    tags=("scan", "filter"),
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: no shuffle except the final order; predicate + projection
+    reach the parquet reader (PushedFilters in .explain), so IO is
+    bounded by selectivity, not table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_quantity") < 5)
+            & (F.col("l_discount") > 0.08)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT cast(round(sum({dmul_sql('l_extendedprice', 'l_discount')}), 2) as double) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: highly selective scan + global aggregate.",
+    bench=True,
+    tags=("agg", "filter"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: fully pushed-down range predicates; single-row result via
+    partial aggregation — no data shuffle at all beyond 1-row partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(dmul("l_extendedprice", "l_discount")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q03_top_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           cast(round(sum({dmul_sql('l_extendedprice', '1 - l_discount')}), 2) as double) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + group-agg + top-k.",
+    bench=True,
+    tags=("join", "agg", "topk"),
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: customer (filtered to one segment) broadcasts to the
+    orders scan; only the orders⋈lineitem join shuffles, keyed on
+    orderkey. Top-k is a TakeOrdered physical op — no global sort."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(dmul("l_extendedprice", F.lit(1.0) - F.col("l_discount"))), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS as left-semi join + count by priority.",
+    tags=("join", "semi", "agg"),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: semi-join shuffles both sides on orderkey but emits at
+    most one row per order (no value columns carried); AQE can pick a
+    broadcast if the filtered orders side is small."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(li, (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count")).orderBy("o_orderpriority")
+
+
+@query(
+    "q05_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           cast(round(sum({dmul_sql('l_extendedprice', '1 - l_discount')}), 2) as double) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="Star join: fact⋈fact⋈dim⋈dim with broadcast dims, revenue per nation.",
+    bench=True,
+    tags=("join", "agg", "star"),
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: nation (25 rows) and customer broadcast; the only shuffle
+    is lineitem⋈orders on orderkey. At 100 TB customer may exceed the
+    broadcast threshold — AQE falls back to shuffle join on custkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(dmul("l_extendedprice", F.lit(1.0) - F.col("l_discount"))), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "q07_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_suppkey
+    """,
+    doc="Distinct (reference: degenerate group-by, SURVEY O14 keys).",
+    tags=("distinct",),
+)
+def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: distinct = hash aggregate with partial dedup before the
+    shuffle — same map-side-combine shape as the reference's combiner."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_suppkey").distinct().orderBy("l_returnflag", "l_linestatus", "l_suppkey")
+
+
+@query(
+    "q08_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Global top-k by value (order-by + limit).",
+    tags=("sort", "topk"),
+)
+def q08_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: TakeOrderedAndProject — per-partition top-25 then driver
+    merge; never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice", "o_orderdate").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(25)
+
+
+@query(
+    "q09_group_having",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    HAVING count(*) > 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: left join + double aggregation + having.",
+    tags=("join", "agg", "having"),
+)
+def q09_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: first agg shuffles on custkey (high cardinality), second
+    on c_count (low) — the second input is already tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .where(F.col("custdist") > 1)
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q10_window_topk_per_group",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    ORDER BY l_suppkey, rn
+    """,
+    doc="Top-k per group via ranking window function.",
+    tags=("window", "topk"),
+)
+def q10_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: single shuffle on suppkey; Spark inserts a WindowGroupLimit
+    (partial top-k before shuffle) for rank filters — same effect as the
+    reference's combiner for top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+@query(
+    "q11_window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           cast(round(sum(cast(value as decimal(18,6))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) as double) AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Running aggregate window over the events table.",
+    tags=("window",),
+)
+def q11_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id; running sums are computed within
+    sorted partitions, decimal arithmetic keeps them exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum(F.col("value").cast(DEC)).over(w), 2).cast("double").alias("running_value"),
+            F.count(F.lit(1)).over(w).alias("running_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q12_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id,
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Sessionization (30-min gap) via lag + running sum — the batch twin of streaming session windows.",
+    tags=("window", "sessionize"),
+)
+def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id serves both windows and the final
+    per-session count (partial agg keeps it cheap). Streaming version:
+    ``streaming.events.sessionize_stream`` uses session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.select("user_id", "event_id", F.sum("new_session").over(cum).cast("bigint").alias("session_id"))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q13_set_ops",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+     INTERSECT
+     SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000)
+    UNION
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+     EXCEPT
+     SELECT o_custkey AS c_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    doc="Set operations: INTERSECT, EXCEPT, UNION (distinct).",
+    tags=("setops",),
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each set op is a shuffle on the full row key; Catalyst
+    rewrites intersect/except as semi/anti joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = orders.where(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("c_custkey"))
+    c = cust.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    d = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b).union(c.subtract(d)).distinct().orderBy("c_custkey")
+
+
+@query(
+    "q14_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Hierarchical aggregates via ROLLUP (subtotals + grand total).",
+    tags=("agg", "rollup"),
+)
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: rollup expands to grouping sets in one pass — still a
+    single shuffle with partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q15_conditional_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Pivot-style conditional aggregation (sum/count FILTER ... / CASE WHEN).",
+    tags=("agg", "pivot"),
+)
+def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical single-shuffle shape to any group-agg; the CASE
+    branches are codegen'd row expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+            dsum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(F.lit(0.0))).alias("finished_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q16_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="NOT EXISTS via left-anti join: customers with no orders.",
+    tags=("join", "anti"),
+)
+def q16_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: anti join on custkey; the orders side projects only the
+    join key, so shuffle volume is one long column."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q17_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           cast(round(sum(cast(value as decimal(18,6))), 2) as double) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+    doc="Time-bucketed aggregation (tumbling 1h windows) — batch twin of the streaming windowed agg.",
+    tags=("agg", "time"),
+)
+def q17_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: group key (hour, type) is low-cardinality per day but
+    unbounded over time — on a cluster this is the partition-by-date
+    layout; count(distinct) adds an expand+reshuffle, acceptable at one
+    distinct column. Streaming twin: ``streaming.events.hourly_stream``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )

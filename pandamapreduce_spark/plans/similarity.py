@@ -1,0 +1,156 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Two paths (SURVEY §2.3 "ext"):
+- brute-force cosine top-k — the exact baseline; broadcast the query
+  set against the corpus, rank with a window;
+- sign-LSH (random-hyperplane) bucketing — the scale path: 8
+  deterministic hyperplanes → 8-bit bucket key; neighbor search probes
+  only the query's bucket.
+
+Hyperplane components are md5-derived constants generated driver-side
+(model parameters, not data), injected identically into the Spark plan
+and the DuckDB oracle, so bucket assignments match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.functions import cosine, cosine_sql, dot, dot_sql
+from pandamapreduce_spark.plans.registry import query
+
+N_PLANES = 8
+DIM = 64
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudorandom value in [-1, 1) from md5(plane:dim)."""
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return (int(h[:15], 16) % 2_000_000) / 1_000_000.0 - 1.0
+
+
+HYPERPLANES: list[list[float]] = [[_plane_component(p, d) for d in range(DIM)] for p in range(N_PLANES)]
+
+
+def _planes_sql() -> list[str]:
+    return ["[" + ", ".join(repr(v) for v in plane) + "]" for plane in HYPERPLANES]
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(cast({vec} as double[]), {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes_sql())
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_col(vec: str) -> F.Column:
+    total = F.lit(0)
+    for i, plane in enumerate(HYPERPLANES):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        total = total + F.when(dot(F.col(vec), lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return total
+
+
+@query(
+    "q40_knn_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cosine_sql("q.embedding", "c.embedding")} AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {cosine_sql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Exact ANN baseline: brute-force cosine top-k for a query set.",
+    bench=True,
+    tags=("similarity", "knn"),
+)
+def q40_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the query set broadcasts (it is small by construction);
+    the corpus streams once — no corpus self-shuffle. Ranking windows
+    partition by query_id, so parallelism = n_queries × corpus splits."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "q41_lsh_buckets",
+    oracle=f"""
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM (SELECT vec_id, {_bucket_sql("embedding")} AS bucket FROM embeddings)
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Sign-LSH bucket assignment: 8 md5-seeded hyperplanes → 8-bit bucket; bucket histogram.",
+    tags=("similarity", "lsh"),
+)
+def q41_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only bucket assignment (8 fused dot products per row)
+    + one tiny aggregation. The bucket id becomes the partition key for
+    billion-vector ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", _bucket_col("embedding").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q42_lsh_knn",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket FROM embeddings)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cosine_sql("q.embedding", "c.embedding")} AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {cosine_sql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Approximate ANN: top-k within the query's LSH bucket only.",
+    tags=("similarity", "lsh", "knn"),
+)
+def q42_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: candidates come only from the query's
+    bucket (expected corpus/2^8 of the data); join is keyed on bucket,
+    so it's a co-partitioned equi-join, not a cross product."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    b = emb.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
+    q = b.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), F.col("bucket").alias("c_bucket"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), (F.col("bucket") == F.col("c_bucket")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,58 @@
+"""Streaming queries exposed to the driver: each runs a Structured
+Streaming job to completion on the finite events source and returns
+the final result — oracle-checked against the equivalent batch SQL,
+proving batch/stream parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.plans.registry import query
+from pandamapreduce_spark.streaming import events as ev
+
+
+@query(
+    "q60_stream_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+           cast(round(sum(cast(value as decimal(18,6))), 2) as double) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+    doc="Streaming tumbling-window hourly aggregate run to completion; oracle = batch SQL (batch/stream parity).",
+    tags=("streaming", "agg"),
+)
+def q60_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.events_stream(spark, sf_dir)
+    out = ev.run_to_completion(ev.hourly_agg(stream), spark)
+    return out.orderBy("hour", "event_type")
+
+
+@query(
+    "q61_stream_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming session windows (30-min gap) run to completion; oracle = batch lag/cumsum sessionization.",
+    tags=("streaming", "sessionize"),
+)
+def q61_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ev.events_stream(spark, sf_dir)
+    out = ev.run_to_completion(ev.sessionized(stream), spark)
+    return out.select("user_id", "session_start", "n_events").orderBy("user_id", "session_start")

@@ -1,0 +1,244 @@
+"""Text-analysis query surface over the ``documents`` table.
+
+Reference parity: wordcount map/combine/reduce
+(``apps/wordcount/wc_api.cu:35-59`` tokenize + length filter,
+``:89-96`` combiner, ``:126-134`` reduce; driver uppercases input,
+``apps/wordcount/wc_main.cpp:43-44``). The reference keeps words where
+``p - start > 6`` with ``ws`` counting the terminator, i.e. ≥ 6
+letters — we pin ``length(w) >= 6`` (documented decision, SURVEY §7.3).
+
+Extensions (training-data-pipeline operators): token counting, quality
+scoring, language-ID heuristic, document fingerprinting — all built
+from JVM expressions with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.functions import tokens, tokens_sql, word_ngrams, word_ngrams_sql, normalize_text, normalize_text_sql
+from pandamapreduce_spark.plans.registry import query
+
+#: language marker stopwords for the lang-id heuristic; order = tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "de", "y", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "du"),
+    "zh": ("de", "shi", "le", "zai", "he", "you"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _wordcount_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.upper(F.col("text")), "[^A-Z]+")).alias("word"))
+        .where(F.length("word") >= 6)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_WORDCOUNT_ORACLE_BASE = """
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(string_split_regex(upper(text), '[^A-Z]+')) AS word FROM documents
+    ) WHERE length(word) >= 6
+    GROUP BY word
+"""
+
+
+@query(
+    "q20_wordcount",
+    oracle=_WORDCOUNT_ORACLE_BASE + " ORDER BY word",
+    doc="Reference wordcount (A1 tokenize + A2 count): uppercase, split on non-[A-Z], keep len>=6, count per word.",
+    bench=True,
+    tags=("text", "wordcount", "ref"),
+)
+def q20_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explode fans out ~100 tokens/doc; partial aggregation
+    (the reference's combiner, O6) collapses them before the shuffle,
+    so shuffle volume is O(vocab × partitions), not O(tokens)."""
+    return _wordcount_df(spark, sf_dir).orderBy("word")
+
+
+@query(
+    "q21_top_words",
+    oracle=_WORDCOUNT_ORACLE_BASE + " ORDER BY cnt DESC, word LIMIT 20",
+    doc="Top-k words by count (wordcount + TakeOrdered).",
+    tags=("text", "topk"),
+)
+def q21_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wordcount_df(spark, sf_dir).orderBy(F.col("cnt").desc(), F.col("word")).limit(20)
+
+
+@query(
+    "q22_corpus_stats",
+    oracle=f"""
+    SELECT count(*) AS n_docs,
+           cast(sum(len({tokens_sql("text")})) as bigint) AS n_tokens,
+           (SELECT count(DISTINCT word) FROM (
+              SELECT unnest(string_split_regex(upper(text), '[^A-Z]+')) AS word FROM documents
+            ) WHERE word <> '') AS n_distinct_words,
+           cast(sum(n_chars) as bigint) AS total_chars
+    FROM documents
+    """,
+    doc="Corpus-level stats: doc/token/vocab/char counts in one pass.",
+    tags=("text", "agg"),
+)
+def q22_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.upper(F.col("text")), "[^A-Z]+")).alias("word"))
+        .where(F.col("word") != "")
+        .agg(F.countDistinct("word").alias("n_distinct_words"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return stats.crossJoin(vocab).select("n_docs", "n_tokens", "n_distinct_words", "total_chars")
+
+
+@query(
+    "q23_token_count",
+    oracle=f"""
+    SELECT doc_id, len({tokens_sql("text")}) AS n_tokens,
+           length(text) AS n_chars_measured,
+           len(list_filter({tokens_sql("text")}, t -> length(t) >= 4)) AS n_long_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Per-document token counting (whitespace tokenizer + length classes).",
+    tags=("text",),
+)
+def q23_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure map-side (no shuffle but the output order); at 100 TB
+    this runs as a scan-project with zero exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 4)).alias("n_long_tokens"),
+    ).orderBy("doc_id")
+
+
+def _stop_list_sql(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q24_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tokens_sql("text")} AS toks, text FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           (cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)
+              / cast(length(text) as double)) AS alpha_ratio,
+           (cast(len(list_filter(toks, t -> list_contains({_stop_list_sql(STOPWORDS)}, t))) as double)
+              / cast(len(toks) as double)) AS stopword_ratio,
+           (cast(length(replace(text, ' ', '')) as double) / cast(len(toks) as double)) AS mean_token_len
+    FROM t WHERE len(toks) > 0
+    ORDER BY doc_id
+    """,
+    doc="Per-document quality signals: alpha ratio, stopword ratio, mean token length.",
+    tags=("text", "quality"),
+)
+def q24_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for pretraining-data filtering. All ratios are
+    int/int double divisions → bitwise-reproducible. No shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double") / F.length("text").cast("double")).alias(
+                "alpha_ratio"
+            ),
+            (
+                F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n_tokens.cast("double")
+            ).alias("stopword_ratio"),
+            (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens.cast("double")).alias(
+                "mean_token_len"
+            ),
+        )
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q25_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {tokens_sql("text")} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        {", ".join(f"len(list_filter(toks, t -> list_contains({_stop_list_sql(ws)}, t))) AS s_{code}" for code, ws in LANG_MARKERS.items())}
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, lang,
+      CASE {" ".join(f"WHEN s_{c} >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN '{c}'" for c in LANG_MARKERS)} END AS predicted,
+      (CASE {" ".join(f"WHEN s_{c} >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN '{c}'" for c in LANG_MARKERS)} END = lang) AS correct
+    FROM s ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: marker-stopword hit counts per language, argmax with fixed tie-break.",
+    tags=("text", "langid"),
+)
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-gram/stopword language scorer (the classic
+    fastText-free fallback). Map-only; argmax via chained CASE with a
+    fixed language priority for ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    def marker_hits(ws: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[marker_hits(ws).alias(f"s_{code}") for code, ws in LANG_MARKERS.items()],
+        F.size(toks).alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    best = F.greatest(*[F.col(f"s_{c}") for c in LANG_MARKERS])
+    predicted = F.lit(None).cast("string")
+    for code in reversed(list(LANG_MARKERS)):
+        predicted = F.when(F.col(f"s_{code}") >= best, F.lit(code)).otherwise(predicted)
+    return scored.select(
+        "doc_id", "lang", predicted.alias("predicted"), (predicted == F.col("lang")).alias("correct")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q26_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({normalize_text_sql("text")}) AS full_fp,
+           list_min([md5(g) for g in {word_ngrams_sql("text", 3)}]) AS min_shingle_fp,
+           substr(md5({normalize_text_sql("text")}), 1, 8) AS short_fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: whole-doc hash + winnowing-style min-shingle hash.",
+    tags=("text", "fingerprint"),
+)
+def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash-style fingerprints: the min-over-shingle-hashes is
+    the 1-hash MinHash (winnowing degenerate case). Map-only."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    norm = normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("full_fp"),
+        F.array_min(F.transform(word_ngrams("text", 3), lambda g: F.md5(g))).alias("min_shingle_fp"),
+        F.substring(F.md5(norm), 1, 8).alias("short_fp"),
+    ).orderBy("doc_id")

@@ -1,0 +1,84 @@
+"""Structured Streaming over the ``events`` table.
+
+Batch/stream parity is the design invariant: each streaming query here
+has a batch twin in ``plans.relational`` (q17 hourly agg, q12
+sessionization) and the oracle-checked query runs the STREAM to
+completion and compares against the BATCH SQL — proving the watermark/
+window semantics match.
+
+Locally the parquet file drives the stream (file source +
+``processAllAvailable``); in production the same plan reads Kafka —
+only the ``readStream.format`` line changes.
+
+Scale: streaming state (window × type, or session per user) lives in
+the state store keyed by group; watermarks bound it. The hourly agg
+holds ≤ #types × #open-windows entries; sessions close 30 min + delay
+after the last event.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.plans.numeric import DEC
+
+# ts is TIMESTAMP(NANOS) in the file → read as nanos-long (see
+# session.py nanosAsLong), convert to micros after the scan.
+EVENTS_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file stream source requires a directory; stage a symlink dir
+    # (testdata is read-only). In production this is the landing dir /
+    # Kafka topic.
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join("/tmp", "spark_stream_stage", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with a 2-hour watermark."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (streaming twin of q12_sessionize)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+    )
+
+
+def run_to_completion(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming aggregation over the (finite) file source to
+    completion via the memory sink; returns the final static result."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the in-memory sink table goes away.
+    result = spark.table(name)
+    pdf = result.toPandas()
+    return spark.createDataFrame(pdf, schema=result.schema)
