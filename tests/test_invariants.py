@@ -1,0 +1,127 @@
+"""Invariant tests (SURVEY §5.2) — the reference's own validation
+strategy generalized:
+
+- terasort: TeraValidate invariants (order, boundaries, count,
+  checksum preservation) — ``TeraValidate.scala:64-125``;
+- teragen: determinism under partition count (the skip-ahead LCG
+  guarantee, ``apps/terasort/Random16.cpp``);
+- map_reduce: combiner-on == combiner-off (the reference's
+  ``local_combiner`` flag inconsistency is the bug class, SURVEY §4.1);
+- partitioning invariance: results identical under hash vs range vs
+  arbitrary repartition (reference O10 vs O11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.operators import tera
+from pandamapreduce_spark.operators.mapreduce import map_reduce
+
+from tests.conftest import SF_DIR
+
+N = 5_000
+
+
+def test_teragen_deterministic_across_partitionings(spark):
+    a = tera.teragen(spark, N, num_partitions=3).orderBy("key", "value").collect()
+    b = tera.teragen(spark, N, num_partitions=17).orderBy("key", "value").collect()
+    assert len(a) == len(b) == N
+    assert a == b
+
+
+def test_teragen_known_record_zero(spark):
+    # Record 0 must equal one LCG step from seed 0 — pins the exact
+    # constants and framing against accidental drift.
+    row = tera.teragen(spark, 1, num_partitions=1).collect()[0]
+    x = (tera._A * 0 + tera._C) % tera._M
+    key, value = tera._record(x, 0)
+    assert bytes(row.key) == key
+    assert bytes(row.value) == value
+    assert len(row.key) == 10 and len(row.value) == 90
+
+
+def test_terasort_validates(spark):
+    gen = tera.teragen(spark, N, num_partitions=4)
+    before = gen.agg(F.sum(F.crc32(F.concat("key", "value")))).collect()[0][0]
+    sorted_df = tera.terasort(gen, num_partitions=6)
+    verdict = tera.teravalidate(sorted_df)
+    assert verdict["all_sorted"], verdict
+    assert verdict["boundaries_ok"], verdict
+    assert verdict["n_records"] == N
+    # count + checksum preserved through the shuffle
+    after = sorted_df.agg(F.sum(F.crc32(F.concat("key", "value")))).collect()[0][0]
+    assert before == after
+
+
+def test_terasort_globally_ordered(spark):
+    gen = tera.teragen(spark, 2_000, num_partitions=4)
+    keys = [bytes(r.key) for r in tera.terasort(gen, num_partitions=5).collect()]
+    assert keys == sorted(keys)
+
+
+def _kv_rdd(spark):
+    # FIXTURES F3 shape: skewed keys, some singletons, negative values.
+    data = [(f"k{i % 37 if i % 37 else i}", (i * 7919) % 101 - 50) for i in range(20_000)]
+    return spark.sparkContext.parallelize(data, 8)
+
+
+def test_combiner_on_off_equivalence(spark):
+    rdd = _kv_rdd(spark)
+
+    def map_f(k, v):
+        yield k, v
+
+    def sum_f(_k, vals):
+        return sum(vals)
+
+    with_c = dict(map_reduce(rdd, map_f, sum_f, combine_f=sum_f).collect())
+    without_c = dict(map_reduce(rdd, map_f, sum_f).collect())
+    assert with_c == without_c
+
+
+def test_mapreduce_invariant_to_reducer_count(spark):
+    rdd = _kv_rdd(spark)
+
+    def map_f(k, v):
+        yield k, v
+
+    def sum_f(_k, vals):
+        return sum(vals)
+
+    r1 = dict(map_reduce(rdd, map_f, sum_f, combine_f=sum_f, num_reducers=1).collect())
+    r17 = dict(map_reduce(rdd, map_f, sum_f, combine_f=sum_f, num_reducers=17).collect())
+    assert r1 == r17
+
+
+def test_agg_invariant_under_repartition(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    def agg(df):
+        return {
+            (r.l_returnflag, r.l_linestatus): r.n
+            for r in df.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    base = agg(li)
+    assert agg(li.repartition(1)) == base
+    assert agg(li.repartition(17, "l_orderkey")) == base
+    assert agg(li.repartitionByRange(4, "l_returnflag")) == base
+
+
+def test_mapreduce_sorted_delivery(spark):
+    rdd = _kv_rdd(spark)
+
+    def map_f(k, v):
+        yield k, v
+
+    def sum_f(_k, vals):
+        return sum(vals)
+
+    out = map_reduce(rdd, map_f, sum_f, combine_f=sum_f, num_reducers=4, sort_keys=True)
+
+    def keys_of_partition(it):
+        yield [k for k, _ in it]
+
+    for part_keys in out.mapPartitions(keys_of_partition).collect():
+        assert part_keys == sorted(part_keys)

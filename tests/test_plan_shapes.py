@@ -1,0 +1,83 @@
+"""Physical-plan-shape tests: the 100 TB posture, enforced.
+
+Each assertion encodes a scale property the engine's plans must keep:
+filters/projections reaching the parquet scan, small dims broadcast,
+top-k compiling to TakeOrdered (not a global sort), partial
+aggregation before the exchange, whole-stage codegen in the hot path.
+A regression here is a plan that still passes correctness but would
+fall over at 1000× the data.
+"""
+
+from __future__ import annotations
+
+from pandamapreduce_spark.plans import REGISTRY
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan (AQE) before inspecting
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed (not an empty list)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    # only the 5 needed columns read, not all 11 lineitem columns
+    assert "l_returnflag" not in schema and "l_tax" not in schema, schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "q05_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q08_orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0  # no global sort operator
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # partial_ hash aggregate upstream of the exchange (map-side combine)
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert plan.index("Exchange") > plan.rindex("Scan parquet") or "partial" in plan.lower()
+
+
+def test_wholestage_codegen_in_hot_path(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # codegen'd operators print as "*(n) Op" in the final plan string
+    assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_window_topk_has_group_limit(spark):
+    # Spark 3.5+ inserts WindowGroupLimit for rank<=k filters: partial
+    # top-k before the shuffle. If this disappears, per-group top-k
+    # ships whole groups.
+    plan = plan_of(spark, "q10_window_topk_per_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "q04_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = plan_of(spark, "q16_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_lsh_join_is_equi_not_cross(spark):
+    plan = plan_of(spark, "q32_minhash_lsh_candidates")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
