@@ -27,7 +27,8 @@ semantics, RDDs only for the imperative MapReduce-callback spine.
 
 from pandamapreduce_spark.session import get_spark
 from pandamapreduce_spark.catalog import load_tables, register_views
+from pandamapreduce_spark.engine import Dataset, Engine, MapReduceJob
 
-__all__ = ["get_spark", "load_tables", "register_views"]
+__all__ = ["get_spark", "load_tables", "register_views", "Engine", "Dataset", "MapReduceJob"]
 
 __version__ = "0.1.0"

@@ -89,9 +89,11 @@ def map_reduce_sorted(
     key_f: Callable[[Any], Any] | None = None,
 ) -> RDD:
     """Total-order delivery: range-partition + in-partition sort — the
-    terasort shape (``TeraSort.scala:60-63`` /
-    ``repartitionAndSortWithinPartitions``). Map/reduce identity, the
-    'query' is purely ordered placement (reference A5: callbacks are
-    no-ops, ``apps/terasort/terasort_api.cu:20-48``)."""
+    terasort shape (``TeraSort.scala:60-63``). ``sortByKey`` samples
+    key bounds (the reference's O11 prefix-split, generalized) and
+    range-partitions so partition i's keys all precede partition
+    i+1's. Map/reduce identity, the 'query' is purely ordered placement
+    (reference A5: callbacks are no-ops,
+    ``apps/terasort/terasort_api.cu:20-48``)."""
     kv = rdd.map(lambda kv: (key_f(kv) if key_f else kv[0], kv))
-    return kv.repartitionAndSortWithinPartitions(numPartitions=num_partitions).values()
+    return kv.sortByKey(numPartitions=num_partitions).values()

@@ -114,6 +114,33 @@ def terasort(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     return df.repartitionByRange("key").sortWithinPartitions("key")
 
 
+def write_tera_files(df: DataFrame, out_dir: str) -> int:
+    """Sink: write (key, value) rows as raw 100-byte-record files, one
+    per partition (the reference's ``INPUT<rank>`` file sink,
+    ``apps/terasort/teragen_api.cu:104-121``). Returns file count.
+
+    Local-filesystem implementation (each task writes its own file);
+    on a cluster the same pattern targets a shared store.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(idx: int, it) -> "Iterator[tuple[int, int]]":
+        n = 0
+        path = os.path.join(out_dir, f"part-{idx:05d}.tera")
+        with open(path, "wb") as f:
+            for row in it:
+                f.write(bytes(row[0]) + bytes(row[1]))
+                n += 1
+        if n == 0:
+            os.remove(path)
+        yield idx, n
+
+    counts = df.rdd.mapPartitionsWithIndex(write_partition).collect()
+    return sum(1 for _, n in counts if n > 0)
+
+
 _VALIDATE_SCHEMA = T.StructType(
     [
         T.StructField("partition_id", T.IntegerType(), False),

@@ -1,0 +1,122 @@
+"""Engine / Dataset / MapReduceJob API tests — the reference-user
+porting surface (SURVEY §7.1)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.engine import Dataset, Engine, MapReduceJob
+from pandamapreduce_spark.operators import tera
+
+from tests.conftest import SF_DIR
+
+
+def test_dataset_relational_verbs(spark):
+    e = Engine(spark)
+    li = e.table(SF_DIR, "lineitem")
+    out = (
+        li.where(F.col("l_quantity") > 10)
+        .group_agg(["l_returnflag"], F.count(F.lit(1)).alias("n"))
+        .order_by("l_returnflag")
+    )
+    rows = out.collect()
+    assert [r.l_returnflag for r in rows] == ["A", "N", "R"]
+    assert all(r.n > 0 for r in rows)
+
+
+def test_dataset_join_broadcast(spark):
+    e = Engine(spark)
+    cust = e.table(SF_DIR, "customer")
+    nation = e.table(SF_DIR, "nation")
+    j = cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"), broadcast_other=True)
+    assert j.count() == cust.count()
+
+
+def test_mapreduce_job_wordcount(spark):
+    """The reference wordcount job ported 1:1 (wc_main.cpp shape)."""
+    import re
+
+    pairs = [(i, t) for i, t in enumerate(["the quick brown fox", "the lazy dog", "the fox"])]
+    word_re = re.compile("[^A-Z]+")
+
+    def map_f(_k, text):
+        for w in word_re.split(text.upper()):
+            if w:
+                yield w, 1
+
+    def sum_f(_k, vals):
+        return sum(vals)
+
+    out = dict(
+        MapReduceJob(spark)
+        .set_map(map_f)
+        .set_combiner(sum_f)
+        .set_reduce(sum_f)
+        .set_num_reducers(4)
+        .add_input(pairs, num_partitions=2)
+        .execute()
+        .collect()
+    )
+    assert out == {"THE": 3, "QUICK": 1, "BROWN": 1, "FOX": 2, "LAZY": 1, "DOG": 1}
+
+
+def test_mapreduce_job_range_partitioner_sorted(spark):
+    """Range partitioner = terasort shape: globally ordered delivery."""
+    pairs = [(f"k{i:04d}", i) for i in range(500)]
+
+    def map_f(k, v):
+        yield k, v
+
+    def first_f(_k, vals):
+        return vals[0]
+
+    job = (
+        MapReduceJob(spark)
+        .set_map(map_f)
+        .set_reduce(first_f)
+        .set_num_reducers(4)
+        .set_partitioner("range")
+        .add_input(pairs, num_partitions=7)
+    )
+    out = job.execute()
+    per_part = out.mapPartitions(lambda it: [[k for k, _ in it]]).collect()
+    flat = [k for part in per_part for k in part]
+    assert flat == sorted(flat)  # partitions ordered AND internally sorted
+    assert len(flat) == 500
+
+
+def test_tera_file_roundtrip(spark):
+    """teragen → raw 100-byte file sink → fixed-width reader → identical."""
+    e = Engine(spark)
+    gen = tera.teragen(spark, 1_000, num_partitions=3)
+    with tempfile.TemporaryDirectory() as d:
+        n_files = tera.write_tera_files(gen, d)
+        assert n_files == 3
+        back = e.read_tera_records(d)
+        assert back.count() == 1_000
+        a = sorted((bytes(r.key), bytes(r.value)) for r in gen.collect())
+        b = sorted((bytes(r.key), bytes(r.value)) for r in back.collect())
+        assert a == b
+
+
+def test_engine_sql_surface(spark):
+    e = Engine(spark)
+    out = e.sql(SF_DIR, "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 10")
+    assert out.collect()[0].n > 0
+
+
+def test_from_pairs_and_mapreduce_dataset(spark):
+    e = Engine(spark)
+    ds = e.from_pairs([("a", "1"), ("b", "2"), ("a", "3")])
+
+    def map_f(k, v):
+        yield k, int(v)
+
+    def sum_f(_k, vals):
+        return sum(vals)
+
+    out = ds.map_reduce("key", "value", map_f, sum_f, combine_f=sum_f, schema="k string, total long")
+    got = {r.k: r.total for r in out.collect()}
+    assert got == {"a": 4, "b": 2}
