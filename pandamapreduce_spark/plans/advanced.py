@@ -1,0 +1,380 @@
+"""Advanced query surface: JSON/scalar functions, n-grams, exact
+percentiles, moment statistics, pivot, cube/grouping sets, as-of join,
+range join, cogroup — the remaining SURVEY §2.3 gap rows plus custom
+operators Spark lacks natively.
+
+Float contract as everywhere (``plans.numeric``): exact-decimal
+bridges or int/int divisions → bitwise-equal doubles vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.functions import tokens, tokens_sql
+from pandamapreduce_spark.operators.asof import asof_join
+from pandamapreduce_spark.plans.numeric import DEC, dsum, dsum_sql
+from pandamapreduce_spark.plans.registry import query
+
+
+@query(
+    "q18_json_extract",
+    oracle="""
+    SELECT event_type, cast(sum(cast(props->>'$.k' as bigint)) as bigint) AS k_total,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="JSON scalar extraction from the props column + aggregation.",
+    tags=("json", "agg"),
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object is a codegen'd JVM expression — JSON parsing
+    never leaves the executor. At scale, repeated extraction argues for
+    from_json to a struct column once; single-path extraction is fine
+    inline."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).cast("bigint").alias("k_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q19_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+           concat(o_orderstatus, '-', cast(year(o_orderdate) as varchar)) AS status_year,
+           abs(o_totalprice - 100000.0) AS dist_100k,
+           cast(o_orderkey % 7 as bigint) AS bucket7,
+           length(o_orderpriority) AS prio_len
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+    doc="Scalar function surface: date parts, string ops, math, modulo.",
+    tags=("scalar",),
+)
+def q19_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All codegen'd row expressions — the engine's scalar vocabulary
+    (the reference hand-codes these inside map callbacks, e.g. toupper
+    at ``wc_main.cpp:43``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+            F.concat(F.col("o_orderstatus"), F.lit("-"), F.year("o_orderdate").cast("string")).alias("status_year"),
+            F.abs(F.col("o_totalprice") - 100000.0).alias("dist_100k"),
+            (F.col("o_orderkey") % 7).cast("bigint").alias("bucket7"),
+            F.length("o_orderpriority").alias("prio_len"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q27_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+    FROM grams GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 30
+    """,
+    doc="Top word bigrams with collection + document frequency (A1 generalization).",
+    tags=("text", "ngram"),
+)
+def q27_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = tokens("text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(F.sequence(F.lit(0), F.size(t) - 2), lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2))),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(30)
+    )
+
+
+@query(
+    "q28_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group.",
+    tags=("agg", "percentile"),
+)
+def q28_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile needs the full group — Spark's percentile()
+    buffers per group (OK for bounded groups). The unbounded-cardinality
+    scale path is approx_percentile (t-digest, mergeable partials);
+    exact is used here because the oracle is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.25).alias("p25"),
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.9).alias("p90"),
+            F.percentile("l_extendedprice", 0.99).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _var_sql(x: str) -> str:
+    sx = f"cast(sum(cast({x} as {DEC})) as double)"
+    sxx = f"cast(sum(cast({x} as {DEC}) * cast({x} as {DEC})) as double)"
+    return f"(({sxx} - {sx}**2 / count({x})) / (count({x}) - 1))"
+
+
+def _var_col(x: str) -> F.Column:
+    c = F.col(x)
+    sx = F.sum(c.cast(DEC)).cast("double")
+    sxx = F.sum(c.cast(DEC) * c.cast(DEC)).cast("double")
+    n = F.count(c)
+    return (sxx - sx * sx / n) / (n - 1)
+
+
+@query(
+    "q29_moment_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_var_sql('l_quantity')} AS var_qty,
+           sqrt({_var_sql('l_quantity')}) AS std_qty,
+           (cast(sum(cast(l_quantity as {DEC}) * cast(l_discount as {DEC})) as double)
+              - cast(sum(cast(l_quantity as {DEC})) as double)
+                * cast(sum(cast(l_discount as {DEC})) as double) / count(*))
+             / (count(*) - 1) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Sample variance/stddev/covariance via exact-decimal moments (order-independent).",
+    tags=("agg", "stats"),
+)
+def q29_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's builtin var_samp streams in float (order-dependent);
+    this formulation aggregates exact decimal moments and converts
+    last, so results are bitwise-reproducible — same partial-agg
+    scalability, exactness instead of Welford."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    sq = F.sum(q.cast(DEC)).cast("double")
+    sd = F.sum(d.cast(DEC)).cast("double")
+    sqd = F.sum(q.cast(DEC) * d.cast(DEC)).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _var_col("l_quantity").alias("var_qty"),
+            F.sqrt(_var_col("l_quantity")).alias("std_qty"),
+            ((sqd - sq * sd / n) / (n - 1)).alias("covar_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q36_pivot",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+    doc="Pivot: event counts per day with one column per event type.",
+    tags=("pivot", "agg"),
+)
+def q36_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.pivot with explicit value list — no extra pass to discover
+    values, and the plan is a single partial-agg shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+@query(
+    "q37_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           count(*) AS n,
+           cast(grouping(l_returnflag) as int) AS g_flag,
+           cast(grouping(l_linestatus) as int) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Full grouping-sets cube with grouping indicators.",
+    tags=("agg", "cube"),
+)
+def q37_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube() expands to exactly these four grouping sets in one pass;
+    grouping() flags distinguish data nulls from subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q43_asof_join",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, c.click_id, c.click_ts
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join: each purchase matched to the user's most recent prior click (union+window operator).",
+    tags=("join", "asof"),
+)
+def q43_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's as-of operator (``operators.asof``): one shuffle on
+    user_id, window carry-forward — vs DuckDB's native ASOF JOIN as
+    the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts", right_cols=["click_id", "click_ts"])
+    return out.select("event_id", "user_id", "click_id", "click_ts").orderBy("event_id")
+
+
+@query(
+    "q44_range_join",
+    oracle="""
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    ORDER BY error_id, purchase_id
+    """,
+    doc="Range (interval) join: purchases within 10 minutes after an error, bucketized equi-join plan.",
+    tags=("join", "range"),
+)
+def q44_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for interval joins: bucket both sides into 10-min
+    epochs, equi-join on (user, bucket) with the error side exploded to
+    [bucket, bucket+1], then exact filter. The join IS an equi-join —
+    no nested-loop — and bucket width = interval keeps candidates
+    tight."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer division (not float /): bucket boundaries must be exact
+    bucket = lambda c: F.unix_micros(c) - (F.unix_micros(c) % F.lit(600_000_000))  # noqa: E731
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.explode(F.array(bucket(F.col("ts")), bucket(F.col("ts")) + F.lit(600_000_000))).alias("bkt"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        bucket(F.col("ts")).alias("p_bkt"),
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bkt") == F.col("p_bkt"))
+        & (F.col("p_ts") > F.col("e_ts"))
+        & (F.unix_micros(F.col("p_ts")) <= F.unix_micros(F.col("e_ts")) + 600_000_000),
+    )
+    return joined.select("error_id", "purchase_id", "user_id").distinct().orderBy("error_id", "purchase_id")
+
+
+@query(
+    "q45_cogroup",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           cast(round(sum(coalesce(cast(o.o_totalprice as decimal(18,6)), 0)), 2) as double) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+    doc="Cogroup (the MapReduce-native join, reference O14 over two inputs): per-key merge via cogroup+applyInPandas.",
+    tags=("join", "cogroup", "pandas-udf"),
+)
+def q45_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdd.cogroup is the reference's post-shuffle key-grouped merge
+    shape over two keyed inputs (SURVEY §2.3); here via the DataFrame
+    cogroup → applyInPandas API (Arrow-batched), computing per-customer
+    order stats. Decimal sums inside pandas keep floats exact."""
+    import decimal
+
+    import pandas as pd
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if c_pdf.empty:
+            return pd.DataFrame(columns=["c_custkey", "c_mktsegment", "n_orders", "total_spend"])
+        total = sum((decimal.Decimal(repr(v)).quantize(decimal.Decimal("0.000001")) for v in o_pdf["o_totalprice"]), decimal.Decimal(0))
+        return pd.DataFrame(
+            {
+                "c_custkey": [c_pdf["c_custkey"].iloc[0]],
+                "c_mktsegment": [c_pdf["c_mktsegment"].iloc[0]],
+                "n_orders": [len(o_pdf)],
+                "total_spend": [float(round(total, 2))],
+            }
+        )
+
+    out = (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(merge, "c_custkey bigint, c_mktsegment string, n_orders bigint, total_spend double")
+    )
+    return out.orderBy("c_custkey")
