@@ -39,6 +39,18 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Tera pipeline at 1 GB (the reference's TPCx-HS-style metric,
+    # apps/terasort/run.sh: HSph@SF = SF / hours, SF = bytes/1e10).
+    from pandamapreduce_spark.operators import tera
+
+    n_tera = int(os.environ.get("SPARK_GRAFT_TERA_RECORDS", 10_000_000))
+    t0 = time.perf_counter()
+    verdict = tera.teravalidate(tera.terasort(tera.teragen(spark, n_tera, 32), 32))
+    tera_sec = round(time.perf_counter() - t0, 3)
+    assert verdict["all_sorted"] and verdict["boundaries_ok"] and verdict["n_records"] == n_tera, verdict
+    timings["tera_1gb_pipeline"] = tera_sec
+    print(f"# tera_1gb_pipeline: {tera_sec:.3f}s (HSph@SF={n_tera * 100 / 1e10 / (tera_sec / 3600):.2f})", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -27,6 +27,7 @@ terasort's only shuffle is the range exchange; teravalidate reduces
 
 from __future__ import annotations
 
+import itertools
 import zlib
 from collections.abc import Iterable, Iterator
 
@@ -89,18 +90,35 @@ TERA_SCHEMA = T.StructType(
 
 
 def teragen(spark: SparkSession, num_records: int, num_partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic synthetic source (SURVEY A4)."""
+    """Distributed deterministic synthetic source (SURVEY A4).
+
+    Arrow path: one ``mapInPandas`` task per partition yields bytes
+    columns in 64k-record batches — no per-row pickling. Each
+    partition jumps the LCG to its first record (O(log n)), so output
+    is invariant to ``num_partitions``.
+    """
+    import pandas as pd
+
     parts = num_partitions or spark.sparkContext.defaultParallelism
     per = num_records // parts
     extra = num_records % parts
 
-    def gen(idx: int, _it: Iterable) -> Iterator[tuple[bytes, bytes]]:
-        first = idx * per + min(idx, extra)
-        n = per + (1 if idx < extra else 0)
-        return generate_partition(first, n)
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for idx in pdf["id"]:
+                idx = int(idx)
+                first = idx * per + min(idx, extra)
+                n = per + (1 if idx < extra else 0)
+                it = generate_partition(first, n)
+                while True:
+                    chunk = list(itertools.islice(it, 65536))
+                    if not chunk:
+                        break
+                    yield pd.DataFrame(
+                        {"key": [k for k, _ in chunk], "value": [v for _, v in chunk]}
+                    )
 
-    rdd = spark.sparkContext.parallelize(range(parts), parts).mapPartitionsWithIndex(gen)
-    return spark.createDataFrame(rdd, TERA_SCHEMA)
+    return spark.range(0, parts, 1, parts).mapInPandas(gen, TERA_SCHEMA)
 
 
 def terasort(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -155,29 +173,51 @@ _VALIDATE_SCHEMA = T.StructType(
 
 def teravalidate_partitions(df: DataFrame) -> DataFrame:
     """Per-partition validation summaries (``TeraValidate.scala:64-108``):
-    record count, min/max key, sortedness, crc32 checksum sum."""
+    record count, min/max key, sortedness, crc32 checksum sum.
 
-    def summarize(idx: int, it: Iterable) -> Iterator[tuple]:
+    Arrow path: ``mapInPandas`` runs once per partition and streams its
+    batches in order, so cross-batch sortedness is checked with one
+    carried ``last`` key; output is ~1 row per partition.
+    """
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+
+    def summarize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
+        pid = -1
         first = last = None
         in_order = True
         checksum = 0
-        for row in it:
-            k, v = row[0], row[1]
-            kb = bytes(k)
-            if first is None:
-                first = kb
-            elif kb < last:
-                in_order = False
-            last = kb
-            n += 1
-            checksum += zlib.crc32(kb + bytes(v))
-        from decimal import Decimal
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            for k, v in zip(pdf["key"], pdf["value"]):
+                kb = bytes(k)
+                if first is None:
+                    first = kb
+                elif kb < last:
+                    in_order = False
+                last = kb
+                n += 1
+                checksum += zlib.crc32(kb + bytes(v))
+        yield pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "n_records": [n],
+                "min_key": [first],
+                "max_key": [last],
+                "in_order": [in_order],
+                "checksum": [Decimal(checksum)],
+            }
+        )
 
-        yield (idx, n, first, last, in_order, Decimal(checksum))
-
-    rdd = df.rdd.mapPartitionsWithIndex(summarize)
-    return df.sparkSession.createDataFrame(rdd, _VALIDATE_SCHEMA)
+    return tagged.mapInPandas(summarize, _VALIDATE_SCHEMA)
 
 
 def teravalidate(sorted_df: DataFrame) -> dict:

@@ -335,6 +335,74 @@ def q44_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q56_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag, {dsum_sql('l_extendedprice')} AS total, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Skew-resistant aggregation: salt the hot key into 16 subkeys, partial-agg, then merge — result identical to the plain group-by.",
+    tags=("agg", "skew"),
+)
+def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew pattern (for when AQE's skew handling isn't
+    enough): stage 1 groups on (key, salt) — spreading one hot key
+    over 16 reducers — stage 2 merges the 16 partials per key. Decimal
+    partials stay exact through both stages, so the oracle is just the
+    unsalted group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16).cast("int"))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("p_sum"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("p_sum"), 2).cast("double").alias("total"),
+            F.sum("p_n").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q57_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           cast(round(cast(quantile_cont(l_extendedprice, 0.5) as decimal(18,6)), 6) as double) AS median_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Grouped Pandas UDAF (applyInPandas): per-group exact median via numpy, matching quantile_cont.",
+    tags=("agg", "pandas-udf"),
+)
+def q57_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface of the reference (combiner/reduce callbacks =
+    ``include/PandaAPI.h:29-35``) in its Arrow-vectorized form: one
+    pandas frame per group. numpy's linear interpolation and DuckDB's
+    quantile_cont can differ in the last ulp (different FMA order), so
+    the result rounds through decimal. Exact medians need the full
+    group — the scale path is approx_percentile; this demonstrates the
+    grouped-UDAF machinery."""
+    import numpy as np
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def median(pdf: pd.DataFrame) -> pd.DataFrame:
+        import decimal
+
+        m = float(np.percentile(pdf["l_extendedprice"].to_numpy(), 50, method="linear"))
+        md = decimal.Decimal(repr(m)).quantize(decimal.Decimal("0.000001"))
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "median_price": [float(md)], "n": [len(pdf)]}
+        )
+
+    out = li.groupBy("l_returnflag").applyInPandas(median, "l_returnflag string, median_price double, n bigint")
+    return out.orderBy("l_returnflag")
+
+
+@query(
     "q45_cogroup",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,

@@ -1,0 +1,182 @@
+"""ML-shaped queries: the reference's paper apps (GEMV, C-means —
+SURVEY A7) as engine queries over the embeddings table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.functions import dot, dot_sql
+from pandamapreduce_spark.operators.ml import kmeans
+from pandamapreduce_spark.plans.registry import query
+
+DIM = 64
+
+
+def _weight(i: int) -> float:
+    h = hashlib.md5(f"w:{i}".encode()).hexdigest()
+    return (int(h[:15], 16) % 2_000_000) / 1_000_000.0 - 1.0
+
+
+WEIGHTS = [_weight(i) for i in range(DIM)]
+
+
+@query(
+    "q48_gemv",
+    oracle=f"""
+    SELECT vec_id,
+           list_dot_product(cast(embedding as double[]),
+                            [{", ".join(repr(w) for w in WEIGHTS)}]) AS y
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="GEMV (reference paper app): row-distributed matrix x broadcast vector.",
+    tags=("ml", "gemv"),
+)
+def q48_gemv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's GEMV workload shape: the matrix is the row-
+    partitioned embeddings table, the vector broadcasts as a literal;
+    one map-side fold per row, zero shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    w = F.array(*[F.lit(v) for v in WEIGHTS])
+    return emb.select("vec_id", dot(F.col("embedding"), w).alias("y")).orderBy("vec_id")
+
+
+@query(
+    "q47_kmeans_assign",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             (list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))
+              - 2 * list_dot_product(cast(e.embedding as double[]), cast(c.cvec as double[]))
+              + list_dot_product(cast(c.cvec as double[]), cast(c.cvec as double[]))) AS dist2
+      FROM embeddings e CROSS JOIN c
+    ),
+    r AS (
+      SELECT vec_id, cid, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      FROM d
+    )
+    SELECT cid AS cluster_id, count(*) AS n_vectors, min(vec_id) AS min_vec_id,
+           cast(round(sum(cast(dist2 as decimal(28,10))), 4) as double) AS total_dist2
+    FROM r WHERE rn = 1
+    GROUP BY cid ORDER BY cid
+    """,
+    doc="K-means assignment step (C-means shape): nearest of 8 seed centroids per vector, cluster summary.",
+    tags=("ml", "kmeans"),
+)
+def q47_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One assignment iteration as a declarative plan: centroids are a
+    tiny broadcast side (vec_id < 8), distance = dot-product expansion
+    (bitwise-deterministic), argmin via ranking window. The shuffle
+    carries one row per vector."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    c = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    e = emb.select("vec_id", "embedding")
+    x, cv = F.col("embedding"), F.col("cvec")
+    d = (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "cid",
+            (dot(x, x) - 2 * dot(x, cv) + dot(cv, cv)).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    r = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        r.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.sum(F.col("dist2").cast("decimal(28,10)")), 4).cast("double").alias("total_dist2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "q55_ivf_knn",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))
+                  - 2 * list_dot_product(cast(e.embedding as double[]), cast(c.cvec as double[]))
+                  + list_dot_product(cast(c.cvec as double[]), cast(c.cvec as double[]))), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             (list_dot_product(cast(q.embedding as double[]), cast(x.embedding as double[]))
+               / (sqrt(list_dot_product(cast(q.embedding as double[]), cast(q.embedding as double[])))
+                  * sqrt(list_dot_product(cast(x.embedding as double[]), cast(x.embedding as double[]))))) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               (list_dot_product(cast(q.embedding as double[]), cast(x.embedding as double[]))
+                 / (sqrt(list_dot_product(cast(q.embedding as double[]), cast(q.embedding as double[])))
+                    * sqrt(list_dot_product(cast(x.embedding as double[]), cast(x.embedding as double[]))))) DESC,
+               x.vec_id) AS rank
+      FROM assigned q JOIN assigned x ON q.cid = x.cid AND q.vec_id <> x.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-style ANN: k-means coarse quantizer (8 cells, 1 probe) -> exact top-5 within the query's cell.",
+    tags=("similarity", "ivf", "ml"),
+)
+def q55_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path for billion-vector ANN: assignment is
+    map-only against broadcast centroids; search joins on the cell id
+    (co-partitioned equi-join). Recall improves with n_probe cells;
+    1 probe here keeps the oracle simple."""
+    from pandamapreduce_spark.functions import cosine
+    from pandamapreduce_spark.operators.ml import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    seeds = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    assigned = assign_clusters(emb, seeds).select("vec_id", "embedding", "cluster_id")
+    q = assigned.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("cluster_id").alias("q_cell")
+    )
+    x = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), F.col("cluster_id").alias("c_cell"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        x.join(F.broadcast(q), (F.col("q_cell") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "q54_kmeans_iterative",
+    oracle=None,  # iterative algorithm — validated by invariant tests
+    doc="Full iterative k-means (Lloyd's, 3 iterations, deterministic seeding): cluster sizes + inertia.",
+    tags=("ml", "kmeans", "iterative"),
+)
+def q54_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's iterative_support workload shape: driver loop of
+    broadcast-assign + partial-agg update over a cached DataFrame."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    _, assigned = kmeans(emb, k=8, iterations=3)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.sum(F.col("dist2").cast("decimal(28,10)")), 4).cast("double").alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

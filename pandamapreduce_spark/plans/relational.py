@@ -367,6 +367,49 @@ def q11_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q46_window_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           ntile(4) OVER w AS quartile,
+           (cast(rank() OVER w2 as double) - 1) / (count(*) OVER (PARTITION BY o_custkey) - 1) AS pct_rank,
+           cast(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+             / count(*) OVER (PARTITION BY o_custkey) AS cume
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Window function surface: lag/lead/first_value/ntile/percent_rank/cume_dist.",
+    tags=("window",),
+)
+def q46_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full navigation/ranking window vocabulary over one sorted
+    shuffle on the partition key. percent_rank/cume_dist are int/int
+    divisions → bitwise-reproducible. (cume_dist counts RANGE peers —
+    ties by (date, key) are unique here, so both engines agree.)"""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
     "q12_sessionize",
     oracle="""
     WITH flagged AS (

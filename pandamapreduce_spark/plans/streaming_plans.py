@@ -56,3 +56,24 @@ def q61_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.events_stream(spark, sf_dir)
     out = ev.run_to_completion(ev.sessionized(stream), spark)
     return out.select("user_id", "session_start", "n_events").orderBy("user_id", "session_start")
+
+
+@query(
+    "q62_stream_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): first event per (user, type); oracle = batch window.",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def q62_stream_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandamapreduce_spark.streaming.stateful import first_event_per_key
+
+    stream = ev.events_stream(spark, sf_dir)
+    out = ev.run_to_completion(first_event_per_key(stream), spark, mode="append")
+    return out.orderBy("user_id", "event_type")

@@ -14,7 +14,7 @@ from JVM expressions with DuckDB oracle twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
@@ -217,6 +217,65 @@ def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "lang", predicted.alias("predicted"), (predicted == F.col("lang")).alias("correct")
     ).orderBy("doc_id")
+
+
+@query(
+    "q49_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             cast(round(cast(tf.tf * ln(cast(n.n_docs as double) / df.df) as decimal(18,6)), 6) as double) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+    doc="TF-IDF: term/document frequencies, top-3 scoring terms per document.",
+    tags=("text", "tfidf"),
+)
+def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic two-aggregation TF-IDF: tf per (doc,term), df per term
+    (broadcastable — vocab-sized), n_docs as a literal-free cross join.
+    Scale: both aggregations partial-combine; the tf⋈df join broadcasts
+    the df side (vocabulary ≪ corpus). tfidf rounds through decimal:
+    Spark and DuckDB ln() differ by 1 ulp on ~9% of inputs, so raw
+    doubles would flake — 6-decimal rounding absorbs it."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).cast("decimal(18,6)"), 6
+            )
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "term")
+    )
 
 
 @query(

@@ -69,11 +69,11 @@ def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_completion(agg: DataFrame, spark: SparkSession) -> DataFrame:
+def run_to_completion(agg: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over the (finite) file source to
     completion via the memory sink; returns the final static result."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:

@@ -1,0 +1,43 @@
+"""Iterative k-means operator invariants (reference A7 shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.operators.ml import assign_clusters, kmeans
+
+from tests.conftest import SF_DIR
+
+
+def _inertia(assigned):
+    return assigned.agg(F.sum("dist2")).collect()[0][0]
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    c1, a1 = kmeans(emb.repartition(2), k=4, iterations=2)
+    c2, a2 = kmeans(emb.repartition(13), k=4, iterations=2)
+    assert [cid for cid, _ in c1] == [cid for cid, _ in c2]
+    for (_, v1), (_, v2) in zip(c1, c2):
+        assert v1 == v2  # bitwise-equal centroids regardless of partitioning? see note
+    m1 = {r.vec_id: r.cluster_id for r in a1.collect()}
+    m2 = {r.vec_id: r.cluster_id for r in a2.collect()}
+    assert m1 == m2
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seed_rows = emb.orderBy("vec_id").limit(4).collect()
+    seeds = [(i, [float(v) for v in r.embedding]) for i, r in enumerate(seed_rows)]
+    inertia0 = _inertia(assign_clusters(emb, seeds))
+    _, a3 = kmeans(emb, k=4, iterations=3)
+    inertia3 = _inertia(a3)
+    assert inertia3 <= inertia0 * 1.0000001
+
+
+def test_assign_ties_break_on_lowest_cid(spark):
+    vecs = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    cents = [(0, [0.0, 1.0]), (1, [0.0, 1.0]), (2, [5.0, 5.0])]
+    r = assign_clusters(vecs, cents).collect()[0]
+    assert r.cluster_id == 0

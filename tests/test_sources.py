@@ -1,0 +1,65 @@
+"""Format source/sink roundtrips (csv/json/orc/partitioned writes)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.sources import read_csv, read_json, read_orc, try_delta, write_csv, write_json, write_orc
+
+from tests.conftest import SF_DIR
+
+SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, "
+    "o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def _canon(df):
+    return sorted(
+        (r.o_orderkey, r.o_custkey, r.o_orderstatus, round(r.o_totalprice, 4), r.o_orderdate, r.o_orderpriority)
+        for r in df.collect()
+    )
+
+
+def test_csv_roundtrip(spark):
+    orders = _orders(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "orders_csv")
+        write_csv(orders, p)
+        back = read_csv(spark, p, SCHEMA)
+        assert _canon(back) == _canon(orders)
+
+
+def test_json_roundtrip(spark):
+    orders = _orders(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "orders_json")
+        write_json(orders, p)
+        back = read_json(spark, p, SCHEMA)
+        assert _canon(back) == _canon(orders)
+
+
+def test_orc_partitioned_roundtrip(spark):
+    orders = _orders(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "orders_orc")
+        write_orc(orders, p, partition_by=["o_orderstatus"])
+        # hive-style layout on disk → partition pruning works
+        assert any(e.startswith("o_orderstatus=") for e in os.listdir(p))
+        back = read_orc(spark, p).select(*orders.columns)
+        assert back.count() == orders.count()
+        # pruned read only touches one directory
+        pruned = read_orc(spark, p).where(F.col("o_orderstatus") == "F")
+        assert pruned.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_delta_gated(spark):
+    # jar not in this image: must degrade cleanly, never raise
+    assert try_delta(spark) is None
