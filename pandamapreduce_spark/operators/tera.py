@@ -28,7 +28,6 @@ terasort's only shuffle is the range exchange; teravalidate reduces
 from __future__ import annotations
 
 import itertools
-import zlib
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,65 +158,71 @@ def write_tera_files(df: DataFrame, out_dir: str) -> int:
     return sum(1 for _, n in counts if n > 0)
 
 
-_VALIDATE_SCHEMA = T.StructType(
-    [
-        T.StructField("partition_id", T.IntegerType(), False),
-        T.StructField("n_records", T.LongType(), False),
-        T.StructField("min_key", T.BinaryType(), True),
-        T.StructField("max_key", T.BinaryType(), True),
-        T.StructField("in_order", T.BooleanType(), False),
-        T.StructField("checksum", T.DecimalType(38, 0), False),
-    ]
-)
-
-
 def teravalidate_partitions(df: DataFrame) -> DataFrame:
     """Per-partition validation summaries (``TeraValidate.scala:64-108``):
     record count, min/max key, sortedness, crc32 checksum sum.
 
-    Arrow path: ``mapInPandas`` runs once per partition and streams its
-    batches in order, so cross-batch sortedness is checked with one
-    carried ``last`` key; output is ~1 row per partition.
+    Single streaming pass per partition via ``mapInPandas`` (one
+    summary row out per partition, data read in place — a
+    window/groupBy formulation would reshuffle the whole dataset). The
+    sortedness check is numpy-vectorized: fixed 10-byte keys reshape to
+    (n, 10) uint8 and compare as (big-endian u64, u16) pairs; only the
+    crc32 sum is a per-row loop (zlib C call).
     """
+    import zlib
     from decimal import Decimal
 
+    import numpy as np
     import pandas as pd
 
-    from pyspark.sql import functions as F
-
-    tagged = df.withColumn("__pid", F.spark_partition_id())
+    tagged = df.select(F.spark_partition_id().alias("pid"), "key", "value")
 
     def summarize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = 0
         pid = -1
-        first = last = None
+        n = 0
         in_order = True
-        checksum = 0
+        first: bytes | None = None
+        prev_last: bytes | None = None
+        lo_key: bytes | None = None
+        hi_key: bytes | None = None
+        crc = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
-            for k, v in zip(pdf["key"], pdf["value"]):
-                kb = bytes(k)
-                if first is None:
-                    first = kb
-                elif kb < last:
-                    in_order = False
-                last = kb
-                n += 1
-                checksum += zlib.crc32(kb + bytes(v))
-        yield pd.DataFrame(
-            {
-                "partition_id": [pid],
-                "n_records": [n],
-                "min_key": [first],
-                "max_key": [last],
-                "in_order": [in_order],
-                "checksum": [Decimal(checksum)],
-            }
-        )
+            pid = int(pdf["pid"].iloc[0])
+            keys = [bytes(k) for k in pdf["key"]]
+            # incremental form: crc32(v, crc32(k)) == crc32(k || v)
+            crc += sum(zlib.crc32(bytes(v), zlib.crc32(k)) for k, v in zip(keys, pdf["value"]))
+            n += len(keys)
+            if prev_last is not None and keys[0] < prev_last:
+                in_order = False
+            a = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, KEY_LEN)
+            hi = np.ascontiguousarray(a[:, :8]).view(">u8").ravel()
+            lo = np.ascontiguousarray(a[:, 8:]).view(">u2").ravel()
+            if not bool(np.all((hi[1:] > hi[:-1]) | ((hi[1:] == hi[:-1]) & (lo[1:] >= lo[:-1])))):
+                in_order = False
+            # batch min/max from the numpy view (exact even if unsorted)
+            order = np.lexsort((lo, hi))
+            imin, imax = int(order[0]), int(order[-1])
+            lo_key = keys[imin] if lo_key is None or keys[imin] < lo_key else lo_key
+            hi_key = keys[imax] if hi_key is None or keys[imax] > hi_key else hi_key
+            if first is None:
+                first = keys[0]
+            prev_last = keys[-1]
+        if pid >= 0:
+            yield pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "n_records": [n],
+                    "min_key": [lo_key],
+                    "max_key": [hi_key],
+                    "in_order": [in_order],
+                    "checksum": [Decimal(crc)],
+                }
+            )
 
-    return tagged.mapInPandas(summarize, _VALIDATE_SCHEMA)
+    schema = "partition_id int, n_records long, min_key binary, max_key binary, in_order boolean, checksum decimal(38,0)"
+    return tagged.mapInPandas(summarize, schema)
 
 
 def teravalidate(sorted_df: DataFrame) -> dict:
