@@ -17,13 +17,19 @@ from pyspark.sql import functions as F
 # --- tokenization ---------------------------------------------------------
 
 
-def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
+#: Explicit ASCII whitespace class: Java's \s ([ \t\n\x0b\f\r]) and
+#: RE2's \s ([ \t\n\f\r]) disagree on \x0b — spelling the class out
+#: makes Spark and the DuckDB oracle tokenize identically.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def tokens(col: Column | str, pattern: str = WS_CLASS) -> Column:
     """Split into tokens, dropping empty strings (split artifacts)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.trim(c), pattern), lambda t: t != "")
 
 
-def tokens_sql(expr: str, pattern: str = r"\s+") -> str:
+def tokens_sql(expr: str, pattern: str = WS_CLASS) -> str:
     return f"list_filter(string_split_regex(trim({expr}), '{pattern}'), t -> t <> '')"
 
 

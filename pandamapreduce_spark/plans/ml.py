@@ -160,6 +160,69 @@ def q55_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GMM_SIGMA = [1.0 + k / 10.0 for k in range(8)]
+GMM_PI = [1.0 / 8.0] * 8
+# log-space constants computed driver-side and injected as identical
+# literals into both engines: ln() differs by 1 ulp between Spark and
+# DuckDB, so it must not be evaluated inside either engine.
+import math as _math
+
+GMM_CONST = [-DIM * _math.log(s) + _math.log(p) for s, p in zip(GMM_SIGMA, GMM_PI)]
+
+
+@query(
+    "q58_gmm_assign",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             (-(list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))
+                - 2 * list_dot_product(cast(e.embedding as double[]), cast(c.cvec as double[]))
+                + list_dot_product(cast(c.cvec as double[]), cast(c.cvec as double[])))
+              / (2 * ([{", ".join(repr(s) for s in GMM_SIGMA)}])[c.cid + 1]
+                   * ([{", ".join(repr(s) for s in GMM_SIGMA)}])[c.cid + 1])
+              + ([{", ".join(repr(v) for v in GMM_CONST)}])[c.cid + 1]) AS log_score
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT cid AS component, count(*) AS n_vectors, min(vec_id) AS min_vec_id,
+           cast(round(sum(cast(log_score as decimal(28,10))), 4) as double) AS total_log_score
+    FROM (
+      SELECT vec_id, cid, log_score,
+             row_number() OVER (PARTITION BY vec_id ORDER BY log_score DESC, cid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    GROUP BY cid ORDER BY cid
+    """,
+    doc="GMM E-step (isotropic, fixed priors): max-posterior component per vector, component summary.",
+    tags=("ml", "gmm"),
+)
+def q58_gmm_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GMM paper app (A7) as a hard-assignment E-step:
+    log-density = -|x-mu|^2 / (2 sigma_k^2) + const_k with the log
+    constants precomputed driver-side (ln parity hazard). Same
+    broadcast + partial-agg shape as k-means; soft responsibilities
+    would add one exp-normalize per row."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    c = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    x, cv = F.col("embedding"), F.col("cvec")
+    sigma_arr = F.array(*[F.lit(s) for s in GMM_SIGMA])
+    const_arr = F.array(*[F.lit(v) for v in GMM_CONST])
+    dist2 = dot(x, x) - 2 * dot(x, cv) + dot(cv, cv)
+    log_score = -dist2 / (2 * sigma_arr[F.col("cid")] * sigma_arr[F.col("cid")]) + const_arr[F.col("cid")]
+    scored = emb.crossJoin(F.broadcast(c)).select("vec_id", "cid", log_score.alias("log_score"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("log_score").desc(), "cid")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy(F.col("cid").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.sum(F.col("log_score").cast("decimal(28,10)")), 4).cast("double").alias("total_log_score"),
+        )
+        .orderBy("component")
+    )
+
+
 @query(
     "q54_kmeans_iterative",
     oracle=None,  # iterative algorithm — validated by invariant tests

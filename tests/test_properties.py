@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the engine's text/hash column
+functions must agree with plain-Python reference implementations on
+arbitrary inputs — catching tokenizer/shingle/minhash edge cases the
+fixed corpus can't (empty strings, unicode, runs of separators).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.functions import minhash_sig, normalize_text, tokens, word_ngrams
+
+# Engine tokenizer contract: whitespace = Java/RE2 ASCII \s
+# ([ \t\n\x0b\f\r]). Python's re \s is wider (\x1c-\x1f, unicode
+# spaces) — hypothesis found that divergence immediately, so the
+# reference model below pins the ASCII semantics and the alphabet
+# covers printable ASCII + Latin-1 + the ASCII whitespace set.
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            st.characters(min_codepoint=0xA1, max_codepoint=0x2FF),
+            st.sampled_from("\t\n\x0b\f\r"),
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in _WS.split(s.strip(" \t\n\x0b\f\r")) if t != ""]
+
+
+def _py_ngrams(s: str, n: int = 3) -> list[str]:
+    toks = _py_tokens(s)
+    if len(toks) < n:
+        return []
+    out: list[str] = []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        if g not in out:
+            out.append(g)
+    return out
+
+
+def _py_normalize(s: str) -> str:
+    return re.sub(" +", " ", re.sub("[^a-z0-9]+", " ", s.lower())).strip()
+
+
+def _py_minhash(shingles: list[str], k: int) -> list[str | None]:
+    if not shingles:
+        return [None] * k
+    return [
+        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles)
+        for i in range(k)
+    ]
+
+
+@pytest.fixture(scope="module")
+def run_exprs(spark):
+    def run(texts: list[str]):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        return df.select(
+            tokens("text").alias("toks"),
+            word_ngrams("text", 3).alias("grams"),
+            normalize_text("text").alias("norm"),
+            minhash_sig(word_ngrams("text", 3), 4).alias("sig"),
+        ).collect()
+
+    return run
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=TEXTS)
+def test_text_functions_match_python_reference(run_exprs, texts):
+    rows = run_exprs(texts)
+    for t, row in zip(texts, rows):
+        assert list(row.toks) == _py_tokens(t), repr(t)
+        assert sorted(row.grams) == sorted(_py_ngrams(t)), repr(t)
+        assert row.norm == _py_normalize(t), repr(t)
+        assert list(row.sig) == _py_minhash(_py_ngrams(t), 4), repr(t)
