@@ -1,0 +1,50 @@
+"""Salted skew-join correctness + splitting tera reader."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.engine import Engine
+from pandamapreduce_spark.operators import tera
+from pandamapreduce_spark.operators.skew import salted_join
+
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, orders, "l_orderkey", n_salts=8).groupBy("l_orderkey").count()
+    a = {r.l_orderkey: r["count"] for r in plain.collect()}
+    b = {r.l_orderkey: r["count"] for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_hot_key(spark):
+    # one key is 90% of the probe side — the pathological shape
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(9000)] + [(k, 0) for k in range(2, 1002)], "k long, v long"
+    )
+    build = spark.createDataFrame([(k, f"b{k}") for k in range(1, 1002)], "k long, tag string")
+    out = salted_join(probe, build, "k", n_salts=8)
+    assert out.count() == 10000
+    assert out.where(F.col("k") == 1).count() == 9000
+    assert set(out.columns) == {"k", "v", "tag"}
+
+
+def test_split_reader_matches_whole_file_reader(spark):
+    e = Engine(spark)
+    gen = tera.teragen(spark, 20_000, num_partitions=2)  # 2 files, 1 MB each
+    with tempfile.TemporaryDirectory() as d:
+        tera.write_tera_files(gen, d)
+        whole = e.read_tera_records(d)
+        split = e.read_tera_records_split(d, split_bytes=128 * 100)  # force many splits
+        assert split.count() == 20_000
+        a = sorted((bytes(r.key), bytes(r.value)) for r in whole.collect())
+        b = sorted((bytes(r.key), bytes(r.value)) for r in split.collect())
+        assert a == b
