@@ -16,5 +16,6 @@ from pandamapreduce_spark.plans import streaming_plans  # noqa: E402,F401
 from pandamapreduce_spark.plans import multimodal  # noqa: E402,F401
 from pandamapreduce_spark.plans import advanced  # noqa: E402,F401
 from pandamapreduce_spark.plans import ml  # noqa: E402,F401
+from pandamapreduce_spark.plans import pipeline  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]
