@@ -49,6 +49,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
     one core. At real scale inputs arrive pre-split and the repartition
     collapses to a cheap exchange of already-distributed data.
     """
+    if name == "events":
+        # defensive: the caller's session may not have been built by
+        # session.get_spark (e.g. an external driver's session) — the
+        # TIMESTAMP(NANOS) file is unreadable without this conf.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism * 2)
