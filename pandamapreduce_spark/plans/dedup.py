@@ -136,10 +136,19 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Pair generation as a bucket REDUCE, not a self-join: a self-join
+    # would recompute the whole minhash subtree for both sides (and
+    # shuffle twice). Grouping (band, key) → sorted id list → per-row
+    # double explode emits each bucket's pairs with doc_a < doc_b by
+    # construction. One signature computation, one shuffle.
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select("doc_a", F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"))
         .distinct()
     )
 
