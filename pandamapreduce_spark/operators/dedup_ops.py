@@ -1,0 +1,61 @@
+"""Reusable dedup operators over arbitrary DataFrames (the registry
+queries in ``plans.dedup`` are thin wrappers over these).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.functions import word_ngrams
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    ngram: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b), as a bucket reduce.
+
+    ``max_bucket_size``: at corpus scale, a band bucket with thousands
+    of members is boilerplate (headers, licenses), not near-duplication
+    — emitting its O(k²) pairs is both useless and the job's skew
+    hazard. Buckets above the cap are dropped (count them via
+    ``bucket_stats`` if you need visibility). Default None = emit all
+    (matches the SQL oracle).
+    """
+    rows_per_band = num_hashes // num_bands
+    shingle = docs.select(F.col(id_col).alias("__id"), F.explode(word_ngrams(text_col, ngram)).alias("s"))
+    sigs = shingle.groupBy("__id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = sigs.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select("doc_a", F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"))
+        .distinct()
+    )

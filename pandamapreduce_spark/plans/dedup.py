@@ -111,46 +111,15 @@ def _lsh_pairs_sql() -> str:
 
 
 def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The MapReduce formulation of MinHash (shingle emit → per-hash min
-    # aggregation): each md5 is evaluated exactly once per (doc,
-    # shingle, hash) — unlike a nested array-transform expression,
-    # which Catalyst may re-evaluate per hash function. Partial
-    # aggregation collapses the explode before the shuffle, so shuffle
-    # volume is docs × NUM_HASHES strings.
+    # See operators.dedup_ops.minhash_band_pairs: the MapReduce
+    # formulation — shingle emit → per-hash min aggregation → band
+    # bucket reduce — computes each md5 exactly once and replaces the
+    # band self-join (which would recompute the signature subtree for
+    # both sides) with one shuffle.
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    shingle = docs.select("doc_id", F.explode(word_ngrams("text", 3)).alias("s"))
-    sigs = shingle.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s")))).alias(f"h{i}")
-            for i in range(NUM_HASHES)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws("|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]))
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("band", "key"),
-    )
-    # Pair generation as a bucket REDUCE, not a self-join: a self-join
-    # would recompute the whole minhash subtree for both sides (and
-    # shuffle twice). Grouping (band, key) → sorted id list → per-row
-    # double explode emits each bucket's pairs with doc_a < doc_b by
-    # construction. One signature computation, one shuffle.
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    return (
-        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
-        .select("doc_a", F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"))
-        .distinct()
-    )
+    return minhash_band_pairs(docs, num_hashes=NUM_HASHES, num_bands=NUM_BANDS)
 
 
 @query(

@@ -1,0 +1,47 @@
+"""minhash_band_pairs operator: synthetic near-dups, bucket cap, and
+the LCG jump property."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+from pandamapreduce_spark.operators.tera import _A, _C, _M, lcg_skip
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_finds_synthetic_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, "completely different words about spark query engines and shuffles"),
+    ]
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_band_pairs(_docs(spark, rows)).collect()}
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_bucket_cap_drops_boilerplate(spark):
+    boiler = "standard license header apache version two point zero all rights reserved here"
+    rows = [(i, boiler) for i in range(20)] + [(100, "unique interesting document text body with many novel words here")]
+    uncapped = minhash_band_pairs(_docs(spark, rows)).count()
+    assert uncapped == 20 * 19 // 2  # full clique
+    capped = minhash_band_pairs(_docs(spark, rows), max_bucket_size=10).count()
+    assert capped == 0  # the boilerplate clique is dropped entirely
+
+
+def test_lcg_jump_equals_sequential():
+    @settings(max_examples=50, deadline=None)
+    @given(n=st.integers(min_value=0, max_value=5000))
+    def check(n):
+        x = 0
+        for _ in range(n):
+            x = (_A * x + _C) % _M
+        assert lcg_skip(n) == x
+
+    check()
