@@ -34,6 +34,29 @@ MapFn = Callable[[Any, Any], Iterable[tuple[Any, Any]]]
 ReduceFn = Callable[[Any, list[Any]], Any]
 
 
+def elf_hash(key: Any) -> int:
+    """The reference's default partitioner hash (PJW/ELF over key
+    bytes, ``src/panda/Partitioner.cpp:7-19``), for byte-compatible
+    partition placement when porting a reference job. Any callable is
+    accepted as ``partition_f``; Spark's ``portable_hash`` is the
+    default — placement does not affect results (asserted by the
+    partitioning-invariance tests)."""
+    if isinstance(key, str):
+        data = key.encode()
+    elif isinstance(key, (bytes, bytearray)):
+        data = bytes(key)
+    else:
+        data = repr(key).encode()
+    h = 0
+    for b in data:
+        h = ((h << 4) + b) & 0xFFFFFFFF
+        g = h & 0xF0000000
+        if g:
+            h ^= g >> 24
+        h &= ~g & 0xFFFFFFFF
+    return h
+
+
 def map_reduce(
     rdd: RDD,
     map_f: MapFn,

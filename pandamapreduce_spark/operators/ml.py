@@ -58,6 +58,108 @@ def update_centroids(assigned: DataFrame, dim: int, vec_col: str = "embedding") 
     return sorted(out)
 
 
+def gmm_em(
+    vectors: DataFrame,
+    k: int,
+    iterations: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[dict, DataFrame, list[float]]:
+    """Gaussian mixture EM (isotropic components) — the reference's GMM
+    paper app (SURVEY A7) as a cached-DataFrame loop.
+
+    Per iteration: E-step computes responsibilities with a numerically
+    stable log-sum-exp entirely in JVM expressions (cross join against
+    k broadcast components); M-step re-estimates weights/means/
+    variances from responsibility-weighted exact-decimal sums (so the
+    fit is deterministic under any partitioning). Returns
+    (params, final assignment with responsibilities, per-iteration
+    mean log-likelihood — non-decreasing, the EM invariant).
+
+    Scale: E-step is map-side (k × dim literals broadcast); M-step is
+    one partial-aggregated shuffle of k × dim partial sums.
+    """
+    import math
+
+    dim = len(vectors.select(vec_col).first()[0])
+    seed_rows = vectors.orderBy(id_col).limit(k).collect()
+    mus = [[float(v) for v in r[vec_col]] for r in seed_rows]
+    sig2 = [1.0] * k
+    pis = [1.0 / k] * k
+    x = F.col(vec_col)
+    vectors = vectors.cache()
+    loglik: list[float] = []
+    try:
+        for _ in range(iterations):
+            # E-step: log p(x, z=c) for each component, stable softmax
+            xx = dot(x, x)
+            comps = []
+            for c in range(k):
+                mu = F.array(*[F.lit(v) for v in mus[c]])
+                d2 = xx - 2 * dot(x, mu) + F.lit(sum(v * v for v in mus[c]))
+                logp = -d2 / (2 * sig2[c]) + F.lit(
+                    math.log(pis[c]) - 0.5 * dim * math.log(2 * math.pi * sig2[c])
+                )
+                comps.append(logp.alias(f"lp{c}"))
+            scored = vectors.select(id_col, vec_col, *comps)
+            mx = F.greatest(*[F.col(f"lp{c}") for c in range(k)])
+            den = sum_col = None
+            exps = [F.exp(F.col(f"lp{c}") - mx) for c in range(k)]
+            den = exps[0]
+            for e in exps[1:]:
+                den = den + e
+            resp = scored.select(
+                id_col,
+                vec_col,
+                (mx + F.log(den)).alias("ll"),
+                *[(exps[c] / den).alias(f"r{c}") for c in range(k)],
+            ).cache()
+            loglik.append(
+                resp.agg((F.sum(F.col("ll").cast("decimal(28,10)")).cast("double") / F.count("ll")).alias("m"))
+                .collect()[0][0]
+            )
+            # M-step: responsibility-weighted moments via explode, exact decimal
+            DECM = "decimal(28,12)"
+            exploded = resp.select(
+                *[F.col(f"r{c}") for c in range(k)], F.posexplode(_dbl(vec_col)).alias("d", "v")
+            )
+            aggs = []
+            for c in range(k):
+                aggs.append(F.sum((F.col(f"r{c}") * F.col("v")).cast(DECM)).cast("double").alias(f"sx{c}"))
+                aggs.append(F.sum((F.col(f"r{c}") * F.col("v") * F.col("v")).cast(DECM)).cast("double").alias(f"sxx{c}"))
+            per_dim = exploded.groupBy("d").agg(*aggs).collect()
+            totals = resp.agg(
+                *[F.sum(F.col(f"r{c}").cast(DECM)).cast("double").alias(f"n{c}") for c in range(k)],
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            n_total = totals["n"]
+            resp.unpersist()
+            for c in range(k):
+                nc = totals[f"n{c}"]
+                pis[c] = nc / n_total
+                new_mu = [0.0] * dim
+                e_x2 = 0.0
+                for row in per_dim:
+                    new_mu[row["d"]] = row[f"sx{c}"] / nc
+                    e_x2 += row[f"sxx{c}"] / nc
+                mus[c] = new_mu
+                sig2[c] = max((e_x2 - sum(m * m for m in new_mu)) / dim, 1e-6)
+        # final assignment
+        xx = dot(x, x)
+        comps = []
+        for c in range(k):
+            mu = F.array(*[F.lit(v) for v in mus[c]])
+            d2 = xx - 2 * dot(x, mu) + F.lit(sum(v * v for v in mus[c]))
+            logp = -d2 / (2 * sig2[c]) + F.lit(math.log(pis[c]) - 0.5 * dim * math.log(2 * math.pi * sig2[c]))
+            comps.append(F.struct(logp.alias("lp"), F.lit(c).alias("cid")))
+        best = F.array_max(F.array(*comps))
+        assigned = vectors.withColumn("component", best["cid"]).withColumn("log_score", best["lp"])
+        params = {"pis": pis, "mus": mus, "sig2": sig2}
+        return params, assigned, loglik
+    finally:
+        vectors.unpersist()
+
+
 def kmeans(vectors: DataFrame, k: int, iterations: int, vec_col: str = "embedding", id_col: str = "vec_id") -> tuple[list, DataFrame]:
     """Lloyd's algorithm, deterministically seeded: initial centroids =
     the k lowest-id vectors (reproducible across partitionings).

@@ -224,6 +224,36 @@ def q58_gmm_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q59_gmm_em",
+    oracle=None,  # iterative EM — validated by monotonicity/determinism tests
+    doc="Full GMM EM (3 iterations, isotropic): component weights/variances + mean log-likelihood trace.",
+    tags=("ml", "gmm", "iterative"),
+)
+def q59_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GMM paper app end-to-end: E-step (stable
+    log-sum-exp, JVM expressions), M-step (responsibility-weighted
+    exact-decimal moments). Returns one row per component."""
+    from pandamapreduce_spark.operators.ml import gmm_em
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    params, assigned, ll = gmm_em(emb, k=4, iterations=3)
+    counts = {r.component: r.n for r in assigned.groupBy("component").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = [
+        (
+            c,
+            float(params["pis"][c]),
+            float(params["sig2"][c]),
+            int(counts.get(c, 0)),
+            float(ll[-1]),
+        )
+        for c in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, weight double, sigma2 double, n_assigned bigint, final_mean_loglik double"
+    )
+
+
+@query(
     "q54_kmeans_iterative",
     oracle=None,  # iterative algorithm — validated by invariant tests
     doc="Full iterative k-means (Lloyd's, 3 iterations, deterministic seeding): cluster sizes + inertia.",

@@ -109,6 +109,28 @@ def test_agg_invariant_under_repartition(spark):
     assert agg(li.repartitionByRange(4, "l_returnflag")) == base
 
 
+def test_elf_hash_partitioner_same_results(spark):
+    """Reference O10 parity: ELF-hash placement changes nothing about
+    the reduced results (vs the default portable_hash)."""
+    from pandamapreduce_spark.operators.mapreduce import elf_hash
+
+    # pin the reference algorithm on a known vector (manual trace)
+    assert elf_hash(b"A") == 0x41
+    assert elf_hash(b"AB") == ((0x41 << 4) + 0x42)
+
+    rdd = _kv_rdd(spark)
+
+    def map_f(k, v):
+        yield k, v
+
+    def sum_f(_k, vals):
+        return sum(vals)
+
+    default = dict(map_reduce(rdd, map_f, sum_f, combine_f=sum_f, num_reducers=8).collect())
+    elf = dict(map_reduce(rdd, map_f, sum_f, combine_f=sum_f, num_reducers=8, partition_f=elf_hash).collect())
+    assert default == elf
+
+
 def test_mapreduce_sorted_delivery(spark):
     rdd = _kv_rdd(spark)
 

@@ -36,6 +36,33 @@ def test_kmeans_inertia_nonincreasing(spark):
     assert inertia3 <= inertia0 * 1.0000001
 
 
+def test_gmm_loglik_nondecreasing(spark):
+    """EM's defining invariant: mean log-likelihood never decreases."""
+    from pandamapreduce_spark.operators.ml import gmm_em
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    params, assigned, ll = gmm_em(emb, k=4, iterations=4)
+    assert len(ll) == 4
+    for a, b in zip(ll, ll[1:]):
+        assert b >= a - 1e-9, ll
+    assert abs(sum(params["pis"]) - 1.0) < 1e-9
+    n = assigned.count()
+    assert n == emb.count()
+    comps = {r.component for r in assigned.select("component").distinct().collect()}
+    assert comps.issubset(set(range(4)))
+
+
+def test_gmm_deterministic_across_partitionings(spark):
+    from pandamapreduce_spark.operators.ml import gmm_em
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    p1, _, ll1 = gmm_em(emb.repartition(2), k=3, iterations=2)
+    p2, _, ll2 = gmm_em(emb.repartition(11), k=3, iterations=2)
+    assert ll1 == ll2
+    assert p1["pis"] == p2["pis"]
+    assert p1["sig2"] == p2["sig2"]
+
+
 def test_assign_ties_break_on_lowest_cid(spark):
     vecs = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id int, embedding array<double>")
     cents = [(0, [0.0, 1.0]), (1, [0.0, 1.0]), (2, [5.0, 5.0])]
