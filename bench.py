@@ -32,11 +32,20 @@ def main() -> None:
     # Warm the JVM/session on a trivial action so q1 isn't charged startup.
     spark.range(1).count()
 
+    # best of two runs per query: the first run pays parquet footer
+    # reads / JIT warmup and is noisy; min is the stable capability
+    # number (the tera pipeline below stays single-run — it is
+    # generation-dominated and reproducible).
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.build(spark, sf_dir)
+            n = df.count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # Tera pipeline at 1 GB (the reference's TPCx-HS-style metric,

@@ -160,6 +160,75 @@ def gmm_em(
         vectors.unpersist()
 
 
+def cmeans(
+    vectors: DataFrame,
+    k: int,
+    iterations: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame, list[float]]:
+    """Fuzzy C-means (m=2) — the reference's namesake paper app
+    (SURVEY A7; ``Makefile.old:36-37`` still lists the cmeans app).
+
+    Memberships u_ik = (1/d²_ik) / Σ_j (1/d²_jk); centroids are
+    u²-weighted means (exact-decimal sums → deterministic under any
+    partitioning). Returns (centroids, final membership DataFrame,
+    per-iteration objective J = Σ u² d² — non-increasing).
+
+    Same scale shape as k-means/GMM: broadcast centroids, map-side
+    membership, one partial-agg shuffle per M-step.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    seed_rows = vectors.orderBy(id_col).limit(k).collect()
+    cents = [[float(v) for v in r[vec_col]] for r in seed_rows]
+    x = F.col(vec_col)
+    vectors = vectors.cache()
+    objective: list[float] = []
+    try:
+        for it in range(iterations + 1):
+            xx = dot(x, x)
+            d2s = []
+            for c in range(k):
+                mu = F.array(*[F.lit(v) for v in cents[c]])
+                d2 = xx - 2 * dot(x, mu) + F.lit(sum(v * v for v in cents[c]))
+                d2s.append(F.greatest(d2, F.lit(1e-12)).alias(f"d{c}"))
+            scored = vectors.select(id_col, vec_col, *d2s)
+            inv = [1.0 / F.col(f"d{c}") for c in range(k)]
+            den = inv[0]
+            for e in inv[1:]:
+                den = den + e
+            memb = scored.select(
+                id_col,
+                vec_col,
+                *[F.col(f"d{c}") for c in range(k)],
+                *[(inv[c] / den).alias(f"u{c}") for c in range(k)],
+            )
+            jterms = [(F.col(f"u{c}") * F.col(f"u{c}") * F.col(f"d{c}")).cast("decimal(28,12)") for c in range(k)]
+            jsum = jterms[0]
+            for t in jterms[1:]:
+                jsum = jsum + t
+            objective.append(memb.agg(F.sum(jsum).cast("double")).collect()[0][0])
+            if it == iterations:
+                return cents, memb.select(id_col, *[f"u{c}" for c in range(k)]), objective
+            # M-step: u²-weighted centroid update, exact decimal
+            DECM = "decimal(28,12)"
+            exploded = memb.select(
+                *[(F.col(f"u{c}") * F.col(f"u{c}")).alias(f"w{c}") for c in range(k)],
+                F.posexplode(_dbl(vec_col)).alias("d", "v"),
+            )
+            per_dim = exploded.groupBy("d").agg(
+                *[F.sum((F.col(f"w{c}") * F.col("v")).cast(DECM)).cast("double").alias(f"sx{c}") for c in range(k)],
+                *[F.sum(F.col(f"w{c}").cast(DECM)).cast("double").alias(f"sw{c}") for c in range(k)],
+            ).collect()
+            for c in range(k):
+                new = [0.0] * dim
+                for row in per_dim:
+                    new[row["d"]] = row[f"sx{c}"] / row[f"sw{c}"]
+                cents[c] = new
+    finally:
+        vectors.unpersist()
+
+
 def kmeans(vectors: DataFrame, k: int, iterations: int, vec_col: str = "embedding", id_col: str = "vec_id") -> tuple[list, DataFrame]:
     """Lloyd's algorithm, deterministically seeded: initial centroids =
     the k lowest-id vectors (reproducible across partitionings).

@@ -254,6 +254,22 @@ def q59_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q60a_cmeans",
+    oracle=None,  # iterative fuzzy clustering — monotonicity/determinism tested
+    doc="Fuzzy C-means (m=2, 3 iterations): the reference's namesake paper app; per-cluster fuzzy mass + objective trace.",
+    tags=("ml", "cmeans", "iterative"),
+)
+def q60a_cmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandamapreduce_spark.operators.ml import cmeans
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    cents, memb, obj = cmeans(emb, k=4, iterations=3)
+    mass = memb.agg(*[F.round(F.sum(F.col(f"u{c}").cast("decimal(28,12)")), 4).cast("double").alias(f"m{c}") for c in range(4)]).collect()[0]
+    rows = [(c, float(mass[f"m{c}"]), float(obj[-1])) for c in range(4)]
+    return spark.createDataFrame(rows, "cluster int, fuzzy_mass double, final_objective double")
+
+
+@query(
     "q54_kmeans_iterative",
     oracle=None,  # iterative algorithm — validated by invariant tests
     doc="Full iterative k-means (Lloyd's, 3 iterations, deterministic seeding): cluster sizes + inertia.",

@@ -63,6 +63,30 @@ def test_gmm_deterministic_across_partitionings(spark):
     assert p1["sig2"] == p2["sig2"]
 
 
+def test_cmeans_objective_nonincreasing(spark):
+    """Fuzzy C-means invariant: J = sum u^2 d^2 never increases."""
+    from pandamapreduce_spark.operators.ml import cmeans
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents, memb, obj = cmeans(emb, k=4, iterations=3)
+    assert len(obj) == 4
+    for a, b in zip(obj, obj[1:]):
+        assert b <= a * 1.0000001, obj
+    # memberships sum to ~1 per vector
+    row = memb.first()
+    assert abs(sum(row[f"u{c}"] for c in range(4)) - 1.0) < 1e-9
+    assert len(cents) == 4 and len(cents[0]) == 64
+
+
+def test_cmeans_deterministic_across_partitionings(spark):
+    from pandamapreduce_spark.operators.ml import cmeans
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    _, _, o1 = cmeans(emb.repartition(3), k=3, iterations=2)
+    _, _, o2 = cmeans(emb.repartition(7), k=3, iterations=2)
+    assert o1 == o2
+
+
 def test_assign_ties_break_on_lowest_cid(spark):
     vecs = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id int, embedding array<double>")
     cents = [(0, [0.0, 1.0]), (1, [0.0, 1.0]), (2, [5.0, 5.0])]
