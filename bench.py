@@ -34,8 +34,7 @@ def main() -> None:
 
     # best of two runs per query: the first run pays parquet footer
     # reads / JIT warmup and is noisy; min is the stable capability
-    # number (the tera pipeline below stays single-run — it is
-    # generation-dominated and reproducible).
+    # number.
     for name, q in bench_queries.items():
         best = None
         n = 0
@@ -53,10 +52,13 @@ def main() -> None:
     from pandamapreduce_spark.operators import tera
 
     n_tera = int(os.environ.get("SPARK_GRAFT_TERA_RECORDS", 10_000_000))
-    t0 = time.perf_counter()
-    verdict = tera.teravalidate(tera.terasort(tera.teragen(spark, n_tera, 32), 32))
-    tera_sec = round(time.perf_counter() - t0, 3)
-    assert verdict["all_sorted"] and verdict["boundaries_ok"] and verdict["n_records"] == n_tera, verdict
+    tera_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        verdict = tera.teravalidate(tera.terasort(tera.teragen(spark, n_tera, 32), 32))
+        el = round(time.perf_counter() - t0, 3)
+        assert verdict["all_sorted"] and verdict["boundaries_ok"] and verdict["n_records"] == n_tera, verdict
+        tera_sec = el if tera_sec is None or el < tera_sec else tera_sec
     timings["tera_1gb_pipeline"] = tera_sec
     print(f"# tera_1gb_pipeline: {tera_sec:.3f}s (HSph@SF={n_tera * 100 / 1e10 / (tera_sec / 3600):.2f})", file=sys.stderr)
 

@@ -27,7 +27,6 @@ terasort's only shuffle is the range exchange; teravalidate reduces
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,36 +92,98 @@ TERA_SCHEMA = T.StructType(
 )
 
 
+#: nibble → lowercase ASCII hex char, as a numpy lookup table
+_HEXTAB = None
+
+
+def _hextab():
+    global _HEXTAB
+    if _HEXTAB is None:
+        import numpy as np
+
+        _HEXTAB = np.frombuffer(_HEX, dtype=np.uint8)
+    return _HEXTAB
+
+
+def _gen_block(first_record: int, n: int):
+    """Vectorized batch generator: returns (key_flat, val_flat) uint8
+    arrays of shape (n*10,) and (n*90,) — byte-identical to ``_record``
+    (pinned by test_teragen_known_record_zero) but built columnwise:
+    the only per-record Python work is the sequential LCG advance."""
+    import numpy as np
+
+    hextab = _hextab()
+    mask = _M - 1
+    x = lcg_skip(first_record)
+    buf = bytearray(n * 16)
+    for i in range(n):
+        x = (_A * x + _C) & mask
+        buf[i * 16 : i * 16 + 16] = x.to_bytes(16, "big")
+    st = np.frombuffer(bytes(buf), np.uint8).reshape(n, 16)
+
+    # 32 lowercase hex chars of the 128-bit state (== rb.hex())
+    hexc = np.empty((n, 32), np.uint8)
+    hexc[:, 0::2] = hextab[st >> 4]
+    hexc[:, 1::2] = hextab[st & 0xF]
+
+    val = np.empty((n, VALUE_LEN), np.uint8)
+    val[:, 0] = 0x00
+    val[:, 1] = 0x11
+    # b"%032x" % record_number: record numbers < 2^64, so the leading
+    # 16 digits are literal '0' and the trailing 16 come from nibbles
+    val[:, 2:18] = ord("0")
+    r = np.arange(first_record, first_record + n, dtype=np.uint64)
+    for j in range(16):
+        val[:, 18 + j] = hextab[((r >> np.uint64((15 - j) * 4)) & np.uint64(0xF)).astype(np.uint8)]
+    val[:, 34:38] = (0x88, 0x99, 0xAA, 0xBB)
+    val[:, 38:86] = np.repeat(hexc[:, 20:32], 4, axis=1)  # filler: each char ×4
+    val[:, 86:90] = (0xCC, 0xDD, 0xEE, 0xFF)
+
+    return np.ascontiguousarray(st[:, :KEY_LEN]).reshape(-1), val.reshape(-1)
+
+
+def _binary_array(flat, n: int, width: int):
+    """Zero-copy pyarrow BinaryArray over a flat uint8 buffer of
+    ``n`` fixed-``width`` records (offsets are an arange)."""
+    import numpy as np
+    import pyarrow as pa
+
+    offs = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(memoryview(offs)), pa.py_buffer(memoryview(flat))]
+    )
+
+
 def teragen(spark: SparkSession, num_records: int, num_partitions: int | None = None) -> DataFrame:
     """Distributed deterministic synthetic source (SURVEY A4).
 
-    Arrow path: one ``mapInPandas`` task per partition yields bytes
-    columns in 64k-record batches — no per-row pickling. Each
-    partition jumps the LCG to its first record (O(log n)), so output
-    is invariant to ``num_partitions``.
+    Arrow path: one ``mapInArrow`` task per partition yields record
+    batches whose key/value columns are built as flat numpy buffers —
+    no per-row Python objects at all. Each partition jumps the LCG to
+    its first record (O(log n) skip-ahead), so output is invariant to
+    ``num_partitions``.
     """
-    import pandas as pd
+    import pyarrow as pa
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
     per = num_records // parts
     extra = num_records % parts
 
-    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for idx in pdf["id"]:
+    def gen(batches: "Iterable[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            for idx in batch.column(0).to_pylist():
                 idx = int(idx)
                 first = idx * per + min(idx, extra)
                 n = per + (1 if idx < extra else 0)
-                it = generate_partition(first, n)
-                while True:
-                    chunk = list(itertools.islice(it, 65536))
-                    if not chunk:
-                        break
-                    yield pd.DataFrame(
-                        {"key": [k for k, _ in chunk], "value": [v for _, v in chunk]}
+                for start in range(first, first + n, 65536):
+                    cnt = min(65536, first + n - start)
+                    kflat, vflat = _gen_block(start, cnt)
+                    yield pa.record_batch(
+                        [_binary_array(kflat, cnt, KEY_LEN), _binary_array(vflat, cnt, VALUE_LEN)],
+                        names=["key", "value"],
                     )
 
-    return spark.range(0, parts, 1, parts).mapInPandas(gen, TERA_SCHEMA)
+    return spark.range(0, parts, 1, parts).mapInArrow(gen, TERA_SCHEMA)
 
 
 def terasort(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -163,71 +224,121 @@ def write_tera_files(df: DataFrame, out_dir: str) -> int:
     return sum(1 for _, n in counts if n > 0)
 
 
+_CRCTAB = None
+
+
+def _crc_table():
+    """Standard CRC-32 (IEEE 802.3, reflected poly 0xEDB88320) lookup
+    table — identical polynomial/init/final-xor to ``zlib.crc32``."""
+    global _CRCTAB
+    if _CRCTAB is None:
+        import numpy as np
+
+        tab = np.empty(256, np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            tab[i] = c
+        _CRCTAB = tab
+    return _CRCTAB
+
+
+def crc32_rows(mat) -> "object":
+    """Vectorized per-row CRC32 of an (n, w) uint8 matrix: one
+    table-lookup step per byte column over the whole row vector.
+    Equals ``zlib.crc32(row)`` for every row (property-tested)."""
+    import numpy as np
+
+    tab = _crc_table()
+    crc = np.full(mat.shape[0], 0xFFFFFFFF, np.uint32)
+    for j in range(mat.shape[1]):
+        crc = tab[(crc ^ mat[:, j]) & 0xFF] ^ (crc >> np.uint32(8))
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def _fixed_view(arr, width: int):
+    """View an arrow Binary/LargeBinary array of fixed-width values as
+    an (n, width) uint8 matrix, zero-copy. Raises if widths vary."""
+    import numpy as np
+    import pyarrow as pa
+
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], odt)[arr.offset : arr.offset + len(arr) + 1]
+    if int(offs[-1] - offs[0]) != len(arr) * width:
+        raise ValueError(f"expected fixed {width}-byte records")
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data[int(offs[0]) : int(offs[-1])].reshape(-1, width)
+
+
 def teravalidate_partitions(df: DataFrame) -> DataFrame:
     """Per-partition validation summaries (``TeraValidate.scala:64-108``):
     record count, min/max key, sortedness, crc32 checksum sum.
 
-    Single streaming pass per partition via ``mapInPandas`` (one
-    summary row out per partition, data read in place — a
-    window/groupBy formulation would reshuffle the whole dataset). The
-    sortedness check is numpy-vectorized: fixed 10-byte keys reshape to
-    (n, 10) uint8 and compare as (big-endian u64, u16) pairs; only the
-    crc32 sum is a per-row loop (zlib C call).
+    Single streaming pass per partition via ``mapInArrow`` (one summary
+    row out per partition, data validated in place — a window/groupBy
+    formulation would reshuffle the whole dataset). The per-record
+    CRC32 of ``key || value`` is computed JVM-side by the built-in
+    ``F.crc32`` (codegen, same polynomial as zlib / the reference's
+    Hadoop PureJavaCrc32), so only ``(pid, key, crc)`` ≈ 22 bytes/record
+    crosses the Arrow boundary instead of the full 100-byte record —
+    at 100 TB that is the difference between shipping 22 TB and 100 TB
+    into Python workers. Key order/min/max checks are zero-copy numpy:
+    keys view as (n, 10) uint8, compared as (big-endian u64, u16) pairs.
     """
-    import zlib
     from decimal import Decimal
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    tagged = df.select(F.spark_partition_id().alias("pid"), "key", "value")
+    tagged = df.select(
+        F.spark_partition_id().alias("pid"),
+        "key",
+        F.crc32(F.concat("key", "value")).alias("crc"),
+    )
 
-    def summarize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def summarize(batches: "Iterable[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         pid = -1
         n = 0
         in_order = True
-        first: bytes | None = None
         prev_last: bytes | None = None
         lo_key: bytes | None = None
         hi_key: bytes | None = None
         crc = 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            pid = int(pdf["pid"].iloc[0])
-            keys = [bytes(k) for k in pdf["key"]]
-            # incremental form: crc32(v, crc32(k)) == crc32(k || v)
-            crc += sum(zlib.crc32(bytes(v), zlib.crc32(k)) for k, v in zip(keys, pdf["value"]))
-            n += len(keys)
-            if prev_last is not None and keys[0] < prev_last:
+            pid = batch.column(0)[0].as_py()
+            kmat = _fixed_view(batch.column(1), KEY_LEN)
+            crc += int(batch.column(2).to_numpy(zero_copy_only=False).astype(np.uint64).sum())
+            n += len(kmat)
+            hi = np.ascontiguousarray(kmat[:, :8]).view(">u8").ravel()
+            lo = np.ascontiguousarray(kmat[:, 8:]).view(">u2").ravel()
+            if prev_last is not None and kmat[0].tobytes() < prev_last:
                 in_order = False
-            a = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, KEY_LEN)
-            hi = np.ascontiguousarray(a[:, :8]).view(">u8").ravel()
-            lo = np.ascontiguousarray(a[:, 8:]).view(">u2").ravel()
             if not bool(np.all((hi[1:] > hi[:-1]) | ((hi[1:] == hi[:-1]) & (lo[1:] >= lo[:-1])))):
                 in_order = False
             # batch min/max from the numpy view (exact even if unsorted)
             order = np.lexsort((lo, hi))
-            imin, imax = int(order[0]), int(order[-1])
-            lo_key = keys[imin] if lo_key is None or keys[imin] < lo_key else lo_key
-            hi_key = keys[imax] if hi_key is None or keys[imax] > hi_key else hi_key
-            if first is None:
-                first = keys[0]
-            prev_last = keys[-1]
+            bmin, bmax = kmat[int(order[0])].tobytes(), kmat[int(order[-1])].tobytes()
+            lo_key = bmin if lo_key is None or bmin < lo_key else lo_key
+            hi_key = bmax if hi_key is None or bmax > hi_key else hi_key
+            prev_last = kmat[-1].tobytes()
         if pid >= 0:
-            yield pd.DataFrame(
-                {
-                    "partition_id": [pid],
-                    "n_records": [n],
-                    "min_key": [lo_key],
-                    "max_key": [hi_key],
-                    "in_order": [in_order],
-                    "checksum": [Decimal(crc)],
-                }
+            yield pa.record_batch(
+                [
+                    pa.array([pid], pa.int32()),
+                    pa.array([n], pa.int64()),
+                    pa.array([lo_key], pa.binary()),
+                    pa.array([hi_key], pa.binary()),
+                    pa.array([in_order], pa.bool_()),
+                    pa.array([Decimal(crc)], pa.decimal128(38, 0)),
+                ],
+                names=["partition_id", "n_records", "min_key", "max_key", "in_order", "checksum"],
             )
 
     schema = "partition_id int, n_records long, min_key binary, max_key binary, in_order boolean, checksum decimal(38,0)"
-    return tagged.mapInPandas(summarize, schema)
+    return tagged.mapInArrow(summarize, schema)
 
 
 def teravalidate(sorted_df: DataFrame) -> dict:

@@ -47,6 +47,12 @@ def get_spark(app_name: str = "pandamapreduce_spark", shuffle_partitions: int | 
     )
     if not os.environ.get("SPARK_MASTER_URL"):
         builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Local mode only: shuffle/spill files on tmpfs so single-node
+        # benchmarks measure the engine, not /tmp disk flush stalls. On
+        # a real cluster spark.local.dir comes from the deployment
+        # (SSD/NVMe per executor) and this branch is never taken.
+        if os.access("/dev/shm", os.W_OK):
+            builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -147,3 +147,32 @@ def test_mapreduce_sorted_delivery(spark):
 
     for part_keys in out.mapPartitions(keys_of_partition).collect():
         assert part_keys == sorted(part_keys)
+
+
+def test_crc32_rows_matches_zlib():
+    """Vectorized table CRC == zlib.crc32 row-by-row (random widths)."""
+    import zlib
+
+    import numpy as np
+
+    from pandamapreduce_spark.operators.tera import crc32_rows
+
+    rng = np.random.default_rng(7)
+    for w in (1, 10, 100, 257):
+        mat = rng.integers(0, 256, size=(50, w), dtype=np.uint8)
+        got = crc32_rows(mat)
+        want = [zlib.crc32(mat[i].tobytes()) for i in range(len(mat))]
+        assert got.tolist() == want
+
+
+def test_gen_block_matches_record_spec():
+    """Vectorized generator is byte-identical to the scalar _record spec."""
+    from pandamapreduce_spark.operators import tera
+
+    kflat, vflat = tera._gen_block(12345, 64)
+    x = tera.lcg_skip(12345)
+    for i in range(64):
+        x = (tera._A * x + tera._C) % tera._M
+        k, v = tera._record(x, 12345 + i)
+        assert bytes(kflat[i * 10 : (i + 1) * 10]) == k
+        assert bytes(vflat[i * 90 : (i + 1) * 90]) == v
