@@ -17,5 +17,6 @@ from pandamapreduce_spark.plans import multimodal  # noqa: E402,F401
 from pandamapreduce_spark.plans import advanced  # noqa: E402,F401
 from pandamapreduce_spark.plans import ml  # noqa: E402,F401
 from pandamapreduce_spark.plans import pipeline  # noqa: E402,F401
+from pandamapreduce_spark.plans import sketches  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -446,3 +446,47 @@ def q45_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, "c_custkey bigint, c_mktsegment string, n_orders bigint, total_spend double")
     )
     return out.orderBy("c_custkey")
+
+
+@query(
+    "q65_time_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           cast(round(sum(cast(value as decimal(18,6))), 2) as double) AS total_value,
+           cast(grouping(date_trunc('hour', ts)) as int) AS g_hour
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+                            (date_trunc('day', ts), date_trunc('hour', ts), event_type))
+    ORDER BY day, g_hour, hour NULLS FIRST, event_type
+    """,
+    doc="Hypertable-style multi-resolution rollup: hour + day grains for the events table in ONE grouping-sets pass (single shuffle).",
+    tags=("agg", "timeseries", "rollup"),
+)
+def q65_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both time grains come out of one hash-aggregate over one
+    exchange — the alternative (two groupBys + union) scans and
+    shuffles twice. At 100 TB the day grain is derivable from the hour
+    grain's partials, which is exactly what the grouping-sets expand
+    does map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    grains = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "value",
+    )
+    return (
+        grains.groupingSets(
+            [["day", "event_type"], ["day", "hour", "event_type"]],
+            "day",
+            "hour",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total_value"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+        )
+        .orderBy("day", "g_hour", F.col("hour").asc_nulls_first(), "event_type")
+    )

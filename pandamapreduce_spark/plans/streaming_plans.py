@@ -77,3 +77,27 @@ def q62_stream_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.events_stream(spark, sf_dir)
     out = ev.run_to_completion(first_event_per_key(stream), spark, mode="append")
     return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "q63_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    doc="Streaming exact dedup (dropDuplicatesWithinWatermark): state holds one entry per key only within the watermark horizon; oracle = batch DISTINCT.",
+    tags=("streaming", "dedup"),
+)
+def q63_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q30's exact dedup: ``dropDuplicatesWithinWatermark``
+    keeps first-seen rows per key and — unlike plain ``dropDuplicates`` —
+    EVICTS state older than the watermark, so state is bounded by the
+    key arrival rate × horizon, not the full key cardinality. That
+    bound is what makes streaming dedup viable on an unbounded feed.
+    Projecting just the key columns makes the result order-independent
+    (any arrival order yields the same key set)."""
+    stream = ev.events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = ev.run_to_completion(deduped, spark, mode="append")
+    return out.orderBy("user_id", "event_type")

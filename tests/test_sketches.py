@@ -1,0 +1,36 @@
+"""Error-bound invariants for the sketch queries (q64/q66) — the
+driver's rows-only check can't see accuracy, so it is pinned here."""
+
+from __future__ import annotations
+
+from pandamapreduce_spark.plans import REGISTRY
+
+from tests.conftest import SF_DIR
+
+
+def test_hll_rollup_error_bound(spark):
+    """lgK=14 HLL → rsd ≈ 0.8%; assert the merged estimate is within
+    3% of exact (wide margin over the theoretical bound)."""
+    row = REGISTRY["q64_sketch_distinct_rollup"].build(spark, SF_DIR).collect()[0]
+    exact = row["exact_total_users"]
+    assert exact > 0
+    assert abs(row["est_total_users"] - exact) <= max(2, 0.03 * exact), row
+    # union-of-days covers the same users: daily sum >= total distinct
+    assert row["sum_daily_exact"] >= exact
+
+
+def test_approx_quantiles_rank_error(spark):
+    """approx_percentile(accuracy=10000) → rank error ≤ 1e-4; check
+    each estimate sits within a 2% rank window of the exact quantile."""
+    rows = REGISTRY["q66_approx_quantiles"].build(spark, SF_DIR).collect()
+    assert rows
+    from pandamapreduce_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").toPandas()
+    for r in rows:
+        vals = ev[ev.event_type == r.event_type]["value"].sort_values().to_numpy()
+        n = len(vals)
+        for q, got in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            lo = vals[max(0, int((q - 0.02) * n))]
+            hi = vals[min(n - 1, int((q + 0.02) * n))]
+            assert lo <= got <= hi, (r.event_type, q, got, lo, hi)
