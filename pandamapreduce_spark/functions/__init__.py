@@ -12,6 +12,7 @@ from pandamapreduce_spark.functions.text import (
     word_ngrams_sql,
     normalize_text,
     normalize_text_sql,
+    minhash_hashes,
     minhash_sig,
     minhash_sig_sql,
     hex16,
@@ -32,6 +33,7 @@ __all__ = [
     "word_ngrams_sql",
     "normalize_text",
     "normalize_text_sql",
+    "minhash_hashes",
     "minhash_sig",
     "minhash_sig_sql",
     "hex16",

@@ -87,24 +87,45 @@ def hex16_sql(expr: str) -> str:
 # --- MinHash --------------------------------------------------------------
 
 
-def minhash_sig(shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature: array of ``num_hashes`` hex-string minima.
+def minhash_hashes(s: Column) -> tuple[Column, Column]:
+    """The two 48-bit base hashes (h1, h2) of one shingle, from a
+    single md5: hex digits [1..12] and [17..28]. The Carter-Wegman
+    family is ``h_i = h1 + i·h2`` — one crypto hash per shingle
+    instead of ``num_hashes``, and max value 12·2^48 < 2^52 stays
+    exact in bigint AND double."""
+    m = F.md5(s)
+    h1 = F.conv(F.substring(m, 1, 12), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(m, 17, 12), 16, 10).cast("bigint")
+    return h1, h2
 
-    Hash family i = md5(i || ':' || shingle); the min over the doc's
-    shingle set approximates a uniform permutation minimum. String min
-    over fixed-length hex == numeric min. Empty shingle sets map to
-    nulls so they never collide.
+
+def minhash_sig(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: array of ``num_hashes`` bigint minima.
+
+    Hash family i over shingle s: ``h1(s) + i·h2(s)`` with h1/h2 the
+    two 48-bit halves of md5(s) (Carter-Wegman universal hashing — the
+    same construction Spark MLlib's MinHashLSH uses, but md5-seeded so
+    the DuckDB oracle reproduces it bit-for-bit). The min over the
+    doc's shingle set approximates a uniform permutation minimum.
+    Empty shingle sets map to nulls so they never collide.
     """
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))),
-    )
-    return F.when(F.size(shingles) > 0, sig).otherwise(F.array_repeat(F.lit(None).cast("string"), num_hashes))
+
+    def h_i(i: Column) -> Column:
+        def one(s: Column) -> Column:
+            h1, h2 = minhash_hashes(s)
+            return h1 + i.cast("bigint") * h2
+
+        return F.array_min(F.transform(shingles, one))
+
+    sig = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), h_i)
+    return F.when(F.size(shingles) > 0, sig).otherwise(F.array_repeat(F.lit(None).cast("bigint"), num_hashes))
 
 
 def minhash_sig_sql(shingles_expr: str, num_hashes: int) -> str:
+    h1 = "cast(concat('0x', substr(md5(s), 1, 12)) as bigint)"
+    h2 = "cast(concat('0x', substr(md5(s), 17, 12)) as bigint)"
     return (
         f"CASE WHEN len({shingles_expr}) > 0 THEN "
-        f"[list_min([md5(concat(cast(i as varchar), ':', s)) for s in {shingles_expr}]) for i in range(0, {num_hashes})] "
-        f"ELSE [NULL for i in range(0, {num_hashes})] END"
+        f"[list_min([{h1} + i * {h2} for s in {shingles_expr}]) for i in range(0, {num_hashes})] "
+        f"ELSE [cast(NULL as bigint) for i in range(0, {num_hashes})] END"
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandamapreduce_spark.functions import word_ngrams
+from pandamapreduce_spark.functions import minhash_hashes, word_ngrams
 
 
 def minhash_band_pairs(
@@ -30,11 +30,14 @@ def minhash_band_pairs(
     """
     rows_per_band = num_hashes // num_bands
     shingle = docs.select(F.col(id_col).alias("__id"), F.explode(word_ngrams(text_col, ngram)).alias("s"))
-    sigs = shingle.groupBy("__id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("s")))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    # One md5 per shingle; the num_hashes family members are cheap
+    # bigint mul-adds (Carter-Wegman, see functions.text.minhash_sig).
+    # The map-side partial min then shuffles only num_hashes longs per
+    # (id, partition) — never the shingle strings.
+    b1, b2 = minhash_hashes(F.col("s"))
+    hashed = shingle.select("__id", b1.alias("b1"), b2.alias("b2"))
+    sigs = hashed.groupBy("__id").agg(
+        *[F.min(F.col("b1") + i * F.col("b2")).alias(f"h{i}") for i in range(num_hashes)]
     )
     bands = sigs.select(
         "__id",

@@ -89,7 +89,7 @@ def q31_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _band_sql(sig: str, band: int) -> str:
     lo = band * ROWS_PER_BAND + 1
     hi = lo + ROWS_PER_BAND - 1
-    return f"md5(array_to_string(({sig})[{lo}:{hi}], '|'))"
+    return f"md5(array_to_string(list_transform(({sig})[{lo}:{hi}], x -> cast(x as varchar)), '|'))"
 
 
 def _lsh_pairs_sql() -> str:

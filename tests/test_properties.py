@@ -58,13 +58,16 @@ def _py_normalize(s: str) -> str:
     return re.sub(" +", " ", re.sub("[^a-z0-9]+", " ", s.lower())).strip()
 
 
-def _py_minhash(shingles: list[str], k: int) -> list[str | None]:
+def _py_minhash(shingles: list[str], k: int) -> list[int | None]:
+    """Carter-Wegman family h_i = h1 + i*h2 from md5 halves — mirror of
+    functions.text.minhash_sig."""
     if not shingles:
         return [None] * k
-    return [
-        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles)
-        for i in range(k)
-    ]
+    hs = []
+    for s in shingles:
+        m = hashlib.md5(s.encode()).hexdigest()
+        hs.append((int(m[0:12], 16), int(m[16:28], 16)))
+    return [min(h1 + i * h2 for h1, h2 in hs) for i in range(k)]
 
 
 @pytest.fixture(scope="module")
