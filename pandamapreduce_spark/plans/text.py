@@ -301,3 +301,53 @@ def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(word_ngrams("text", 3), lambda g: F.md5(g))).alias("min_shingle_fp"),
         F.substring(F.md5(norm), 1, 8).alias("short_fp"),
     ).orderBy("doc_id")
+
+
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@query(
+    "q67_bpe_token_count",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '{_BPE_PAT}') AS bt,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(len(bt)) as bigint) AS total_bpe_tokens,
+           cast(sum(len(list_filter(bt, t -> t ~ '^[a-z]+$'))) as bigint) AS word_tokens,
+           cast(sum(len(list_filter(bt, t -> t ~ '^[0-9]+$'))) as bigint) AS num_tokens,
+           cast(sum(ws_tokens) as bigint) AS total_ws_tokens,
+           cast(round(sum(len(bt)) * 1.0 / sum(ws_tokens), 4) as double) AS bpe_per_ws
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+    doc="BPE-ish regex token counting (letter/digit/punct runs) vs whitespace tokens per language — the pretokenizer-granularity cost estimate for training-data budgeting.",
+    tags=("text", "tokens", "bpe"),
+)
+def q67_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only per-doc token classing then one partial-agg shuffle on
+    lang; at 100 TB the regexp runs in whole-stage codegen next to the
+    scan — no data moves until the 4-row-per-lang partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    bt = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)
+    per_doc = docs.select(
+        "lang",
+        F.size(bt).alias("n_bpe"),
+        F.size(F.filter(bt, lambda t: t.rlike("^[a-z]+$"))).alias("n_word"),
+        F.size(F.filter(bt, lambda t: t.rlike("^[0-9]+$"))).alias("n_num"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("n_word").cast("bigint").alias("word_tokens"),
+            F.sum("n_num").cast("bigint").alias("num_tokens"),
+            F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).cast("double").alias("bpe_per_ws"),
+        )
+        .orderBy("lang")
+    )
