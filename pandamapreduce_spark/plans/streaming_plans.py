@@ -101,3 +101,45 @@ def q63_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.run_to_completion(deduped, spark, mode="append")
     return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "q68_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream interval join (clicks within 1h before each purchase) with watermark-bounded state; oracle = batch interval join.",
+    tags=("streaming", "join"),
+)
+def q68_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides carry watermarks and the join condition bounds event
+    time on BOTH streams, so each side's state store holds only ~1 h +
+    watermark delay of rows — the requirement for an unbounded
+    stream-stream join to run forever. Without the time bound Spark
+    would (rightly) refuse to plan it in append mode."""
+    clicks = (
+        ev.events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    out = ev.run_to_completion(joined, spark, mode="append")
+    return out.orderBy("purchase_id", "click_id")
