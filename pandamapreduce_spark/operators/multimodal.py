@@ -89,3 +89,79 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(op, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary, modality string, content_md5 string"
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, "
+    "meta struct<modality:string, n_bytes:int, content_md5:string, width:int, height:int>"
+)
+
+
+def sample_frames(payloads: DataFrame, num_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling over video payloads: one input row → ``num_frames``
+    frame rows (1:N Arrow-batched flatMap — the UDTF shape of the
+    reference's map emit, ``include/PandaAPI.h:39``).
+
+    DETERMINISTIC FAKE codec: frame i = md5-keystream of
+    ``content_md5 || ':' || i`` expanded to ``frame_bytes`` (a real
+    deployment swaps in pyav keyframe extraction inside the same
+    operator — see ``decode_payload``). The expansion contract is
+    mirrored by the q72 DuckDB oracle, so the bytes built here are
+    verified end-to-end.
+    """
+    import hashlib as _hl
+
+    reps = -(-frame_bytes // 16)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame", "modality", "content_md5")}
+            for doc_id, meta in zip(pdf["doc_id"], pdf["meta"]):
+                seed = meta["content_md5"]
+                for i in range(num_frames):
+                    fseed = _hl.md5(f"{seed}:{i}".encode()).hexdigest()
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append((bytes.fromhex(fseed) * reps)[:frame_bytes])
+                    out["modality"].append(meta["modality"])
+                    out["content_md5"].append(seed)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(op, FRAMES_SCHEMA)
+
+
+def resize_images(payloads: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Resize plumbing for image payloads: binary in → binary out with
+    updated dimensioned metadata, 1:1 over Arrow batches, no shuffle.
+
+    DETERMINISTIC FAKE codec: resized payload = md5-keystream of
+    ``content_md5 || ':resize:' || WxH`` expanded to width·height bytes
+    (one byte per pixel; a real deployment swaps in PIL's
+    ``Image.resize`` inside this same operator).
+    """
+    import hashlib as _hl
+
+    n_out = width * height
+    reps = -(-n_out // 16)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id, meta in zip(pdf["doc_id"], pdf["meta"]):
+                seed = _hl.md5(f"{meta['content_md5']}:resize:{width}x{height}".encode()).hexdigest()
+                body = (bytes.fromhex(seed) * reps)[:n_out]
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(body)
+                rows["meta"].append(
+                    {
+                        "modality": meta["modality"],
+                        "n_bytes": len(body),
+                        "content_md5": meta["content_md5"],
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(op, RESIZED_SCHEMA)

@@ -48,3 +48,54 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_fake_payload(docs))
     return feats.select("doc_id", "modality", "n_bytes", "content_md5", "features").orderBy("doc_id")
+
+
+@query(
+    "q72_frame_sample",
+    oracle="""
+    SELECT d.doc_id, cast(r.i as int) AS frame_idx, 64 AS n_bytes,
+           substr(md5(concat(md5(d.text), ':', cast(r.i as varchar))), 1, 16) AS head_fp
+    FROM documents d, range(4) r(i)
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Video frame sampling (1:N mapInPandas flatMap over binary payloads); fingerprint of the actual frame bytes hash-matches the oracle's keystream contract.",
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The head_fp column is computed from the REAL frame bytes the
+    operator emitted (hex of bytes 1-8), so a wrong byte stream fails
+    the oracle, not just a wrong row count."""
+    from pandamapreduce_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_payload(docs, "video"), num_frames=4, frame_bytes=64)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(frame, 1, 8)"))).alias("head_fp"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "q73_resize",
+    oracle="""
+    SELECT doc_id, 256 AS n_bytes, 16 AS width, 16 AS height,
+           substr(md5(concat(md5(text), ':resize:16x16')), 1, 16) AS head_fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Image resize plumbing (binary→binary mapInPandas, metadata gains dimensions); output bytes verified against the oracle keystream contract.",
+    tags=("multimodal", "image", "pandas-udf"),
+)
+def q73_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandamapreduce_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_fake_payload(docs, "image"), width=16, height=16)
+    return resized.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 8)"))).alias("head_fp"),
+    ).orderBy("doc_id")

@@ -81,3 +81,25 @@ def test_anti_join_stays_anti(spark):
 def test_lsh_join_is_equi_not_cross(spark):
     plan = plan_of(spark, "q32_minhash_lsh_candidates")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_ops_are_narrow(spark):
+    """Frame sampling / resize are 1:N / 1:1 Arrow map operators — the
+    physical plan must contain NO Exchange (nothing shuffles payload
+    bytes)."""
+    from pandamapreduce_spark.operators.multimodal import (
+        attach_fake_payload,
+        resize_images,
+        sample_frames,
+    )
+    from pandamapreduce_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        sample_frames(attach_fake_payload(docs, "video"), num_frames=2),
+        resize_images(attach_fake_payload(docs, "image"), width=8, height=8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    assert sample_frames(attach_fake_payload(docs, "video"), num_frames=2).count() == 2 * docs.count()
