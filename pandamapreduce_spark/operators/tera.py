@@ -59,6 +59,75 @@ def lcg_skip(n: int, x: int = 0) -> int:
     return x
 
 
+def lcg_affine(n: int) -> tuple[int, int]:
+    """Coefficients (a_n, c_n) of the n-fold composition f^n, so that
+    ``x_{k+n} = a_n·x_k + c_n (mod 2^128)`` — the block-jump constant
+    that lets a whole vector of states advance n steps elementwise."""
+    a_res, c_res = 1, 0
+    a, c = _A, _C
+    while n:
+        if n & 1:
+            a_res, c_res = (a * a_res) % _M, (a * c_res + c) % _M
+        c = (a * c + c) % _M
+        a = (a * a) % _M
+        n >>= 1
+    return a_res, c_res
+
+
+def _limbs16(v: int):
+    """128-bit int → 8 little-endian 16-bit limbs (as uint64 scalars)."""
+    import numpy as np
+
+    return np.array([(v >> (16 * i)) & 0xFFFF for i in range(8)], np.uint64)
+
+
+def _lcg_states(first_record: int, n: int):
+    """The ``n`` consecutive states for records [first, first+n), as an
+    (n, 16) big-endian uint8 matrix — vectorized by block-jump: the
+    first S states are walked sequentially, then each next block of S
+    is ``A_S·X + C_S`` elementwise on 16-bit limbs (u64 accumulators;
+    max term ≈ 2^36, no overflow). Replaces n Python 128-bit mulmods
+    with n/S vector affine steps."""
+    import numpy as np
+
+    S = min(n, 4096)
+    mask = _M - 1
+    x = lcg_skip(first_record)
+    seed = bytearray(S * 16)
+    for i in range(S):
+        x = (_A * x + _C) & mask
+        seed[i * 16 : i * 16 + 16] = x.to_bytes(16, "big")
+    sb = np.frombuffer(bytes(seed), np.uint8).reshape(S, 16).astype(np.uint64)
+    # big-endian bytes → little-endian 16-bit limbs: limb j = b[14-2j]<<8 | b[15-2j]
+    cur = np.empty((S, 8), np.uint64)
+    for j in range(8):
+        cur[:, j] = (sb[:, 14 - 2 * j] << np.uint64(8)) | sb[:, 15 - 2 * j]
+
+    blocks = [cur]
+    if n > S:
+        aS, cS = lcg_affine(S)
+        A, C = _limbs16(aS), _limbs16(cS)
+        produced = S
+        while produced < n:
+            prev = blocks[-1]
+            nxt = np.empty_like(prev)
+            carry = np.zeros(S, np.uint64)
+            for k in range(8):
+                acc = carry + C[k]
+                for i in range(k + 1):
+                    acc = acc + A[i] * prev[:, k - i]
+                nxt[:, k] = acc & np.uint64(0xFFFF)
+                carry = acc >> np.uint64(16)
+            blocks.append(nxt)
+            produced += S
+    limbs = np.vstack(blocks)[:n]
+    out = np.empty((n, 16), np.uint8)
+    for j in range(8):
+        out[:, 14 - 2 * j] = (limbs[:, j] >> np.uint64(8)).astype(np.uint8)
+        out[:, 15 - 2 * j] = (limbs[:, j] & np.uint64(0xFF)).astype(np.uint8)
+    return out
+
+
 #: byte-value → that byte repeated 4× (the filler expansion), so the
 #: hot path is 12 table lookups instead of a 48-iteration genexpr
 _EXP = [bytes((c,)) * 4 for c in range(256)]
@@ -113,13 +182,7 @@ def _gen_block(first_record: int, n: int):
     import numpy as np
 
     hextab = _hextab()
-    mask = _M - 1
-    x = lcg_skip(first_record)
-    buf = bytearray(n * 16)
-    for i in range(n):
-        x = (_A * x + _C) & mask
-        buf[i * 16 : i * 16 + 16] = x.to_bytes(16, "big")
-    st = np.frombuffer(bytes(buf), np.uint8).reshape(n, 16)
+    st = _lcg_states(first_record, n)
 
     # 32 lowercase hex chars of the 128-bit state (== rb.hex())
     hexc = np.empty((n, 32), np.uint8)
