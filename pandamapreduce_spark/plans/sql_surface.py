@@ -1,0 +1,110 @@
+"""The SQL entry point: queries submitted as ANSI SQL text via
+``spark.sql`` over registered views — the surface a reference user
+migrating from job-code to declarative queries lands on first.
+
+These exercise Catalyst rewrites the DataFrame queries don't:
+correlated-subquery decorrelation (RewriteCorrelatedScalarSubquery →
+an aggregate + join) and EXISTS → left-semi conversion. The SAME SQL
+text runs on DuckDB as the oracle — dialect-portable by construction.
+
+Reference note: the reference has no SQL layer at all (SURVEY §0); its
+"queries" are compiled map/reduce callbacks. This module is the
+capability-gap row "Scalar functions / subqueries" made concrete.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.plans.registry import query
+
+_Q81_SQL = """
+SELECT p_brand, count(*) AS n_expensive,
+       cast(round(sum(cast(p_retailprice as decimal(18,6))), 2) as double) AS total_price
+FROM part p
+WHERE p_retailprice > (SELECT 1.05 * avg(p2.p_retailprice)
+                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+_Q82_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def _register(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "q81_correlated_subquery",
+    oracle=_Q81_SQL,
+    doc="Correlated scalar subquery (parts priced >1.05x their brand average) via spark.sql — Catalyst decorrelates to aggregate+join; identical SQL text is the oracle.",
+    tags=("sql", "subquery"),
+)
+def q81_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst's RewriteCorrelatedScalarSubquery turns the per-row
+    subquery into ONE brand-level aggregate joined back — at scale one
+    extra shuffle of |brands| rows, not a per-row re-scan."""
+    _register(spark, sf_dir, "part")
+    return spark.sql(_Q81_SQL)
+
+
+@query(
+    "q82_exists_semi",
+    oracle=_Q82_SQL,
+    doc="EXISTS / NOT EXISTS via spark.sql — planned as left-semi + left-anti joins; identical SQL text is the oracle.",
+    tags=("sql", "subquery", "join"),
+)
+def q82_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q82_SQL)
+
+
+@query(
+    "q83_range_frame_window",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           cast(sum(cast(value as decimal(18,6))) OVER w as double) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Time-RANGE window frame: per-user trailing 1-hour count/sum (peers included by event time, not row position).",
+    tags=("window", "timeseries"),
+)
+def q83_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (not ROWS) frame over epoch seconds: simultaneous events
+    are frame peers, so the result is partitioning- and tie-order-
+    independent. One shuffle on user_id; the frame is a sliding scan
+    within each sorted partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_last_hour"),
+        )
+        .orderBy("event_id")
+    )
