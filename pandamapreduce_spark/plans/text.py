@@ -351,3 +351,53 @@ def q67_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_RB, _RM = 131, (1 << 31) - 1  # Rabin-Karp base / Mersenne modulus
+
+
+def _roll(col: "F.Column") -> "F.Column":
+    """Rolling (Rabin-Karp/Horner) hash of a string column as a pure
+    Catalyst expression — fold over code points, whole-stage codegen,
+    no UDF: h = fold(acc*B + code mod M)."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * _RB + c) % _RM)
+
+
+def _roll_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in split({expr}, '')]), "
+        f"(acc, c) -> (acc * {_RB} + c) % {_RM})"
+    )
+
+
+@query(
+    "q84_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {_roll_sql("text")} AS doc_fp,
+           list_min([{_roll_sql("substr(text, b*128 + 1, 128)")}
+                     for b in range(0, cast(ceil(len(text) / 128.0) as int))]) AS block_min_fp,
+           cast(ceil(len(text) / 128.0) as int) AS n_blocks
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Rolling-hash (Rabin-Karp) document fingerprint + min over 128-char block fingerprints — computed as Catalyst fold expressions, no UDF.",
+    tags=("text", "fingerprint"),
+)
+def q84_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both fingerprints are map-only fold expressions living in
+    whole-stage codegen next to the scan — zero shuffles before the
+    final order-by. The block-min variant is the content-sampled
+    fingerprint a chunk-level dedup uses (cf. q26's shingle min)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nb = F.ceil(F.length("text") / F.lit(128.0)).cast("int")
+    block = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda b: _roll(F.substring(F.col("text"), b * F.lit(128) + 1, F.lit(128))),
+    )
+    return docs.select(
+        "doc_id",
+        _roll(F.col("text")).alias("doc_fp"),
+        F.array_min(block).alias("block_min_fp"),
+        nb.alias("n_blocks"),
+    ).orderBy("doc_id")
