@@ -118,6 +118,73 @@ class Dataset:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    # -- extension operators (the 100 TB training-data toolkit) --------
+    # Thin delegations so a pipeline stays in one fluent chain; the
+    # implementations (and their scale notes) live in ``operators/``.
+
+    def dedup_exact(self, *cols: str) -> "Dataset":
+        """Exact dedup: on ``cols`` if given, else full rows."""
+        return Dataset(self.df.dropDuplicates(list(cols) or None))
+
+    def neardup_pairs(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 12,
+        num_bands: int = 4,
+        max_bucket_size: int | None = None,
+    ) -> "Dataset":
+        """MinHash-LSH near-duplicate candidate pairs (id_a < id_b)."""
+        from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+
+        return Dataset(
+            minhash_band_pairs(
+                self.df, text_col, id_col, num_hashes=num_hashes, num_bands=num_bands, max_bucket_size=max_bucket_size
+            )
+        )
+
+    def asof_join(
+        self, other: "Dataset", on: str, left_ts: str, right_ts: str, right_cols: list[str], suffix: str = "_right"
+    ) -> "Dataset":
+        from pandamapreduce_spark.operators.asof import asof_join
+
+        return Dataset(asof_join(self.df, other.df, on, left_ts, right_ts, right_cols, suffix))
+
+    def salted_join(self, other: "Dataset", on: str, n_salts: int = 16, how: str = "inner") -> "Dataset":
+        from pandamapreduce_spark.operators.skew import salted_join
+
+        return Dataset(salted_join(self.df, other.df, on, n_salts, how))
+
+    def sample_frames(self, num_frames: int = 4, frame_bytes: int = 64) -> "Dataset":
+        from pandamapreduce_spark.operators.multimodal import sample_frames
+
+        return Dataset(sample_frames(self.df, num_frames, frame_bytes))
+
+    def resize_images(self, width: int = 16, height: int = 16) -> "Dataset":
+        from pandamapreduce_spark.operators.multimodal import resize_images
+
+        return Dataset(resize_images(self.df, width, height))
+
+    def extract_features(self) -> "Dataset":
+        from pandamapreduce_spark.operators.multimodal import extract_features
+
+        return Dataset(extract_features(self.df))
+
+    def write_csv(self, path: str, header: bool = True, mode: str = "overwrite") -> None:
+        from pandamapreduce_spark.sources.formats import write_csv
+
+        write_csv(self.df, path, header=header, mode=mode)
+
+    def write_json(self, path: str, mode: str = "overwrite") -> None:
+        from pandamapreduce_spark.sources.formats import write_json
+
+        write_json(self.df, path, mode=mode)
+
+    def write_orc(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        from pandamapreduce_spark.sources.formats import write_orc
+
+        write_orc(self.df, path, mode=mode, partition_by=partition_by)
+
     def collect(self):
         return self.df.collect()
 

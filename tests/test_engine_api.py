@@ -120,3 +120,32 @@ def test_from_pairs_and_mapreduce_dataset(spark):
     out = ds.map_reduce("key", "value", map_f, sum_f, combine_f=sum_f, schema="k string, total long")
     got = {r.k: r.total for r in out.collect()}
     assert got == {"a": 4, "b": 2}
+
+
+def test_dataset_extension_methods(spark):
+    """The 100 TB toolkit is reachable as one fluent Dataset chain."""
+    from pandamapreduce_spark.engine import Engine
+
+    e = Engine(spark)
+    docs = e.table(SF_DIR, "documents")
+
+    assert docs.dedup_exact("text").count() <= docs.count()
+    pairs = docs.neardup_pairs().df
+    assert set(pairs.columns) == {"doc_a", "doc_b"}
+
+    from pandamapreduce_spark.operators.multimodal import attach_fake_payload
+
+    payloads = type(docs)(attach_fake_payload(docs.df, "video"))
+    frames = payloads.sample_frames(num_frames=2)
+    assert frames.count() == 2 * docs.count()
+    feats = payloads.extract_features()
+    assert "features" in feats.df.columns
+    resized = payloads.resize_images(width=8, height=8)
+    assert resized.df.select("meta.width").first()[0] == 8
+
+    ev = e.table(SF_DIR, "events").select("event_id", "user_id", "ts", "event_type")
+    right = e.table(SF_DIR, "events").where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    j = ev.salted_join(e.table(SF_DIR, "customer").select(F.col("c_custkey").alias("user_id"), "c_name"), "user_id", n_salts=4)
+    assert "c_name" in j.df.columns
