@@ -92,14 +92,14 @@ def _band_sql(sig: str, band: int) -> str:
     return f"md5(array_to_string(list_transform(({sig})[{lo}:{hi}], x -> cast(x as varchar)), '|'))"
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(source: str = "documents") -> str:
     sig = minhash_sig_sql(word_ngrams_sql("text", 3), NUM_HASHES)
     bands_list = ", ".join(
         f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)
     )
     return f"""
     WITH sigs AS (
-      SELECT doc_id, {sig} AS sig FROM documents
+      SELECT doc_id, {sig} AS sig FROM {source}
       WHERE len({word_ngrams_sql("text", 3)}) > 0
     ),
     bands AS (

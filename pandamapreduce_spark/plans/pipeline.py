@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import normalize_text, normalize_text_sql, tokens, tokens_sql
-from pandamapreduce_spark.plans.dedup import _lsh_pairs_df, _lsh_pairs_sql
+from pandamapreduce_spark.plans.dedup import _lsh_pairs_sql
 from pandamapreduce_spark.plans.registry import query
 
 MIN_TOKENS = 20
@@ -42,7 +42,7 @@ KEEP_LANGS = ("en", "de", "es", "fr")
       SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5({normalize_text_sql("text")})
     ),
     near_dups AS (
-      SELECT DISTINCT doc_b AS doc_id FROM ({_lsh_pairs_sql()})
+      SELECT DISTINCT doc_b AS doc_id FROM ({_lsh_pairs_sql("filtered")})
     ),
     kept AS (
       SELECT f.* FROM filtered f
@@ -59,7 +59,9 @@ KEEP_LANGS = ("en", "de", "es", "fr")
 )
 def q80_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the quality/language filters are map-only and run
-    FIRST (cheapest, highest selectivity); exact dedup shuffles only
+    FIRST (cheapest, highest selectivity) — and the LSH near-dup stage
+    runs on the FILTERED survivors only, so the expensive shingle
+    explode never touches rejected documents. Exact dedup shuffles only
     (hash, doc_id); near-dup removal joins against the candidate-pair
     ids (tiny); stats are one partial-agg shuffle. Document bodies
     never shuffle."""
@@ -77,8 +79,14 @@ def q80_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = quality.where(
         (F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA) & (F.col("lang").isin(*KEEP_LANGS))
     )
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+
     exact_keep = filtered.groupBy(F.md5(normalize_text("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    near_dups = _lsh_pairs_df(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    near_dups = (
+        minhash_band_pairs(filtered.select("doc_id", "text"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
     kept = (
         filtered.join(exact_keep.select("doc_id"), "doc_id", "left_semi")
         .join(near_dups, "doc_id", "left_anti")
