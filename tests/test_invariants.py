@@ -176,3 +176,14 @@ def test_gen_block_matches_record_spec():
         k, v = tera._record(x, 12345 + i)
         assert bytes(kflat[i * 10 : (i + 1) * 10]) == k
         assert bytes(vflat[i * 90 : (i + 1) * 90]) == v
+
+
+def test_lcg_affine_matches_skip():
+    """Block-jump coefficients: x_{k+n} = a_n*x_k + c_n must equal n
+    sequential steps, for n spanning several bit patterns."""
+    from pandamapreduce_spark.operators.tera import _M, lcg_affine, lcg_skip
+
+    for n in (1, 2, 3, 7, 1024, 4096, 4097, 123456):
+        a_n, c_n = lcg_affine(n)
+        for x0 in (0, 1, 0xDEADBEEF):
+            assert (a_n * x0 + c_n) % _M == lcg_skip(n, x0)
