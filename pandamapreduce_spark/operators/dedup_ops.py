@@ -24,9 +24,9 @@ def minhash_band_pairs(
     ``max_bucket_size``: at corpus scale, a band bucket with thousands
     of members is boilerplate (headers, licenses), not near-duplication
     — emitting its O(k²) pairs is both useless and the job's skew
-    hazard. Buckets above the cap are dropped (count them via
-    ``bucket_stats`` if you need visibility). Default None = emit all
-    (matches the SQL oracle).
+    hazard. Buckets above the cap are dropped. The registry queries
+    (plans.dedup) pass ``plans.dedup.MAX_BUCKET`` and mirror the cap
+    into their SQL oracle; None = emit all.
     """
     rows_per_band = num_hashes // num_bands
     shingle = docs.select(F.col(id_col).alias("__id"), F.explode(word_ngrams(text_col, ngram)).alias("s"))

@@ -65,10 +65,15 @@ def decode_payload(payload: bytes, modality: str) -> object:
 def extract_features(payloads: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Uses deterministic fake features (byte-histogram moments via md5
-    chaining) so the plumbing — mapInPandas batch iteration, binary
-    Arrow transfer, fixed-width array output — is fully exercised and
-    testable without codecs.
+    Uses deterministic fake features so the plumbing — mapInPandas
+    batch iteration, binary Arrow transfer, fixed-width array output —
+    is fully exercised and testable without codecs. The keystream
+    contract (same as ``sample_frames``/``resize_images``): feature j =
+    byte j of md5(hex(payload[:16]) || ':features'), scaled to [0, 1].
+    Seeding from the ACTUAL payload bytes received in the Arrow batch
+    means a corrupted binary transfer fails the oracle, not just a
+    wrong row count; each division x/255.0 is exact in IEEE double, so
+    the SQL twin reproduces values bitwise.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -76,8 +81,8 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 b = bytes(payload)
-                h = hashlib.md5(b).digest()
-                feats.append([round(x / 255.0, 6) for x in h[:FEATURE_DIM]])
+                h = hashlib.md5((b[:16].hex() + ":features").encode()).digest()
+                feats.append([x / 255.0 for x in h[:FEATURE_DIM]])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -43,7 +43,10 @@ KEY_LEN = 10
 VALUE_LEN = 90
 RECORD_LEN = KEY_LEN + VALUE_LEN
 
-_HEX = b"0123456789abcdef"
+# Uppercase A-F: the published algorithm's getHexDigit emits '0'-'9'
+# then 'A'-'F' (apps/terasort/Unsigned16.cpp:171-183, same in Hadoop
+# TeraGen), so generated records are byte-identical to reference output.
+_HEX = b"0123456789ABCDEF"
 
 
 def lcg_skip(n: int, x: int = 0) -> int:
@@ -136,10 +139,10 @@ _EXP = [bytes((c,)) * 4 for c in range(256)]
 def _record(rand: int, record_number: int) -> tuple[bytes, bytes]:
     """Build one 100-byte record: (10-byte key, 90-byte value)."""
     rb = rand.to_bytes(16, "big")
-    rand_hex = rb.hex().encode()  # == b"%032x" % rand, at C speed
+    rand_hex = rb.hex().upper().encode()  # == b"%032X" % rand, at C speed
     filler = b"".join(_EXP[c] for c in rand_hex[20:32])
     value = b"".join(
-        (b"\x00\x11", b"%032x" % record_number, b"\x88\x99\xaa\xbb", filler, b"\xcc\xdd\xee\xff")
+        (b"\x00\x11", b"%032X" % record_number, b"\x88\x99\xaa\xbb", filler, b"\xcc\xdd\xee\xff")
     )
     return rb[:KEY_LEN], value
 
@@ -161,7 +164,7 @@ TERA_SCHEMA = T.StructType(
 )
 
 
-#: nibble → lowercase ASCII hex char, as a numpy lookup table
+#: nibble → uppercase ASCII hex char, as a numpy lookup table
 _HEXTAB = None
 
 
@@ -184,7 +187,7 @@ def _gen_block(first_record: int, n: int):
     hextab = _hextab()
     st = _lcg_states(first_record, n)
 
-    # 32 lowercase hex chars of the 128-bit state (== rb.hex())
+    # 32 uppercase hex chars of the 128-bit state (== rb.hex().upper())
     hexc = np.empty((n, 32), np.uint8)
     hexc[:, 0::2] = hextab[st >> 4]
     hexc[:, 1::2] = hextab[st & 0xF]
@@ -192,7 +195,7 @@ def _gen_block(first_record: int, n: int):
     val = np.empty((n, VALUE_LEN), np.uint8)
     val[:, 0] = 0x00
     val[:, 1] = 0x11
-    # b"%032x" % record_number: record numbers < 2^64, so the leading
+    # b"%032X" % record_number: record numbers < 2^64, so the leading
     # 16 digits are literal '0' and the trailing 16 come from nibbles
     val[:, 2:18] = ord("0")
     r = np.arange(first_record, first_record + n, dtype=np.uint64)

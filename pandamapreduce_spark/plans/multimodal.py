@@ -38,16 +38,51 @@ def q70_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _feat_byte_sql(h: str, j: int) -> str:
+    """Byte ``j`` of a hex md5 digest string, as an integer 0-255."""
+    hexd = "0123456789abcdef"
+    c1 = f"(strpos('{hexd}', substr({h}, {2 * j + 1}, 1)) - 1)"
+    c2 = f"(strpos('{hexd}', substr({h}, {2 * j + 2}, 1)) - 1)"
+    return f"({c1} * 16 + {c2})"
+
+
+_Q71_FEATS = ",\n           ".join(
+    f"cast({_feat_byte_sql('h', j)} as double) / 255.0 AS f{j}" for j in range(8)
+)
+
+
 @query(
     "q71_multimodal_features",
-    oracle=None,  # Arrow-batched Python operator — no SQL twin
-    doc="Arrow-batched (mapInPandas) feature extraction over binary payloads; deterministic fake codec.",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, 'image' AS modality, 256 AS n_bytes,
+             md5(text) AS content_md5,
+             md5(concat(md5(text), ':features')) AS h
+      FROM documents
+    )
+    SELECT doc_id, modality, n_bytes, content_md5,
+           {_Q71_FEATS}
+    FROM seeded ORDER BY doc_id
+    """,
+    doc="Arrow-batched (mapInPandas) feature extraction over binary payloads; deterministic fake codec seeded from the real payload bytes, verified bitwise against the SQL keystream contract.",
     tags=("multimodal", "pandas-udf"),
 )
 def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Features are emitted as 8 scalar double columns (f0..f7) rather
+    than one array column: scalar columns sort/hash cleanly in any
+    result canonicalizer, and the values are exact IEEE divisions so
+    the DuckDB twin matches bitwise. The seed is hex(payload[:16]) ==
+    md5(text) taken from the ACTUAL Arrow-transferred bytes, so a
+    corrupted binary path fails the hash check."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(attach_fake_payload(docs))
-    return feats.select("doc_id", "modality", "n_bytes", "content_md5", "features").orderBy("doc_id")
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "content_md5",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(8)],
+    ).orderBy("doc_id")
 
 
 @query(

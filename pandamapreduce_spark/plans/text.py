@@ -395,9 +395,12 @@ def q84_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), nb - 1),
         lambda b: _roll(F.substring(F.col("text"), b * F.lit(128) + 1, F.lit(128))),
     )
+    # empty text → nb=0, where sequence(0, -1) would step DOWN to
+    # [0, -1] and fabricate two bogus blocks; the oracle's range(0, 0)
+    # is empty and yields NULL — guard to match (ADVICE r1)
     return docs.select(
         "doc_id",
         _roll(F.col("text")).alias("doc_fp"),
-        F.array_min(block).alias("block_min_fp"),
+        F.when(nb > 0, F.array_min(block)).otherwise(F.lit(None).cast("bigint")).alias("block_min_fp"),
         nb.alias("n_blocks"),
     ).orderBy("doc_id")

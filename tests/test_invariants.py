@@ -31,14 +31,25 @@ def test_teragen_deterministic_across_partitionings(spark):
 
 
 def test_teragen_known_record_zero(spark):
-    # Record 0 must equal one LCG step from seed 0 — pins the exact
-    # constants and framing against accidental drift.
+    # Record 0 pinned against LITERAL bytes of the published algorithm
+    # (gensort/Hadoop teragen; reference apps/terasort/teragen_api.cu:
+    # 28-66 + Unsigned16.cpp:171-183 uppercase hex digits): one LCG
+    # step from seed 0 spells the gensort easter egg "JimGrayRIP".
     row = tera.teragen(spark, 1, num_partitions=1).collect()[0]
+    assert bytes(row.key) == b"JimGrayRIP"
+    assert bytes(row.value) == (
+        b"\x00\x11"
+        + b"0" * 32
+        + b"\x88\x99\xaa\xbb"
+        + b"2222000022220000222200002222000022220000"
+        + b"00001111"
+        + b"\xcc\xdd\xee\xff"
+    )
+    assert len(row.key) == 10 and len(row.value) == 90
+    # and the scalar spec agrees with the vectorized path
     x = (tera._A * 0 + tera._C) % tera._M
     key, value = tera._record(x, 0)
-    assert bytes(row.key) == key
-    assert bytes(row.value) == value
-    assert len(row.key) == 10 and len(row.value) == 90
+    assert bytes(row.key) == key and bytes(row.value) == value
 
 
 def test_terasort_validates(spark):

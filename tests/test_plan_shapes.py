@@ -41,6 +41,25 @@ def test_star_join_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_unhinted_dims_fall_back_to_shuffle_join(spark):
+    """customer/orders carry NO broadcast hint (they grow with SF):
+    with the threshold shrunk to zero, the plan must degrade to
+    shuffle joins instead of forcing a broadcast that would OOM at
+    100×. nation keeps its hint (fixed 25 rows at any SF)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("q03_top_orders", "q05_revenue_by_nation"):
+            df = REGISTRY[name].build(spark, SF_DIR)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # the explicit nation hint still broadcasts
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_topk_uses_take_ordered(spark):
     plan = plan_of(spark, "q08_orderby_limit")
     assert "TakeOrderedAndProject" in plan
