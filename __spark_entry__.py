@@ -61,6 +61,7 @@ _WINDOW_PRIORITY = [
     "q52_terasort",
     "q53_teravalidate",
     # (c) new in round 2 — extended below as queries land
+    "q69_stream_neardup",
     # (d) stable round-1 greens (regression coverage fill)
     "q01_pricing_summary",
     "q04_order_priority",

@@ -253,41 +253,19 @@ class Engine:
         range — unlike ``read_tera_records``, a single multi-GB file
         parallelizes. Ranges stream through Arrow batches.
 
-        Local-filesystem implementation (driver lists files, tasks
-        seek+read); on a cluster the same split plan becomes a
-        DataSource-v2 reader over the object store.
+        Implemented as a registered Python Data Source
+        (``sources.tera_source``): split planning from file metadata
+        on the driver, task IO through ``pyarrow.fs`` (local paths and
+        object-store URIs alike), zero-copy Arrow batches out.
         """
-        import glob as _glob
-        import os as _os
+        from pandamapreduce_spark.sources import tera_source
 
-        import pandas as pd
-
-        rec = tera.RECORD_LEN
-        splits: list[tuple[str, int, int]] = []
-        files = sorted(_glob.glob(_os.path.join(path, "*"))) if _os.path.isdir(path) else [path]
-        align = max(rec, (split_bytes // rec) * rec)
-        for f in files:
-            size = _os.path.getsize(f)
-            off = 0
-            while off < size:
-                n = min(align, size - off)
-                splits.append((f, off, n))
-                off += n
-
-        spark = self.spark
-        sdf = spark.createDataFrame(splits, "path string, off long, len long")
-
-        def read_split(batches) -> "Iterable[pd.DataFrame]":
-            for pdf in batches:
-                for p, off, ln in zip(pdf["path"], pdf["off"], pdf["len"]):
-                    with open(p, "rb") as fh:
-                        fh.seek(int(off))
-                        buf = fh.read(int(ln))
-                    keys = [buf[i : i + tera.KEY_LEN] for i in range(0, len(buf), rec)]
-                    vals = [buf[i + tera.KEY_LEN : i + rec] for i in range(0, len(buf), rec)]
-                    yield pd.DataFrame({"key": keys, "value": vals})
-
-        return Dataset(sdf.repartition(max(len(splits), 1)).mapInPandas(read_split, tera.TERA_SCHEMA))
+        tera_source.register(self.spark)
+        return Dataset(
+            self.spark.read.format("tera")
+            .option("split_bytes", str(split_bytes))
+            .load(path)
+        )
 
     def sql(self, sf_dir: str, statement: str) -> Dataset:
         """SQL surface over the catalog tables."""

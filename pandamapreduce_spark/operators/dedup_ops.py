@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandamapreduce_spark.functions import minhash_hashes, word_ngrams
+from pandamapreduce_spark.functions import minhash_hashes, minhash_sig, word_ngrams
 
 
 def minhash_band_pairs(
@@ -62,3 +62,43 @@ def minhash_band_pairs(
         .select("doc_a", F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_band_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    ngram: int = 3,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stateless LSH band-key projection: one row per (doc, band),
+    columns ``(*keep, doc_id, band, key)``.
+
+    Unlike ``minhash_band_pairs``' explode→partial-min aggregation,
+    the signature here is a pure EXPRESSION (``array_min`` over
+    ``transform``, see ``functions.text.minhash_sig``) — no shuffle,
+    no state — so it is legal inside a streaming query ahead of a
+    stream-stream bucket join. Per-row hashing cost is identical (one
+    md5 per shingle + Carter-Wegman mul-adds); band keys match the
+    batch operator exactly (md5 over '|'-joined decimal signature
+    rows), so stream and batch candidates land in the same buckets.
+
+    Documents with no shingles are dropped: they have no signature,
+    and an all-null signature would otherwise collapse every empty
+    document into one md5('') bucket.
+    """
+    rpb = num_hashes // num_bands
+    grams = word_ngrams(text_col, ngram)
+    df = docs.where(F.size(grams) > 0).select(
+        *keep, F.col(id_col).alias("doc_id"), minhash_sig(grams, num_hashes).alias("__sig")
+    )
+    sig = F.col("__sig")
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[sig[b * rpb + r].cast("string") for r in range(rpb)]))
+            for b in range(num_bands)
+        ]
+    )
+    return df.select(*keep, "doc_id", F.posexplode(band_arr).alias("band", "key"))

@@ -143,3 +143,86 @@ def q68_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id", "user_id")
     out = ev.run_to_completion(joined, spark, mode="append")
     return out.orderBy("purchase_id", "click_id")
+
+
+HORIZON_MIN = 120
+
+
+def _stream_lsh_oracle() -> str:
+    from pandamapreduce_spark.functions import minhash_sig_sql, word_ngrams_sql
+    from pandamapreduce_spark.plans.dedup import NUM_BANDS, NUM_HASHES, _band_sql
+
+    grams = word_ngrams_sql("text", 3)
+    sig = minhash_sig_sql(grams, NUM_HASHES)
+    bands_list = ", ".join(
+        f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {sig} AS sig FROM documents WHERE len({grams}) > 0
+    ),
+    bands AS (
+      SELECT doc_id, unnest([{bands_list}], recursive := true) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+     AND abs(a.doc_id - b.doc_id) <= {HORIZON_MIN}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "q69_stream_neardup",
+    oracle=_stream_lsh_oracle(),
+    doc="Streaming MinHash-LSH near-dup: stateless band-key projection + watermark-bounded stream-stream bucket self-join; oracle = batch LSH with the same time bound.",
+    tags=("streaming", "dedup", "lsh"),
+)
+def q69_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q32's MinHash-LSH: each arriving document is
+    projected — STATELESSLY, via the expression-form signature
+    (``minhash_band_keys``) — onto its 4 band keys, and candidate
+    pairs come from a stream-stream self-join on (band, key) whose
+    time condition bounds BOTH sides' event time (±HORIZON_MIN), so
+    each state store holds only the horizon's worth of band keys —
+    the requirement for running forever on an unbounded feed.
+
+    Where batch q32 caps bucket size (MAX_BUCKET) to kill the
+    boilerplate skew bomb, the streaming plan's time bound plays that
+    role: a boilerplate bucket contributes at most the documents that
+    arrive within one horizon, not the whole corpus. The oracle
+    mirrors the bound exactly (ts = base + doc_id minutes, so the
+    bound is |Δdoc_id| ≤ HORIZON_MIN).
+
+    Duplicate candidates (pairs sharing >1 band) are collapsed by
+    ``dropDuplicatesWithinWatermark`` — bounded state again, and
+    duplicates necessarily arrive within one horizon of each other.
+    """
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_keys
+    from pandamapreduce_spark.streaming.documents import docs_stream
+
+    def side(suffix: str) -> DataFrame:
+        bands = minhash_band_keys(docs_stream(spark, sf_dir), keep=("ts",))
+        return bands.select(
+            F.col("ts").alias(f"ts_{suffix}"),
+            F.col("doc_id").alias(f"doc_{suffix}"),
+            F.col("band").alias(f"band_{suffix}"),
+            F.col("key").alias(f"key_{suffix}"),
+        ).withWatermark(f"ts_{suffix}", "30 minutes")
+
+    joined = side("a").join(
+        side("b"),
+        F.expr(
+            f"band_a = band_b AND key_a = key_b AND doc_a < doc_b "
+            f"AND ts_b >= ts_a - INTERVAL {HORIZON_MIN} MINUTES "
+            f"AND ts_b <= ts_a + INTERVAL {HORIZON_MIN} MINUTES"
+        ),
+        "inner",
+    )
+    pairs = (
+        joined.select("doc_a", "doc_b", "ts_a")
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+    )
+    out = ev.run_to_completion(pairs, spark, mode="append")
+    return out.orderBy("doc_a", "doc_b")
