@@ -12,6 +12,7 @@ full execution to a count/collect action (no caching between queries).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -47,24 +48,56 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    # Tera pipeline at 1 GB (the reference's TPCx-HS-style metric,
-    # apps/terasort/run.sh: HSph@SF = SF / hours, SF = bytes/1e10).
+    # Tera pipeline, run.sh-parity mode (the reference's TPCx-HS-style
+    # harness, apps/terasort/run.sh:76-105 scale presets, :240-268
+    # metric): per scale, TWO consecutive full teragen→terasort→
+    # teravalidate runs; HSph@SF = SF / hours with SF = bytes/1e10,
+    # reported from the WORSE run and only if BOTH validates pass.
+    # The per-scale "tera_Ngb_pipeline" timing stays min-of-runs so it
+    # remains comparable with earlier rounds' best-of-N numbers on
+    # this noise-prone host.
     from pandamapreduce_spark.operators import tera
 
-    n_tera = int(os.environ.get("SPARK_GRAFT_TERA_RECORDS", 10_000_000))
-    tera_sec = None
-    # Best of 2, plus a third attempt if both runs look like they hit
-    # host noise (this VM shows occasional multi-x CPU-steal outliers).
-    for attempt in range(3):
-        if attempt == 2 and tera_sec is not None and tera_sec < 8.0:
-            break
-        t0 = time.perf_counter()
-        verdict = tera.teravalidate(tera.terasort(tera.teragen(spark, n_tera, 32), 32))
-        el = round(time.perf_counter() - t0, 3)
-        assert verdict["all_sorted"] and verdict["boundaries_ok"] and verdict["n_records"] == n_tera, verdict
-        tera_sec = el if tera_sec is None or el < tera_sec else tera_sec
-    timings["tera_1gb_pipeline"] = tera_sec
-    print(f"# tera_1gb_pipeline: {tera_sec:.3f}s (HSph@SF={n_tera * 100 / 1e10 / (tera_sec / 3600):.2f})", file=sys.stderr)
+    scales_gb = [
+        float(x) for x in os.environ.get("SPARK_GRAFT_TERA_SCALES", "1,10").split(",") if x
+    ]
+    hsph: dict[str, float] = {}
+    for gb in scales_gb:
+        n_tera = int(gb * 1e9) // tera.RECORD_LEN
+        parts = max(32, int(32 * gb))  # ~31 MB of records per partition
+        runs: list[float] = []
+        all_valid = True
+        for _ in range(2):
+            t0 = time.perf_counter()
+            verdict = tera.teravalidate(tera.terasort(tera.teragen(spark, n_tera, parts), parts))
+            el = round(time.perf_counter() - t0, 3)
+            valid = verdict["all_sorted"] and verdict["boundaries_ok"] and verdict["n_records"] == n_tera
+            all_valid &= valid
+            runs.append(el)
+            print(f"# tera_{gb:g}gb run: {el:.3f}s valid={valid}", file=sys.stderr)
+        key = f"tera_{gb:g}gb_pipeline"
+        timings[key] = min(runs)
+        if all_valid:
+            sf_bytes = n_tera * tera.RECORD_LEN / 1e10
+            hsph[f"{gb:g}gb"] = round(sf_bytes / (max(runs) / 3600), 2)
+            print(f"# {key}: {min(runs):.3f}s (HSph@SF={hsph[f'{gb:g}gb']:.2f}, worse-of-2)", file=sys.stderr)
+        else:
+            print(f"# {key}: VALIDATION FAILED — no metric (run.sh parity)", file=sys.stderr)
+
+    # Per-query deltas vs the most recent recorded round, for
+    # round-over-round regression visibility (stderr + JSON).
+    deltas: dict[str, float] = {}
+    prev_files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as fh:
+                prev = json.load(fh).get("parsed", {}).get("queries", {})
+            for name, sec in timings.items():
+                if name in prev and prev[name]:
+                    deltas[name] = round(sec / prev[name], 2)
+                    print(f"# delta vs {os.path.basename(prev_files[-1])} {name}: {deltas[name]}x", file=sys.stderr)
+        except Exception as e:  # deltas are advisory — never fail the bench
+            print(f"# delta computation skipped: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "hsph_at_sf": hsph,
+                "deltas_vs_prev": deltas,
             }
         )
     )
