@@ -122,3 +122,16 @@ def test_multimodal_ops_are_narrow(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
     assert sample_frames(attach_fake_payload(docs, "video"), num_frames=2).count() == 2 * docs.count()
+
+
+def test_exact_percentiles_use_rank_selection(spark):
+    """q28 must compute exact percentiles via the window-sort rank
+    selection (spills, unbounded group size) — NOT the percentile()
+    aggregate, which buffers each whole group in executor memory.
+    The groupBy must reuse the window's hash partitioning (a second
+    hash exchange on the same key would be pure waste)."""
+    plan = plan_of(spark, "q28_percentiles")
+    assert "Window" in plan
+    assert "percentile" not in plan.lower()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan below
+    assert final.count("Exchange hashpartitioning") == 1, final
