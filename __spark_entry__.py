@@ -62,6 +62,9 @@ _WINDOW_PRIORITY = [
     "q53_teravalidate",
     # (c) new in round 2 — extended below as queries land
     "q69_stream_neardup",
+    "q85_train_split",
+    "q86_quality_deciles",
+    "q87_hybrid_neardup",
     # (d) stable round-1 greens (regression coverage fill)
     "q01_pricing_summary",
     "q04_order_priority",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import normalize_text, normalize_text_sql, tokens, tokens_sql
 from pandamapreduce_spark.plans.dedup import MAX_BUCKET, _lsh_pairs_sql
+from pandamapreduce_spark.plans.numeric import DEC, davg, davg_sql
 from pandamapreduce_spark.plans.registry import query
 
 MIN_TOKENS = 20
@@ -100,4 +101,181 @@ def q80_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .orderBy("lang")
+    )
+
+
+# --- train/val/test splitting --------------------------------------------
+
+SPLIT_BUCKETS = 100
+TRAIN_PCT, VAL_PCT = 90, 5  # remainder = test
+
+
+@query(
+    "q85_train_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 15)) as bigint)
+               % {SPLIT_BUCKETS} AS bucket,
+             len({{toks}}) AS n_tokens
+      FROM documents
+    ),
+    labeled AS (
+      SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                  WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM assigned
+    )
+    SELECT split, count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens
+    FROM labeled GROUP BY split ORDER BY split
+    """.format(toks=tokens_sql("text")),
+    doc="Deterministic content-hash train/val/test split (md5-bucket assignment, stable across runs/cluster sizes) with per-split token accounting.",
+    tags=("pipeline", "sampling"),
+)
+def q85_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training pipelines need splits that are STABLE — a document
+    keeps its split across reruns, engine versions, and cluster
+    sizes — so assignment must be a pure function of identity, never
+    of partition layout or RNG state. md5(doc_id) mod 100 gives that:
+    map-only, no shuffle until the final 3-group partial agg. (Spark's
+    ``df.sample``/``randomSplit`` are partition-layout-dependent —
+    exactly what a reproducible pipeline must avoid.)"""
+    from pandamapreduce_spark.functions import hex16
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hex16(F.col("doc_id").cast("string")), F.lit(SPLIT_BUCKETS))
+    split = (
+        F.when(bucket < TRAIN_PCT, "train").when(bucket < TRAIN_PCT + VAL_PCT, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.size(tokens("text")).alias("n_tokens"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .orderBy("split")
+    )
+
+
+# --- quality binning ------------------------------------------------------
+
+
+@query(
+    "q86_quality_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len({tokens_sql("text")}) AS n_tokens,
+             coalesce(cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)
+                        / nullif(cast(length(text) as double), 0.0), -1.0) AS alpha_ratio
+      FROM documents
+    ),
+    binned AS (
+      SELECT lang, n_tokens, alpha_ratio,
+             ntile(10) OVER (PARTITION BY lang ORDER BY alpha_ratio, doc_id) AS decile
+      FROM scored
+    )
+    SELECT lang, decile, count(*) AS n_docs,
+           {davg_sql("alpha_ratio")} AS avg_alpha,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM binned GROUP BY lang, decile ORDER BY lang, decile
+    """,
+    doc="Per-language quality deciles (ntile over a spilling window sort) with per-bin stats — curriculum/quality-mix accounting.",
+    tags=("pipeline", "quality", "window"),
+)
+def q86_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-mix accounting for curriculum construction: rank each
+    language's documents by quality score, cut into deciles, report
+    per-bin composition. Scale: the window partitions by ``lang`` —
+    parallel across languages, and the per-partition sort SPILLS
+    (same rank-selection posture as q28; no group buffering). For
+    global deciles over one giant partition, the sketch path (q66
+    approx boundaries → range bucketing) is the 100 TB variant.
+    Ordering ties break on doc_id so ntile is deterministic; null
+    scores (empty text) coalesce to -1 = decile 1."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.coalesce(
+            F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
+            / F.nullif(F.length("text").cast("double"), F.lit(0.0)),
+            F.lit(-1.0),
+        ).alias("alpha_ratio"),
+    )
+    w = Window.partitionBy("lang").orderBy("alpha_ratio", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("alpha_ratio").alias("avg_alpha"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+# --- hybrid near-dup ------------------------------------------------------
+
+HYBRID_COS = 0.93
+
+
+def _hybrid_oracle() -> str:
+    from pandamapreduce_spark.functions.vector import cosine_sql
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_a, doc_b, 'lexical' AS method FROM ({_lsh_pairs_sql("documents")})
+    ),
+    sem AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, 'semantic' AS method
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {cosine_sql("a.embedding", "b.embedding")} >= {HYBRID_COS}
+    ),
+    allp AS (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+    SELECT doc_a, doc_b, string_agg(method, '+' ORDER BY method) AS methods
+    FROM allp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "q87_hybrid_neardup",
+    oracle=_hybrid_oracle(),
+    doc="Hybrid near-dup: lexical MinHash-LSH pairs ∪ semantic embedding-cosine pairs, one row per pair with the detecting method(s).",
+    tags=("pipeline", "dedup", "embedding"),
+)
+def q87_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real cleaning pipelines run BOTH detectors: lexical LSH catches
+    boilerplate/copy-paste, embedding cosine catches paraphrase.
+    Each side keeps its own scale-safe shape (capped bucket reduce /
+    label-blocked pair scan); the union then groups by pair, so a
+    pair found by both methods reports 'lexical+semantic'. Methods
+    aggregate as a '+'-joined sorted string (not an array — scalar
+    columns canonicalize cleanly)."""
+    from pandamapreduce_spark.functions.vector import cosine
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    lex = (
+        minhash_band_pairs(docs, max_bucket_size=MAX_BUCKET)
+        .select("doc_a", "doc_b", F.lit("lexical").alias("method"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sem = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"), cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= HYBRID_COS)
+        .select("doc_a", "doc_b", F.lit("semantic").alias("method"))
+    )
+    return (
+        lex.unionByName(sem)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.concat_ws("+", F.sort_array(F.collect_set("method"))).alias("methods"))
+        .orderBy("doc_a", "doc_b")
     )
