@@ -62,6 +62,7 @@ _WINDOW_PRIORITY = [
     "q53_teravalidate",
     # (c) new in round 2 — extended below as queries land
     "q69_stream_neardup",
+    "q74_multiprobe_lsh_knn",
     "q85_train_split",
     "q86_quality_deciles",
     "q87_hybrid_neardup",
@@ -77,7 +78,6 @@ _WINDOW_PRIORITY = [
     "q63_stream_dedup",
     "q70_multimodal_meta",
     "q72_frame_sample",
-    "q73_resize",
 ]
 
 
