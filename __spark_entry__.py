@@ -63,6 +63,7 @@ _WINDOW_PRIORITY = [
     # (c) new in round 2 — extended below as queries land
     "q69_stream_neardup",
     "q74_multiprobe_lsh_knn",
+    "q75_salted_join",
     "q85_train_split",
     "q86_quality_deciles",
     "q87_hybrid_neardup",
@@ -71,7 +72,6 @@ _WINDOW_PRIORITY = [
     "q04_order_priority",
     "q20_wordcount",
     "q30_dedup_exact",
-    "q34_simhash",
     "q40_knn_bruteforce",
     "q50_mr_wordcount",
     "q60_stream_hourly",

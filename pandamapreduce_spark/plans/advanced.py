@@ -362,6 +362,43 @@ def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q75_salted_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dsum_sql('l_extendedprice')} AS total_price,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Skew-resistant join: probe rows salted by deterministic row hash, build side replicated per salt — result identical to the plain equi-join (oracle is the unsalted join).",
+    tags=("join", "skew"),
+)
+def q75_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual hot-key JOIN pattern (``operators.skew.salted_join``;
+    q56 is the aggregation twin): the probe side joins on
+    (key, row-hash salt) while the build side replicates once per
+    salt, spreading one hot key across n_salts reducers. The salt is
+    deterministic under task retry (row hash, not
+    monotonically_increasing_id — ADVICE r1). Result columns and
+    values equal the plain join, so the oracle is the unsalted SQL."""
+    from pandamapreduce_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q57_pandas_udaf",
     oracle="""
     SELECT l_returnflag,

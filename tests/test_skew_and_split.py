@@ -82,3 +82,31 @@ def test_split_reader_1gb_single_file_parallelizes(spark, tmp_path):
         F.count(F.lit(1)).alias("n"), F.sum(F.crc32(F.concat("key", "value"))).alias("crc")
     ).collect()[0]
     assert (got.n, got.crc) == (want.n, want.crc)
+
+
+def test_split_reader_edge_cases(spark, tmp_path):
+    """Tiny split_bytes clamps to one record per split; a truncated
+    trailing partial record is ignored; an empty directory reads as an
+    empty frame."""
+    import os
+
+    e = Engine(spark)
+    # 5 records + 37 trailing garbage bytes (partial record)
+    kflat, vflat = tera._gen_block(0, 5)
+    import numpy as np
+
+    recs = np.empty((5, tera.RECORD_LEN), np.uint8)
+    recs[:, : tera.KEY_LEN] = kflat.reshape(5, tera.KEY_LEN)
+    recs[:, tera.KEY_LEN :] = vflat.reshape(5, tera.RECORD_LEN - tera.KEY_LEN)
+    p = str(tmp_path / "trunc.tera")
+    with open(p, "wb") as f:
+        f.write(recs.tobytes())
+        f.write(b"\x01" * 37)
+    df = e.read_tera_records_split(p, split_bytes=1).df  # clamps to 100 B
+    rows = sorted((bytes(r.key), bytes(r.value)) for r in df.collect())
+    want = sorted((bytes(kflat[i * 10 : i * 10 + 10]), bytes(vflat[i * 90 : i * 90 + 90])) for i in range(5))
+    assert rows == want
+
+    empty = tmp_path / "emptydir"
+    os.makedirs(empty)
+    assert e.read_tera_records_split(str(empty)).count() == 0
