@@ -67,9 +67,9 @@ _WINDOW_PRIORITY = [
     "q85_train_split",
     "q86_quality_deciles",
     "q87_hybrid_neardup",
+    "q88_contamination",
     # (d) stable round-1 greens (regression coverage fill)
     "q01_pricing_summary",
-    "q04_order_priority",
     "q20_wordcount",
     "q30_dedup_exact",
     "q40_knn_bruteforce",

@@ -14,7 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
-from pandamapreduce_spark.functions import normalize_text, normalize_text_sql, tokens, tokens_sql
+from pandamapreduce_spark.functions import (
+    normalize_text,
+    normalize_text_sql,
+    tokens,
+    tokens_sql,
+    word_ngrams,
+    word_ngrams_sql,
+)
 from pandamapreduce_spark.plans.dedup import MAX_BUCKET, _lsh_pairs_sql
 from pandamapreduce_spark.plans.numeric import DEC, davg, davg_sql
 from pandamapreduce_spark.plans.registry import query
@@ -278,4 +285,73 @@ def q87_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.concat_ws("+", F.sort_array(F.collect_set("method"))).alias("methods"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- contamination / decontamination --------------------------------------
+
+EVAL_DOCS = 20  # doc_id < 20 plays the benchmark/eval set
+CONTAM_NGRAM = 4  # 4-word grams: dense enough on the synthetic corpus to exercise the check; real pipelines use 8-13
+
+
+@query(
+    "q88_contamination",
+    oracle=f"""
+    WITH eval_grams AS (
+      SELECT DISTINCT unnest({{grams}}) AS g FROM documents WHERE doc_id < {EVAL_DOCS}
+    ),
+    train AS (
+      SELECT doc_id, unnest({{grams}}) AS g FROM documents WHERE doc_id >= {EVAL_DOCS}
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             count(*) AS n_grams,
+             count(e.g) AS n_hit
+      FROM train t LEFT JOIN eval_grams e ON t.g = e.g
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           cast(n_hit as double) / cast(n_grams as double) AS contam_ratio
+    FROM per_doc
+    WHERE n_hit > 0
+    ORDER BY contam_ratio DESC, doc_id
+    LIMIT 50
+    """.format(grams=word_ngrams_sql("text", CONTAM_NGRAM)),
+    doc=f"Benchmark-contamination scan: per-train-doc {CONTAM_NGRAM}-gram overlap ratio against the eval set's n-gram universe; top contaminated docs.",
+    tags=("pipeline", "contamination", "text"),
+)
+def q88_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination is a standard step before training: any doc
+    sharing long n-grams with an eval benchmark must be flagged.
+    Scale shape: the EVAL side's distinct n-grams are tiny (benchmarks
+    are small by definition) → broadcast; each train doc's n-grams are
+    matched map-side with NO shuffle of n-gram strings — the only
+    exchange is the per-doc count aggregation keyed on doc_id. A
+    100 TB corpus streams once; left join against the broadcast set
+    (count hits) replaces a semi-join so the per-doc denominator and
+    numerator come from one pass."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    grams = word_ngrams("text", CONTAM_NGRAM)
+    eval_grams = (
+        docs.where(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = docs.where(F.col("doc_id") >= EVAL_DOCS).select("doc_id", F.explode(grams).alias("g"))
+    per_doc = (
+        train.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("__hit").alias("n_hit"))
+    )
+    return (
+        per_doc.where(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams").cast("double")).alias("contam_ratio"),
+        )
+        .orderBy(F.col("contam_ratio").desc(), "doc_id")
+        .limit(50)
     )
