@@ -135,3 +135,35 @@ def test_exact_percentiles_use_rank_selection(spark):
     assert "percentile" not in plan.lower()
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan below
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """q88: the eval n-gram set must broadcast (benchmarks are small);
+    a shuffle of train-side n-gram strings would be the scale bug."""
+    plan = plan_of(spark, "q88_contamination")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_hybrid_neardup_no_cartesian(spark):
+    """q87: both detector arms must stay keyed joins (band bucket /
+    label block) — never a cross product."""
+    plan = plan_of(spark, "q87_hybrid_neardup")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_multiprobe_broadcasts_query_side(spark):
+    """q74: the exploded probe set (queries × 9) broadcasts; the
+    corpus is never replicated or cross-joined."""
+    plan = plan_of(spark, "q74_multiprobe_lsh_knn")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_train_split_prunes_scan(spark):
+    """q85: the split assignment needs only doc_id + text — the scan
+    must not read lang/source/n_chars."""
+    plan = plan_of(spark, "q85_train_split")
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "lang" not in schema and "n_chars" not in schema, schema
