@@ -45,3 +45,15 @@ def test_asof_tie_matches(spark):
     right = spark.createDataFrame([(1, 10, "same"), (1, 9, "earlier")], "k int, rts int, tag string")
     r = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["tag"]).collect()[0]
     assert r.tag == "same"  # right_ts == left_ts matches (backward inclusive)
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """ADVICE r1: duplicate (key, right_ts) right rows must resolve to
+    ONE deterministic winner — the greatest value-column tuple — in
+    both implementations, across repeated runs."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 9, "b"), (1, 9, "a"), (1, 9, "c")], "k int, rts int, tag string")
+    kw = dict(on="k", left_ts="ts", right_ts="rts", right_cols=["tag"])
+    winners = {asof_join(left, right, **kw).collect()[0].tag for _ in range(3)}
+    assert winners == {"c"}
+    assert asof_join_pandas(left, right, **kw).collect()[0].tag == "c"
