@@ -187,6 +187,7 @@ def q85_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM binned GROUP BY lang, decile ORDER BY lang, decile
     """,
     doc="Per-language quality deciles (ntile over a spilling window sort) with per-bin stats — curriculum/quality-mix accounting.",
+    bench=True,
     tags=("pipeline", "quality", "window"),
 )
 def q86_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +319,7 @@ CONTAM_NGRAM = 4  # 4-word grams: dense enough on the synthetic corpus to exerci
     LIMIT 50
     """.format(grams=word_ngrams_sql("text", CONTAM_NGRAM)),
     doc=f"Benchmark-contamination scan: per-train-doc {CONTAM_NGRAM}-gram overlap ratio against the eval set's n-gram universe; top contaminated docs.",
+    bench=True,
     tags=("pipeline", "contamination", "text"),
 )
 def q88_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
