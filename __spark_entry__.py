@@ -58,6 +58,7 @@ _WINDOW_PRIORITY = [
     "q03_top_orders",
     "q05_revenue_by_nation",
     "q84_rolling_fingerprint",
+    "q49_tfidf",
     "q52_terasort",
     "q53_teravalidate",
     # (c) new in round 2 — extended below as queries land
@@ -76,7 +77,6 @@ _WINDOW_PRIORITY = [
     "q50_mr_wordcount",
     "q60_stream_hourly",
     "q63_stream_dedup",
-    "q70_multimodal_meta",
     "q72_frame_sample",
 ]
 

@@ -243,19 +243,24 @@ def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tfidf"),
 )
 def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic two-aggregation TF-IDF: tf per (doc,term), df per term
-    (broadcastable — vocab-sized), n_docs as a literal-free cross join.
-    Scale: both aggregations partial-combine; the tf⋈df join broadcasts
-    the df side (vocabulary ≪ corpus). tfidf rounds through decimal:
-    Spark and DuckDB ln() differ by 1 ulp on ~9% of inputs, so raw
-    doubles would flake — 6-decimal rounding absorbs it."""
+    """Classic two-aggregation TF-IDF: tf per (doc,term), df per term,
+    n_docs as a literal-free cross join. Scale: both aggregations
+    partial-combine. The df side carries NO broadcast hint — vocabulary
+    GROWS with the corpus (a 100 TB crawl has billions of distinct
+    terms), so a forced broadcast is the q03-customer OOM hazard;
+    under the threshold Catalyst/AQE broadcast it anyway, beyond it
+    the tf⋈df join shuffles on term, which both sides already
+    partition by. n_docs (one row) keeps its hint. tfidf rounds
+    through decimal: Spark and DuckDB ln() differ by 1 ulp on ~9% of
+    inputs, so raw doubles would flake — 6-decimal rounding absorbs
+    it."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
