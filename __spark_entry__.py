@@ -69,13 +69,13 @@ _WINDOW_PRIORITY = [
     "q86_quality_deciles",
     "q87_hybrid_neardup",
     "q88_contamination",
+    "q76_stream_multimodal",
     # (d) stable round-1 greens (regression coverage fill)
     "q01_pricing_summary",
     "q20_wordcount",
     "q30_dedup_exact",
     "q40_knn_bruteforce",
     "q50_mr_wordcount",
-    "q60_stream_hourly",
     "q63_stream_dedup",
     "q72_frame_sample",
 ]

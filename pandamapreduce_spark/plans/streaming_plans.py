@@ -226,3 +226,49 @@ def q69_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.run_to_completion(pairs, spark, mode="append")
     return out.orderBy("doc_a", "doc_b")
+
+
+def _q76_oracle() -> str:
+    from pandamapreduce_spark.plans.multimodal import _Q71_FEATS
+
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id, 'image' AS modality, 256 AS n_bytes,
+             md5(text) AS content_md5,
+             md5(concat(md5(text), ':features')) AS h
+      FROM documents
+    )
+    SELECT doc_id, modality, n_bytes, content_md5,
+           {_Q71_FEATS}
+    FROM seeded ORDER BY doc_id
+    """
+
+
+@query(
+    "q76_stream_multimodal",
+    oracle=_q76_oracle(),
+    doc="Streaming multimodal feature extraction: the q71 Arrow-batched mapInPandas codec running incrementally on a document stream; same keystream oracle as batch q71.",
+    tags=("streaming", "multimodal", "pandas-udf"),
+)
+def q76_stream_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest of binary payloads: the SAME stateless Arrow
+    operator (``extract_features``) runs inside a streaming query —
+    mapInPandas is narrow, so each micro-batch flows source → Arrow →
+    sink with no state and no shuffle; batch/stream results are
+    bitwise identical (shared oracle with q71). This is the shape of
+    a production crawl-ingest pipeline: new files land, features
+    extract incrementally, nothing reprocesses."""
+    from pandamapreduce_spark.operators.multimodal import attach_fake_payload, extract_features
+    from pandamapreduce_spark.streaming.documents import docs_stream
+
+    stream = docs_stream(spark, sf_dir).drop("ts")
+    feats = extract_features(attach_fake_payload(stream))
+    out_stream = feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "content_md5",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(8)],
+    )
+    out = ev.run_to_completion(out_stream, spark, mode="append")
+    return out.orderBy("doc_id")
