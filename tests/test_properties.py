@@ -93,3 +93,40 @@ def test_text_functions_match_python_reference(run_exprs, texts):
         assert sorted(row.grams) == sorted(_py_ngrams(t)), repr(t)
         assert row.norm == _py_normalize(t), repr(t)
         assert list(row.sig) == _py_minhash(_py_ngrams(t), 4), repr(t)
+
+
+# --- rank-selection percentiles vs numpy ----------------------------------
+
+GROUPED_VALUES = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(min_value=-10_000, max_value=10_000)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@pytest.fixture(scope="module")
+def run_percentiles(spark):
+    from pandamapreduce_spark.operators.rank_stats import exact_group_percentiles
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "g string, v double")
+        out = exact_group_percentiles(df, "g", "v", {"p10": 0.1, "p50": 0.5, "p95": 0.95})
+        return {r.g: (r.p10, r.p50, r.p95) for r in out.collect()}
+
+    return run
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=GROUPED_VALUES)
+def test_rank_selection_percentiles_match_numpy(run_percentiles, pairs):
+    """exact_group_percentiles (window rank-selection) must equal
+    numpy's linear-interpolation quantile on every group, for any
+    group sizes including 1 and ties."""
+    import numpy as np
+
+    pairs = [(g, float(v)) for g, v in pairs]
+    got = run_percentiles(pairs)
+    for g in {g for g, _ in pairs}:
+        vals = np.array([v for gg, v in pairs if gg == g])
+        want = tuple(float(np.quantile(vals, p, method="linear")) for p in (0.1, 0.5, 0.95))
+        assert got[g] == pytest.approx(want, rel=1e-12, abs=1e-9), (g, got[g], want)

@@ -110,3 +110,21 @@ def test_split_reader_edge_cases(spark, tmp_path):
     empty = tmp_path / "emptydir"
     os.makedirs(empty)
     assert e.read_tera_records_split(str(empty)).count() == 0
+
+
+def test_tera_source_split_planning(tmp_path):
+    """Driver-side split planner: record-aligned offsets, sub-record
+    split clamping, multi-file expansion — no Spark needed."""
+    from pandamapreduce_spark.sources.tera_source import TeraReader
+
+    for i, size in enumerate((250, 100, 0)):  # 2.5 records, 1 record, empty
+        (tmp_path / f"f{i}.tera").write_bytes(b"\x00" * size)
+    r = TeraReader({"path": str(tmp_path), "split_bytes": "150"})  # clamps to 100
+    splits = [(s.fs_path.rsplit("/", 1)[-1], s.start, s.length) for s in r.partitions()]
+    assert splits == [("f0.tera", 0, 100), ("f0.tera", 100, 100), ("f1.tera", 0, 100)]
+
+    big = tmp_path / "big.tera"
+    big.write_bytes(b"\x00" * 100 * 10)
+    r2 = TeraReader({"path": str(big), "split_bytes": str(100 * 4)})
+    s2 = [(s.start, s.length) for s in r2.partitions()]
+    assert s2 == [(0, 400), (400, 400), (800, 200)]
