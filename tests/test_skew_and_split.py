@@ -128,3 +128,33 @@ def test_tera_source_split_planning(tmp_path):
     r2 = TeraReader({"path": str(big), "split_bytes": str(100 * 4)})
     s2 = [(s.start, s.length) for s in r2.partitions()]
     assert s2 == [(0, 400), (400, 400), (800, 200)]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join conf must actually engage: one key
+    holding 90% of the probe side gets its shuffle partition SPLIT
+    (plan shows skew=true) once it crosses the size threshold —
+    thresholds shrunk here so the 500k-row fixture crosses them the
+    way a hot key crosses the 256 MB default at cluster scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        probe = spark.range(0, 500_000).select(
+            (F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id"))).alias("k"), F.col("id").alias("v")
+        )
+        build = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = probe.join(build, "k")
+        assert len(j.collect()) == 450_100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
