@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = [
     "q74_multiprobe_lsh_knn",
     "q75_salted_join",
     "q85_train_split",
+    "q89_stratified_sample",
     "q86_quality_deciles",
     "q87_hybrid_neardup",
     "q88_contamination",
@@ -73,7 +74,6 @@ _WINDOW_PRIORITY = [
     # (d) stable round-1 greens (regression coverage fill)
     "q01_pricing_summary",
     "q20_wordcount",
-    "q30_dedup_exact",
     "q40_knn_bruteforce",
     "q50_mr_wordcount",
     "q63_stream_dedup",

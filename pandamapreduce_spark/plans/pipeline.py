@@ -357,3 +357,58 @@ def q88_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("contam_ratio").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --- stratified sampling --------------------------------------------------
+
+#: per-language sampling rates (percent) — the data-mixing knob of a
+#: training pipeline; languages not listed keep DEFAULT_RATE
+STRATA_RATES = {"en": 80, "de": 40, "es": 25, "fr": 10}
+DEFAULT_RATE = 50
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in STRATA_RATES.items())
+    return f"CASE lang {whens} ELSE {DEFAULT_RATE} END"
+
+
+@query(
+    "q89_stratified_sample",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             len({tokens_sql("text")}) AS n_tokens,
+             cast(concat('0x', substr(md5(concat(lang, ':', cast(doc_id as varchar))), 1, 15)) as bigint)
+               % 100 AS bucket,
+             {_rate_case_sql()} AS rate_pct
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled, cast(sum(n_tokens) as bigint) AS total_tokens
+    FROM assigned WHERE bucket < rate_pct
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic stratified sampling: per-language rates via md5-bucket thresholding (data-mixing knob); per-stratum counts and token budget.",
+    tags=("pipeline", "sampling"),
+)
+def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing for training runs: downsample each language at its
+    own rate, DETERMINISTICALLY — membership is a pure function of
+    (lang, doc_id), so reruns, retries, and cluster-size changes keep
+    the identical sample (df.sample cannot promise that). Seeding the
+    hash with the stratum key makes strata independent: a document's
+    bucket in 'en' is uncorrelated with what it would be in 'de'.
+    Map-only until the per-stratum agg — one tiny shuffle."""
+    from pandamapreduce_spark.functions import hex16
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hex16(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))), F.lit(100))
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.select("lang", F.size(tokens("text")).alias("n_tokens"), bucket.alias("bucket"), rate.alias("rate_pct"))
+        .where(F.col("bucket") < F.col("rate_pct"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .orderBy("lang")
+    )
