@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = [
     "q69_stream_neardup",
     "q74_multiprobe_lsh_knn",
     "q75_salted_join",
+    "q77_ivf_nprobe",
     "q85_train_split",
     "q89_stratified_sample",
     "q86_quality_deciles",
@@ -76,7 +77,6 @@ _WINDOW_PRIORITY = [
     "q20_wordcount",
     "q40_knn_bruteforce",
     "q50_mr_wordcount",
-    "q63_stream_dedup",
     "q72_frame_sample",
 ]
 

@@ -289,3 +289,89 @@ def q54_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "q77_ivf_nprobe",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    corpus AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))
+                  - 2 * list_dot_product(cast(e.embedding as double[]), cast(c.cvec as double[]))
+                  + list_dot_product(cast(c.cvec as double[]), cast(c.cvec as double[]))), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(cast(e.embedding as double[]), cast(e.embedding as double[]))
+                  - 2 * list_dot_product(cast(e.embedding as double[]), cast(c.cvec as double[]))
+                  + list_dot_product(cast(c.cvec as double[]), cast(c.cvec as double[]))), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             (list_dot_product(cast(q.embedding as double[]), cast(x.embedding as double[]))
+               / (sqrt(list_dot_product(cast(q.embedding as double[]), cast(q.embedding as double[])))
+                  * sqrt(list_dot_product(cast(x.embedding as double[]), cast(x.embedding as double[]))))) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               (list_dot_product(cast(q.embedding as double[]), cast(x.embedding as double[]))
+                 / (sqrt(list_dot_product(cast(q.embedding as double[]), cast(q.embedding as double[])))
+                    * sqrt(list_dot_product(cast(x.embedding as double[]), cast(x.embedding as double[]))))) DESC,
+               x.vec_id) AS rank
+      FROM queries q JOIN corpus x ON q.cid = x.cid AND q.vec_id <> x.vec_id
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF ANN with nprobe=2: each query searches its TWO nearest cells (corpus stays 1 cell/vector) — the IVF recall knob, twin of q74's LSH multi-probe.",
+    tags=("similarity", "ivf", "ml"),
+)
+def q77_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe is THE recall/cost knob of IVF search: the corpus keeps
+    exactly one cell per vector (disjoint candidates, no dedup), while
+    each query fans out to its nprobe nearest centroids. Scale: the
+    fan-out multiplies only the broadcast query set; the search join
+    stays a co-partitioned equi-join on the cell id, touching
+    nprobe/k of the corpus per query."""
+    from pandamapreduce_spark.functions import cosine
+    from pandamapreduce_spark.operators.ml import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    seeds = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    corpus = assign_clusters(emb, seeds).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), F.col("cluster_id").alias("c_cell")
+    )
+    # query side: rank all centroids by squared distance, keep the 2 nearest
+    qvecs = emb.where(F.col("vec_id") < 10)
+    seed_arr = F.array(*[F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("cvec")) for cid, vec in seeds])
+    from pandamapreduce_spark.functions import dot
+
+    exploded = qvecs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.explode(seed_arr).alias("s")
+    ).select(
+        "query_id",
+        "q_emb",
+        F.col("s.cid").alias("q_cell"),
+        (dot(F.col("q_emb"), F.col("s.cvec")) * -2 + dot(F.col("s.cvec"), F.col("s.cvec")) + dot(F.col("q_emb"), F.col("q_emb"))).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "q_cell")
+    q = exploded.withColumn("crn", F.row_number().over(wq)).where(F.col("crn") <= 2).select("query_id", "q_emb", "q_cell")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(q), (F.col("q_cell") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
