@@ -72,6 +72,11 @@ _WINDOW_PRIORITY = [
     "q87_hybrid_neardup",
     "q88_contamination",
     "q76_stream_multimodal",
+    "q90_sequence_packing",
+    "q91_source_mixture",
+    "q92_boilerplate_blocks",
+    "q93_repetition_score",
+    "q94_dedup_clusters",
     # (d) stable round-1 greens (regression coverage fill)
     "q01_pricing_summary",
     "q20_wordcount",

@@ -1,0 +1,413 @@
+"""Training-data pipeline operators beyond cleaning/dedup: sequence
+packing, source mixture rebalancing, boilerplate block detection,
+intra-document repetition scoring, and near-dup cluster resolution.
+
+These are the ops a 100 TB pretraining pipeline runs AFTER the q80
+cleaning pass: pack documents into fixed token-budget sequences,
+rebalance the source mixture to a token budget, drop boilerplate,
+score repetition (Gopher-style), and collapse near-dup pairs into
+clusters with one canonical survivor. Reference parity: the reference
+has no analogue (its apps stop at wordcount/terasort/C-means,
+`apps/` — see SURVEY §2.2); these extend the engine per the task's
+LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.functions import hex16, tokens, tokens_sql
+from pandamapreduce_spark.plans.registry import query
+
+# --- q90: sequence packing (concat-and-chunk) -----------------------------
+
+PACK_TOKENS = 512
+PACK_RANGES = 16  # prefix-sum range partitions; at scale ≥ input splits
+
+
+@query(
+    "q90_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, cast(len({tokens_sql("text")}) as bigint) AS n_tokens FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {PACK_TOKENS} AS pack_first,
+           (start_offset + greatest(n_tokens, 1) - 1) // {PACK_TOKENS} AS pack_last,
+           ((start_offset + greatest(n_tokens, 1) - 1) // {PACK_TOKENS})
+             - (start_offset // {PACK_TOKENS}) + 1 AS n_packs
+    FROM o ORDER BY doc_id
+    """,
+    doc=f"Concat-and-chunk sequence packing: global token offsets via distributed prefix sum, {PACK_TOKENS}-token packs.",
+    tags=("training", "packing"),
+)
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing: concatenate the corpus in doc_id order and
+    chunk into fixed {PACK_TOKENS}-token sequences; each document maps
+    to its [start_offset, start_offset + n_tokens) token span and the
+    pack range it lands in.
+
+    Scale shape — the global running sum is a DISTRIBUTED prefix sum,
+    not a single-partition window: range-partition by doc_id, ship one
+    (partition, token-sum) row per partition to the driver (bounded:
+    one row per range), prefix the sums there, and add each
+    partition's base offset to a per-partition cumulative window
+    (parallel across ranges). The result is invariant to the range
+    boundaries, so AQE/cluster-size changes don't move any offset.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    parts = t.repartitionByRange(PACK_RANGES, "doc_id").withColumn("pid", F.spark_partition_id()).persist()
+    # Bounded collect: one (pid, sum, min_doc) row per range partition.
+    per = sorted(
+        parts.groupBy("pid").agg(F.sum("n_tokens").alias("s"), F.min("doc_id").alias("lo")).collect(),
+        key=lambda r: r["lo"],
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("bigint")).otherwise(base)
+        acc += r["s"]
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        parts.select(
+            "doc_id",
+            "n_tokens",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + base).alias("start_offset"),
+        )
+        .withColumn("pack_first", F.expr(f"start_offset div {PACK_TOKENS}"))
+        .withColumn("pack_last", F.expr(f"(start_offset + greatest(n_tokens, 1) - 1) div {PACK_TOKENS}"))
+        .withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1).cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+# --- q91: source mixture rebalancing --------------------------------------
+
+MIX_NUM, MIX_DEN = 1, 2  # keep ~half the corpus token budget
+
+
+@query(
+    "q91_source_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, cast(len({tokens_sql("text")}) as bigint) AS n_tokens FROM documents
+    ),
+    per_src AS (
+      SELECT source, cast(sum(n_tokens) as bigint) AS src_tokens FROM t GROUP BY source
+    ),
+    tot AS (
+      SELECT cast(sum(src_tokens) as bigint) AS total_tokens,
+             cast(count(*) as bigint) AS n_sources
+      FROM per_src
+    ),
+    rates AS (
+      SELECT source, src_tokens,
+             cast(floor(least(1.0,
+               cast((total_tokens * {MIX_NUM}) // ({MIX_DEN} * n_sources) as double)
+                 / cast(src_tokens as double)) * 1000000) as bigint) AS thresh_ppm
+      FROM per_src, tot
+    )
+    SELECT r.source, r.src_tokens, r.thresh_ppm,
+           cast(count(*) as bigint) AS n_sampled,
+           cast(sum(t.n_tokens) as bigint) AS sampled_tokens
+    FROM t JOIN rates r ON t.source = r.source
+    WHERE cast(concat('0x', substr(md5(concat(t.source, ':', cast(t.doc_id as varchar))), 1, 15)) as bigint)
+            % 1000000 < r.thresh_ppm
+    GROUP BY r.source, r.src_tokens, r.thresh_ppm
+    ORDER BY r.source
+    """,
+    doc="Source-mixture rebalancing: equal per-source token budget, deterministic ppm-hash sampling; per-source achieved counts.",
+    tags=("training", "sampling", "mixture"),
+)
+def q91_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing for a token budget: give every source the same
+    target share of MIX_NUM/MIX_DEN of the corpus tokens, downsample
+    over-represented sources to it deterministically (hash-ppm — a
+    pure function of (source, doc_id), so reruns and cluster resizes
+    keep the identical sample), keep under-budget sources whole.
+
+    Scale shape: per-source token totals are one partial-agg shuffle
+    of ~|sources| rows; the rate table is tiny and broadcast back onto
+    the fact side; membership is map-only. The rate math stays in
+    integer token counts until a single exactly-reproducible double
+    division, so the ppm threshold is bit-identical on any engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    per_src = t.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr(f"(total_tokens * {MIX_NUM}) div ({MIX_DEN} * n_sources)"))
+        .select(
+            "source",
+            "src_tokens",
+            F.floor(
+                F.least(F.lit(1.0), F.col("budget").cast("double") / F.col("src_tokens").cast("double"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("thresh_ppm"),
+        )
+    )
+    bucket = F.pmod(hex16(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), F.lit(1000000))
+    return (
+        t.join(F.broadcast(rates), "source")
+        .where(bucket < F.col("thresh_ppm"))
+        .groupBy("source", "src_tokens", "thresh_ppm")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_tokens").alias("sampled_tokens"))
+        .orderBy("source")
+    )
+
+
+# --- q92: cross-document boilerplate blocks -------------------------------
+
+BLOCK_WORDS = 8
+
+
+def _blocks_col(col: str):
+    toks = tokens(col)
+    nb = F.floor(F.size(toks) / BLOCK_WORDS).cast("int")
+    grams = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * BLOCK_WORDS + 1, BLOCK_WORDS))),
+    )
+    return F.when(nb > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q92_boilerplate_blocks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) // {BLOCK_WORDS} > 0 THEN
+               [md5(array_to_string(toks[{BLOCK_WORDS}*i+1 : {BLOCK_WORDS}*i+{BLOCK_WORDS}], ' '))
+                for i in range(0, cast(len(toks) // {BLOCK_WORDS} as int))]
+             ELSE [] END AS blocks
+      FROM t
+    ),
+    ex AS (SELECT doc_id, unnest(blocks) AS h FROM b),
+    shared AS (SELECT h FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    sc AS (SELECT doc_id, count(*) AS n_shared FROM ex JOIN shared USING (h) GROUP BY doc_id)
+    SELECT b.doc_id, cast(len(blocks) as bigint) AS n_blocks,
+           cast(coalesce(sc.n_shared, 0) as bigint) AS n_shared,
+           CASE WHEN len(blocks) > 0
+                THEN cast(coalesce(sc.n_shared, 0) as double) / cast(len(blocks) as double)
+                ELSE 0.0 END AS shared_frac
+    FROM b LEFT JOIN sc ON b.doc_id = sc.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc=f"Boilerplate detection: {BLOCK_WORDS}-word block hashes shared by ≥2 docs; per-doc shared-block fraction.",
+    tags=("training", "dedup", "boilerplate"),
+)
+def q92_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate (header/footer/template) detection: hash every
+    non-overlapping {BLOCK_WORDS}-word block, mark hashes seen in ≥2
+    distinct documents, report each document's shared-block fraction —
+    the standard pre-dedup repetitive-content signal.
+
+    Scale shape: only (doc_id, 16-byte hash) pairs shuffle — document
+    bodies never leave the scan stage; the shared-hash set is found by
+    one partial-agg groupBy and joined back as a semi join on the
+    hash. The fraction divides two small exact integers as doubles, so
+    it is bit-reproducible.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    b = docs.select("doc_id", _blocks_col("text").alias("blocks"))
+    ex = b.select("doc_id", F.explode("blocks").alias("h"))
+    shared = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).where(F.col("nd") >= 2).select("h")
+    sc = ex.join(shared, "h", "left_semi").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    n_blocks = F.size("blocks").cast("bigint")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+    return (
+        b.join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_blocks.alias("n_blocks"),
+            n_shared.alias("n_shared"),
+            F.when(n_blocks > 0, n_shared.cast("double") / n_blocks.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q93: intra-document repetition score ---------------------------------
+
+
+def _all_ngrams(col: str, n: int):
+    """ALL word n-grams (with duplicates — unlike functions.word_ngrams,
+    which is distinct-only for shingling)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _all_ngrams_sql(expr: str, n: int) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"[array_to_string(({toks})[i:i+{n - 1}], ' ') for i in range(1, len({toks}) - {n} + 2)] "
+        f"ELSE [] END"
+    )
+
+
+def _dup_frac_sql(grams: str) -> str:
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN "
+        f"cast(len({grams}) - len(list_distinct({grams})) as double) / cast(len({grams}) as double) "
+        f"ELSE 0.0 END"
+    )
+
+
+@query(
+    "q93_repetition_score",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_all_ngrams_sql("text", 2)} AS g2, {_all_ngrams_sql("text", 3)} AS g3
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(g2) as bigint) AS n_2grams,
+           cast(len(g2) - len(list_distinct(g2)) as bigint) AS dup_2grams,
+           {_dup_frac_sql("g2")} AS dup2_frac,
+           cast(len(g3) as bigint) AS n_3grams,
+           cast(len(g3) - len(list_distinct(g3)) as bigint) AS dup_3grams,
+           {_dup_frac_sql("g3")} AS dup3_frac
+    FROM g ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition scoring: duplicate 2-/3-gram fractions per document, map-only.",
+    tags=("training", "quality", "text"),
+)
+def q93_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText duplicate
+    n-gram fraction filters): the share of word 2-grams and 3-grams
+    that are repeats within the document. High values flag generated /
+    template / scraper-loop text that per-corpus dedup cannot catch.
+
+    Scale shape: entirely map-side Catalyst array expressions
+    (split → transform → array_distinct) — zero shuffle, zero Python;
+    the scan's row count is the job's only cost, so this runs at
+    whatever rate the storage layer can feed 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    g = docs.select("doc_id", _all_ngrams("text", 2).alias("g2"), _all_ngrams("text", 3).alias("g3"))
+    out = [F.col("doc_id")]
+    for n, c in ((2, "g2"), (3, "g3")):
+        total = F.size(c).cast("bigint")
+        dup = (F.size(c) - F.size(F.array_distinct(c))).cast("bigint")
+        out += [
+            total.alias(f"n_{n}grams"),
+            dup.alias(f"dup_{n}grams"),
+            F.when(total > 0, dup.cast("double") / total.cast("double")).otherwise(F.lit(0.0)).alias(f"dup{n}_frac"),
+        ]
+    return g.select(*out).orderBy("doc_id")
+
+
+# --- q94: near-dup cluster resolution (connected components) --------------
+
+CC_MAX_ITERS = 20
+
+
+@query(
+    "q94_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE verified AS ({q33}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified
+    ),
+    nodes AS (SELECT DISTINCT a FROM edges),
+    reach(src, node) AS (
+      SELECT a, a FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    roots AS (SELECT src AS doc_id, min(node) AS cluster_root FROM reach GROUP BY src)
+    SELECT doc_id, cluster_root,
+           cast(count(*) OVER (PARTITION BY cluster_root) as bigint) AS cluster_size
+    FROM roots ORDER BY doc_id
+    """,
+    doc="Near-dup cluster resolution: connected components over verified LSH pairs (iterative min-label propagation); canonical root + size per member.",
+    tags=("training", "dedup", "iterative"),
+)
+def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup keeps ONE doc per near-dup cluster, not per
+    pair: q33's verified pairs are edges; connected components give
+    each member its cluster root (the minimum doc_id — the canonical
+    survivor) and cluster size.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; stops
+    when a round changes nothing (≤ graph diameter rounds; near-dup
+    clusters are shallow). Each round is one join + one partial-agg
+    groupBy on (node, label) pairs only; convergence is checked with a
+    count, not a collect. For adversarially deep graphs the same loop
+    body accepts the large-star/small-star rewiring, which converges
+    in O(log n) rounds.
+
+    This is the one iterative operator WITH a full value-hash oracle:
+    DuckDB computes the same components via a recursive CTE.
+    """
+    from pandamapreduce_spark.plans.dedup import q33_neardup_verified
+
+    pairs = q33_neardup_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))).persist()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id")).persist()
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select("doc_id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_root")
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_root"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+def _patch_q94_oracle() -> None:
+    """q94's oracle embeds q33's oracle verbatim so the two stay in
+    lockstep with the LSH parameters."""
+    from pandamapreduce_spark.plans.registry import REGISTRY
+
+    q33_sql = REGISTRY["q33_neardup_verified"].oracle
+    q94 = REGISTRY["q94_dedup_clusters"]
+    q94.oracle = q94.oracle.format(q33=q33_sql)
+
+
+_patch_q94_oracle()

@@ -198,3 +198,37 @@ def test_lcg_affine_matches_skip():
         a_n, c_n = lcg_affine(n)
         for x0 in (0, 1, 0xDEADBEEF):
             assert (a_n * x0 + c_n) % _M == lcg_skip(n, x0)
+
+
+def test_sequence_packing_invariant_to_range_count(spark):
+    """q90's distributed prefix sum must produce offsets identical to
+    a single-range (serial) computation — the result cannot depend on
+    how many range partitions the cluster happens to use."""
+    from pandamapreduce_spark.plans import training
+    from tests.conftest import SF_DIR
+
+    base = training.q90_sequence_packing(spark, SF_DIR).collect()
+    old = training.PACK_RANGES
+    try:
+        training.PACK_RANGES = 1
+        serial = training.q90_sequence_packing(spark, SF_DIR).collect()
+    finally:
+        training.PACK_RANGES = old
+    assert base == serial
+
+
+def test_dedup_clusters_roots_are_members_and_minimal(spark):
+    """Every q94 cluster root is the minimum doc_id of its own
+    cluster, and every member maps to exactly one root."""
+    from tests.conftest import SF_DIR
+
+    from pandamapreduce_spark.plans.training import q94_dedup_clusters
+
+    rows = q94_dedup_clusters(spark, SF_DIR).collect()
+    by_root: dict[int, list[int]] = {}
+    for r in rows:
+        by_root.setdefault(r["cluster_root"], []).append(r["doc_id"])
+    for root, members in by_root.items():
+        assert root == min(members)
+        assert len(members) == len(set(members))
+        assert all(s == len(members) for s in [r["cluster_size"] for r in rows if r["cluster_root"] == root])

@@ -167,3 +167,21 @@ def test_train_split_prunes_scan(spark):
     plan = plan_of(spark, "q85_train_split")
     schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "lang" not in schema and "n_chars" not in schema, schema
+
+
+def test_repetition_score_is_map_only(spark):
+    """q93 is pure per-row array math: the only exchange allowed is
+    the final presentation orderBy — no aggregation or join shuffle."""
+    plan = plan_of(spark, "q93_repetition_score")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 0, plan
+
+
+def test_boilerplate_blocks_shuffles_hashes_only(spark):
+    """q92's exchanges carry (doc_id, md5) pairs, never document
+    bodies, and the shared-hash filter joins as a semi join."""
+    plan = plan_of(spark, "q92_boilerplate_blocks")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
