@@ -77,6 +77,12 @@ _WINDOW_PRIORITY = [
     "q92_boilerplate_blocks",
     "q93_repetition_score",
     "q94_dedup_clusters",
+    # (c2) new late in round 2 — beyond the ~50-entry window this
+    # round; first in line for the round-3 window (all oracle-checked
+    # locally by tests/test_oracle_parity.py meanwhile)
+    "q95_unpivot",
+    "q96_vocab_build",
+    "q97_embedding_centroids",
     # (d) stable round-1 greens (regression coverage fill)
     "q01_pricing_summary",
     "q20_wordcount",

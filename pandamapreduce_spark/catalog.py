@@ -61,14 +61,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism * 2)
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, read as nanos-long (see
-        # session.py); truncate to micros exactly as DuckDB does.
+        # The driver has shipped ts as TIMESTAMP(NANOS) (read as
+        # nanos-long via session.py) and as naive TIMESTAMP(MICROS)
+        # (read as TIMESTAMP_NTZ); normalize either to TIMESTAMP so
+        # epoch functions (unix_micros, unix_timestamp) resolve. The
+        # naive file value is treated as UTC wall clock regardless of
+        # the caller session's timezone — matching DuckDB's naive read.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
             # integer div: float division would lose precision at 2^63-scale nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), F.expr("current_timezone()")))
     return df
 
 

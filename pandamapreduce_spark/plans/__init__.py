@@ -20,5 +20,6 @@ from pandamapreduce_spark.plans import pipeline  # noqa: E402,F401
 from pandamapreduce_spark.plans import sketches  # noqa: E402,F401
 from pandamapreduce_spark.plans import sql_surface  # noqa: E402,F401
 from pandamapreduce_spark.plans import training  # noqa: E402,F401
+from pandamapreduce_spark.plans import reshape  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

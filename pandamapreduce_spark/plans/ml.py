@@ -375,3 +375,48 @@ def q77_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
     )
+
+
+# --- q97: per-label embedding centroids -----------------------------------
+
+
+@query(
+    "q97_embedding_centroids",
+    oracle="""
+    SELECT label, cast(i - 1 as int) AS dim,
+           cast(round(sum(cast(cast(embedding[i] as double) as decimal(18,6))), 6) as double)
+             / cast(count(*) as double) AS centroid,
+           cast(count(*) as bigint) AS n_vectors
+    FROM embeddings, range(1, 65) r(i)
+    GROUP BY label, i ORDER BY label, dim
+    """,
+    doc="Per-label elementwise embedding centroids: posexplode → partial-agg groupBy(label, dim); decimal-exact means.",
+    tags=("ml", "embeddings", "centroid"),
+)
+def q97_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class centroids over the embedding column — the building block
+    for nearest-class-mean classification, IVF coarse quantizers, and
+    per-source embedding drift monitoring.
+
+    Scale shape: posexplode multiplies rows ×DIM map-side, but partial
+    aggregation collapses each task's slice to ≤ |labels|×DIM partial
+    sums before the shuffle — shuffle volume is the centroid table
+    size, not corpus×DIM. The mean goes through exact decimal sums
+    (plans.numeric contract) so the doubles are bit-identical to the
+    oracle regardless of partitioning.
+    """
+    from pandamapreduce_spark.plans.numeric import DEC
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    long = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        long.groupBy("label", "dim")
+        .agg(
+            (
+                F.round(F.sum(F.col("v").cast("double").cast(DEC)), 6).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

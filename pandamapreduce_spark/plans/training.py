@@ -400,6 +400,80 @@ def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q96: vocabulary build (distributed rank → token ids) -----------------
+
+VOCAB_MIN_COUNT = 5
+VOCAB_RANGES = 16  # rank-range partitions; at scale ≥ input splits
+
+
+@query(
+    "q96_vocab_build",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({tokens_sql("text")}) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, cast(count(*) as bigint) AS cnt FROM tok GROUP BY token
+      HAVING count(*) >= {VOCAB_MIN_COUNT}
+    )
+    SELECT token, cnt,
+           cast(row_number() OVER (ORDER BY cnt DESC, token) - 1 as bigint) AS token_id
+    FROM c ORDER BY token_id
+    """,
+    doc=f"Tokenizer vocabulary build: corpus term counts (min {VOCAB_MIN_COUNT}), frequency-ranked contiguous token ids via distributed rank.",
+    tags=("training", "vocab", "text"),
+)
+def q96_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a tokenizer vocabulary: count every token in the corpus,
+    keep those with ≥ {VOCAB_MIN_COUNT} occurrences, and assign
+    contiguous ids 0..V-1 by (count desc, token asc) — the standard
+    frequency-sorted vocab layout.
+
+    Scale shape: the global rank is NOT a single-partition window —
+    that would serialize a 10^8-term vocab through one task. Instead
+    the counted terms are range-partitioned on the rank key
+    (cnt desc, token), each range assigns local row_numbers in
+    parallel, and the per-range base offsets come from one bounded
+    driver collect (one row per range — the q90 distributed-prefix-sum
+    pattern). Result is invariant to the range boundaries.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    c = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= VOCAB_MIN_COUNT)
+    )
+    parts = (
+        c.repartitionByRange(VOCAB_RANGES, F.col("cnt").desc(), F.col("token").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    # Bounded collect: (pid, n_terms, rank-key of the range's head row).
+    # The head key must be the min of the FULL rank key (-cnt, token) —
+    # min(cnt) and min(token) separately mis-order ranges that split
+    # inside one cnt value.
+    head = F.min(F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("token").alias("tok"))).alias("head")
+    per = sorted(
+        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
+        key=lambda r: (r["head"]["neg_cnt"], r["head"]["tok"]),
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("bigint")).otherwise(base)
+        acc += r["n"]
+    w = Window.partitionBy("pid").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        parts.select(
+            "token",
+            "cnt",
+            (F.row_number().over(w).cast("bigint") - 1 + base).alias("token_id"),
+        )
+        .orderBy("token_id")
+    )
+
+
 def _patch_q94_oracle() -> None:
     """q94's oracle embeds q33's oracle verbatim so the two stay in
     lockstep with the LSH parameters."""

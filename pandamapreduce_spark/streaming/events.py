@@ -27,9 +27,20 @@ from pyspark.sql import functions as F
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.plans.numeric import DEC
 
-# ts is TIMESTAMP(NANOS) in the file → read as nanos-long (see
-# session.py nanosAsLong), convert to micros after the scan.
-EVENTS_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+# The driver has shipped events.ts as TIMESTAMP(NANOS) (readable only
+# as a nanos-long, see session.py nanosAsLong) and as naive
+# TIMESTAMP(MICROS); the stream source needs an explicit schema, so
+# sniff the file's physical type once at plan-build time (driver-side
+# metadata read, no data IO) and declare the matching schema.
+_EVENTS_SCHEMA_NANOS = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+_EVENTS_SCHEMA_MICROS = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+
+
+def _ts_is_nanos(path: str) -> bool:
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(path).field("ts").type
+    return getattr(ts_type, "unit", None) == "ns"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,8 +53,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _ts_is_nanos(src):
+        raw = spark.readStream.schema(_EVENTS_SCHEMA_NANOS).parquet(stage)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(_EVENTS_SCHEMA_MICROS).parquet(stage)
+    # naive wall clock == UTC instant, independent of session timezone
+    # (same normalization as catalog.load_table).
+    return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), F.expr("current_timezone()")))
 
 
 def hourly_agg(events: DataFrame) -> DataFrame:
