@@ -16,79 +16,74 @@ from pandamapreduce_spark.plans import REGISTRY
 
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
-# Round 1 verified the first 50 registry entries; this round the
-# priority list below front-loads (a) the 26 queries that had no driver
-# row in CORRECTNESS_r01, (b) every query whose plan or oracle changed
-# this round, (c) queries new this round — then fills the remainder
-# with stable round-1-green entries for regression coverage. Entries
-# beyond the window were hash-green in round 1 and are still covered by
-# tests/test_oracle_parity.py locally.
+# Round-3 priority: (a) the three queries that have never had a driver
+# row (landed after round 2's window filled), (b) queries whose plan or
+# oracle changed this round (teravalidate rewrite, scoped-persist
+# plans, q97 dim guard) plus the new q87b, (c) the streaming/events
+# queries — the events-ts normalization path changed this round —
+# then (d) the oldest round-1-only greens so no green signal is more
+# than two rounds stale (VERDICT r2 #4), and (e) a few round-2-green
+# sentinels. Entries beyond the window stay covered locally by
+# tests/test_oracle_parity.py.
 _WINDOW_PRIORITY = [
-    # (a) driver-unverified in round 1
-    "q18_json_extract",
-    "q19_scalar_functions",
-    "q27_bigrams",
-    "q28_percentiles",
-    "q29_moment_stats",
-    "q36_pivot",
-    "q37_grouping_sets",
-    "q43_asof_join",
-    "q44_range_join",
-    "q45_cogroup",
-    "q47_kmeans_assign",
-    "q48_gemv",
-    "q54_kmeans_iterative",
-    "q55_ivf_knn",
-    "q56_salted_agg",
-    "q57_pandas_udaf",
-    "q58_gmm_assign",
-    "q59_gmm_em",
-    "q60a_cmeans",
-    "q64_sketch_distinct_rollup",
-    "q65_time_rollup",
-    "q66_approx_quantiles",
-    "q80_clean_corpus",
-    "q81_correlated_subquery",
-    "q82_exists_semi",
-    "q83_range_frame_window",
-    # (b) changed in round 2 (fix / capped LSH / hint gating / guards)
-    "q71_multimodal_features",
-    "q32_minhash_lsh_candidates",
-    "q33_neardup_verified",
-    "q03_top_orders",
-    "q05_revenue_by_nation",
-    "q84_rolling_fingerprint",
-    "q49_tfidf",
-    "q52_terasort",
-    "q53_teravalidate",
-    # (c) new in round 2 — extended below as queries land
-    "q69_stream_neardup",
-    "q74_multiprobe_lsh_knn",
-    "q75_salted_join",
-    "q77_ivf_nprobe",
-    "q85_train_split",
-    "q89_stratified_sample",
-    "q86_quality_deciles",
-    "q87_hybrid_neardup",
-    "q88_contamination",
-    "q76_stream_multimodal",
-    "q90_sequence_packing",
-    "q91_source_mixture",
-    "q92_boilerplate_blocks",
-    "q93_repetition_score",
-    "q94_dedup_clusters",
-    # (c2) new late in round 2 — beyond the ~50-entry window this
-    # round; first in line for the round-3 window (all oracle-checked
-    # locally by tests/test_oracle_parity.py meanwhile)
+    # (a) never driver-checked
     "q95_unpivot",
     "q96_vocab_build",
     "q97_embedding_centroids",
-    # (d) stable round-1 greens (regression coverage fill)
+    # (b) changed or new in round 3
+    "q53_teravalidate",
+    "q52_terasort",
+    "q87b_hybrid_neardup_ann",
+    "q90_sequence_packing",
+    "q94_dedup_clusters",
+    "q87_hybrid_neardup",
+    # (c) events-ts normalization path touched this round
+    "q60_stream_hourly",
+    "q61_stream_sessions",
+    "q62_stream_first_event",
+    "q63_stream_dedup",
+    "q68_stream_stream_join",
+    "q69_stream_neardup",
+    "q76_stream_multimodal",
+    # (d) oldest round-1-only greens (rotation: staleness ≤ 2 rounds)
+    "q02_filter_project",
+    "q04_order_priority",
+    "q07_distinct",
+    "q08_orderby_limit",
+    "q09_group_having",
+    "q10_window_topk_per_group",
+    "q11_window_running_sum",
+    "q12_sessionize",
+    "q13_set_ops",
+    "q14_rollup",
+    "q15_conditional_agg",
+    "q16_anti_join",
+    "q17_events_hourly",
+    "q21_top_words",
+    "q22_corpus_stats",
+    "q23_token_count",
+    "q24_quality_score",
+    "q25_lang_id",
+    "q26_fingerprint",
+    "q30_dedup_exact",
+    "q31_dedup_normalized",
+    "q34_simhash",
+    "q35_embedding_neardup",
+    "q41_lsh_buckets",
+    "q42_lsh_knn",
+    "q46_window_functions",
+    "q51_mr_keyval_agg",
+    "q67_bpe_token_count",
+    "q70_multimodal_meta",
+    "q72_frame_sample",
+    "q73_resize",
+    # (e) round-2-green regression sentinels
     "q01_pricing_summary",
     "q20_wordcount",
+    "q32_minhash_lsh_candidates",
     "q40_knn_bruteforce",
-    "q50_mr_wordcount",
-    "q72_frame_sample",
+    "q80_clean_corpus",
+    "q85_train_split",
 ]
 
 

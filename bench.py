@@ -68,8 +68,18 @@ def main() -> None:
         runs: list[float] = []
         all_valid = True
         for _ in range(2):
+            # Persist the gen stage across the run, as the reference's
+            # harness does by materializing teragen output to files
+            # (run.sh stage 1) — otherwise the range-partitioner's
+            # sampling pass and the sort each re-run the generator.
+            from pyspark import StorageLevel
+
             t0 = time.perf_counter()
-            verdict = tera.teravalidate(tera.terasort(tera.teragen(spark, n_tera, parts), parts))
+            gen = tera.teragen(spark, n_tera, parts).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                verdict = tera.teravalidate(tera.terasort(gen, parts))
+            finally:
+                gen.unpersist(False)
             el = round(time.perf_counter() - t0, 3)
             valid = verdict["all_sorted"] and verdict["boundaries_ok"] and verdict["n_records"] == n_tera
             all_valid &= valid

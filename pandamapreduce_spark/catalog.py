@@ -75,7 +75,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
             # integer div: float division would lose precision at 2^63-scale nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(dt, T.TimestampNTZType):
-            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), F.expr("current_timezone()")))
+            # naive wall clock → the same UTC instant: cast interprets
+            # the naive value in the SESSION timezone, so re-anchor it
+            # FROM UTC (identity under a UTC session, correct shift
+            # elsewhere — to_utc_timestamp would double the offset).
+            df = df.withColumn("ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), F.expr("current_timezone()")))
     return df
 
 

@@ -114,26 +114,28 @@ def gmm_em(
                 (mx + F.log(den)).alias("ll"),
                 *[(exps[c] / den).alias(f"r{c}") for c in range(k)],
             ).cache()
-            loglik.append(
-                resp.agg((F.sum(F.col("ll").cast("decimal(28,10)")).cast("double") / F.count("ll")).alias("m"))
-                .collect()[0][0]
-            )
-            # M-step: responsibility-weighted moments via explode, exact decimal
-            DECM = "decimal(28,12)"
-            exploded = resp.select(
-                *[F.col(f"r{c}") for c in range(k)], F.posexplode(_dbl(vec_col)).alias("d", "v")
-            )
-            aggs = []
-            for c in range(k):
-                aggs.append(F.sum((F.col(f"r{c}") * F.col("v")).cast(DECM)).cast("double").alias(f"sx{c}"))
-                aggs.append(F.sum((F.col(f"r{c}") * F.col("v") * F.col("v")).cast(DECM)).cast("double").alias(f"sxx{c}"))
-            per_dim = exploded.groupBy("d").agg(*aggs).collect()
-            totals = resp.agg(
-                *[F.sum(F.col(f"r{c}").cast(DECM)).cast("double").alias(f"n{c}") for c in range(k)],
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            n_total = totals["n"]
-            resp.unpersist()
+            try:
+                loglik.append(
+                    resp.agg((F.sum(F.col("ll").cast("decimal(28,10)")).cast("double") / F.count("ll")).alias("m"))
+                    .collect()[0][0]
+                )
+                # M-step: responsibility-weighted moments via explode, exact decimal
+                DECM = "decimal(28,12)"
+                exploded = resp.select(
+                    *[F.col(f"r{c}") for c in range(k)], F.posexplode(_dbl(vec_col)).alias("d", "v")
+                )
+                aggs = []
+                for c in range(k):
+                    aggs.append(F.sum((F.col(f"r{c}") * F.col("v")).cast(DECM)).cast("double").alias(f"sx{c}"))
+                    aggs.append(F.sum((F.col(f"r{c}") * F.col("v") * F.col("v")).cast(DECM)).cast("double").alias(f"sxx{c}"))
+                per_dim = exploded.groupBy("d").agg(*aggs).collect()
+                totals = resp.agg(
+                    *[F.sum(F.col(f"r{c}").cast(DECM)).cast("double").alias(f"n{c}") for c in range(k)],
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                n_total = totals["n"]
+            finally:
+                resp.unpersist()
             for c in range(k):
                 nc = totals[f"n{c}"]
                 pis[c] = nc / n_total

@@ -341,16 +341,42 @@ def teravalidate_partitions(df: DataFrame) -> DataFrame:
     """Per-partition validation summaries (``TeraValidate.scala:64-108``):
     record count, min/max key, sortedness, crc32 checksum sum.
 
-    Single streaming pass per partition via ``mapInArrow`` (one summary
-    row out per partition, data validated in place — a window/groupBy
-    formulation would reshuffle the whole dataset). The per-record
-    CRC32 of ``key || value`` is computed JVM-side by the built-in
-    ``F.crc32`` (codegen, same polynomial as zlib / the reference's
-    Hadoop PureJavaCrc32), so only ``(pid, key, crc)`` ≈ 22 bytes/record
-    crosses the Arrow boundary instead of the full 100-byte record —
-    at 100 TB that is the difference between shipping 22 TB and 100 TB
-    into Python workers. Key order/min/max checks are zero-copy numpy:
-    keys view as (n, 10) uint8, compared as (big-endian u64, u16) pairs.
+    Design: a single streaming per-partition FOLD — the reference's own
+    validator shape (a sequential per-split fold) — via ``mapInArrow``,
+    with all per-record arithmetic JVM-side or numpy-vectorized:
+
+    - the per-record CRC32 of ``key || value`` comes from the built-in
+      ``F.crc32`` (codegen, zlib/PureJavaCrc32 polynomial), so only
+      ``(pid, key, crc)`` ≈ 22 B/record crosses the Arrow boundary,
+      not the 100-byte record;
+    - order/min/max are zero-copy numpy over the (n, 10) uint8 key
+      view, compared as (big-endian u64, u16) pairs; the crc sum is
+      one vectorized u64 reduction. 64 KiB Arrow batches (session.py)
+      keep IPC framing off the critical path (measured 18 s → ~5 s on
+      10 M records at the 10 k default).
+
+    Alternatives measured and rejected on 10 M records, local[32]:
+
+    - ``lag(key) over (partition by pid order by monotonically_
+      increasing_id)`` + groupBy — the "all-JVM" formulation — costs a
+      full exchange + per-row WindowExec: 77-122 s end-to-end vs ~26 s
+      for this fold (3 runs each). The exchange also re-materializes
+      every record, which at 100 TB is a 30 TB shuffle that exists
+      only to validate.
+    - ``groupBy(pid).agg(collect_list(key))`` + an ``aggregate`` HOF
+      adjacency scan keeps everything JVM-side with no record shuffle
+      (partial agg), but buffers entire partitions in the aggregation
+      buffer — ~5 GB per group at 100 TB partition sizes. The fold
+      streams batches in constant memory.
+
+    An order check is fundamentally not a commutative aggregate, so
+    SOME per-partition ordered scan must exist; mapInArrow is Spark's
+    native operator for exactly that.
+
+    The checksum accumulates as decimal(38,0): at 100 TB (10^12
+    records × up to 2^32 per CRC) the sum overflows int64, matching
+    the reference's 128-bit ``Unsigned16`` accumulator
+    (``TeraValidate.scala:110-125``).
     """
     from decimal import Decimal
 

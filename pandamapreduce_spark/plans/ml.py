@@ -382,12 +382,12 @@ def q77_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q97_embedding_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label, cast(i - 1 as int) AS dim,
            cast(round(sum(cast(cast(embedding[i] as double) as decimal(18,6))), 6) as double)
              / cast(count(*) as double) AS centroid,
            cast(count(*) as bigint) AS n_vectors
-    FROM embeddings, range(1, 65) r(i)
+    FROM embeddings, range(1, {DIM + 1}) r(i)
     GROUP BY label, i ORDER BY label, dim
     """,
     doc="Per-label elementwise embedding centroids: posexplode → partial-agg groupBy(label, dim); decimal-exact means.",
@@ -408,6 +408,10 @@ def q97_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandamapreduce_spark.plans.numeric import DEC
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    # the oracle's range(1, DIM+1) assumes every vector has exactly DIM
+    # elements — a malformed row must fail loudly, not skew centroids
+    # (assert_true is NULL for valid rows, raises on the first bad one)
+    emb = emb.where(F.assert_true(F.size("embedding") == DIM, F.lit(f"embedding dim != {DIM}")).isNull())
     long = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
     return (
         long.groupBy("label", "dim")

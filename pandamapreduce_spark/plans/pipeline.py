@@ -289,6 +289,77 @@ def q87_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_ann_oracle() -> str:
+    from pandamapreduce_spark.functions.vector import cosine_sql
+    from pandamapreduce_spark.plans.similarity import _bucket_sql
+
+    emb_b = f"(SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings)"
+    return f"""
+    WITH lex AS (
+      SELECT doc_a, doc_b, 'lexical' AS method FROM ({_lsh_pairs_sql("documents")})
+    ),
+    sem AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, 'semantic' AS method
+      FROM {emb_b} a JOIN {emb_b} b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cosine_sql("a.embedding", "b.embedding")} >= {HYBRID_COS}
+    ),
+    allp AS (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+    SELECT doc_a, doc_b, string_agg(method, '+' ORDER BY method) AS methods
+    FROM allp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "q87b_hybrid_neardup_ann",
+    oracle=_hybrid_ann_oracle(),
+    doc="Hybrid near-dup with sub-quadratic semantic side: lexical MinHash-LSH pairs ∪ sign-LSH-bucket-blocked embedding-cosine pairs.",
+    tags=("pipeline", "dedup", "embedding", "ann"),
+)
+def q87b_hybrid_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q87's sub-quadratic form: the semantic side blocks on the
+    sign-LSH bucket (q41's 8 md5-seeded hyperplanes → 8-bit key)
+    instead of the data-dependent ``label`` — an equi-join on the
+    bucket key, never a label self-join, so no single dominant label
+    can go quadratic. Cosine ≥ {HYBRID_COS} pairs whose signs differ
+    on ≥1 hyperplane are the documented ANN recall tradeoff (the
+    multi-probe expansion in q74 is the recall knob); the oracle
+    applies the identical blocking, so the check is exact.
+
+    Scale: lexical side is the capped LSH bucket reduce (q32); the
+    semantic side shuffles (vec_id, bucket, embedding) once on the
+    256-value bucket key with per-bucket work O(n_b²) over ~uniform
+    hyperplane buckets — sign bits of md5 hyperplanes are not
+    population-skewed the way labels/domains are.
+    """
+    from pandamapreduce_spark.functions.vector import cosine
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+    from pandamapreduce_spark.plans.similarity import _bucket_col
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    lex = (
+        minhash_band_pairs(docs, max_bucket_size=MAX_BUCKET)
+        .select("doc_a", "doc_b", F.lit("lexical").alias("method"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket_col("embedding").alias("bucket")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sem = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"), cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= HYBRID_COS)
+        .select("doc_a", "doc_b", F.lit("semantic").alias("method"))
+    )
+    return (
+        lex.unionByName(sem)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.concat_ws("+", F.sort_array(F.collect_set("method"))).alias("methods"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- contamination / decontamination --------------------------------------
 
 EVAL_DOCS = 20  # doc_id < 20 plays the benchmark/eval set

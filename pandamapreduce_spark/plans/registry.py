@@ -48,7 +48,19 @@ def query(name: str, oracle: str | None = None, doc: str = "", bench: bool = Fal
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), bench=bench, tags=tags)
+
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Drop the previous query's scoped caches (q90/q94/q96
+            # prefix-sum intermediates) so registry-driven sessions
+            # never accumulate pinned RDDs. Direct fn() calls between
+            # plans (e.g. q94 → q33) bypass this — only the outermost
+            # registry dispatch releases.
+            from pandamapreduce_spark.caching import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Query(name=name, build=build, oracle=oracle, doc=doc or (fn.__doc__ or ""), bench=bench, tags=tags)
         return fn
 
     return deco

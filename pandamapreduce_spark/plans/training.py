@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pandamapreduce_spark.caching import scoped_persist
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import hex16, tokens, tokens_sql
 from pandamapreduce_spark.plans.registry import query
@@ -65,7 +66,9 @@ def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
-    parts = t.repartitionByRange(PACK_RANGES, "doc_id").withColumn("pid", F.spark_partition_id()).persist()
+    # scoped: the SAME pid assignment must be seen by the bounded
+    # collect below and the returned plan; released at next dispatch
+    parts = scoped_persist(t.repartitionByRange(PACK_RANGES, "doc_id").withColumn("pid", F.spark_partition_id()))
     # Bounded collect: one (pid, sum, min_doc) row per range partition.
     per = sorted(
         parts.groupBy("pid").agg(F.sum("n_tokens").alias("s"), F.min("doc_id").alias("lo")).collect(),
@@ -369,18 +372,19 @@ def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandamapreduce_spark.plans.dedup import q33_neardup_verified
 
     pairs = q33_neardup_verified(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))).persist()
-    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id")).persist()
+    edges = scoped_persist(pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))))
+    labels = scoped_persist(edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id")))
     for _ in range(CC_MAX_ITERS):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # scoped: the winning iteration's labels feed the returned plan
+        # (superseded iterations are unpersisted eagerly below)
+        new_labels = scoped_persist(
             labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
             .select("doc_id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -444,10 +448,10 @@ def q96_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= VOCAB_MIN_COUNT)
     )
-    parts = (
+    # scoped: pid consistency between collect and plan, as in q90
+    parts = scoped_persist(
         c.repartitionByRange(VOCAB_RANGES, F.col("cnt").desc(), F.col("token").asc())
         .withColumn("pid", F.spark_partition_id())
-        .persist()
     )
     # Bounded collect: (pid, n_terms, rank-key of the range's head row).
     # The head key must be the min of the FULL rank key (-cnt, token) —

@@ -36,6 +36,11 @@ def get_spark(app_name: str = "pandamapreduce_spark", shuffle_partitions: int | 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches (default 10k): per-batch IPC framing
+        # dominates vectorized mapInArrow/pandas-UDF folds at the
+        # default — measured 18s → 5-8s on the 10M-record teravalidate
+        # fold. ~6 MB/batch at 100 B rows: negligible executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(65536))
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no
         # nanos timestamp — read as long, catalog converts to micros

@@ -37,9 +37,17 @@ _EVENTS_SCHEMA_MICROS = "event_id bigint, ts timestamp_ntz, user_id bigint, even
 
 
 def _ts_is_nanos(path: str) -> bool:
-    import pyarrow.parquet as pq
+    import os as _os
 
-    ts_type = pq.read_schema(path).field("ts").type
+    import pyarrow.dataset as ds
+
+    # pyarrow.dataset resolves the unified schema for a single file OR
+    # a partitioned dataset directory (pq.read_schema rejects dirs).
+    fmt = "parquet"
+    if _os.path.isdir(path):
+        ts_type = ds.dataset(path, format=fmt).schema.field("ts").type
+    else:
+        ts_type = ds.dataset([path], format=fmt).schema.field("ts").type
     return getattr(ts_type, "unit", None) == "ns"
 
 
@@ -58,8 +66,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = spark.readStream.schema(_EVENTS_SCHEMA_MICROS).parquet(stage)
     # naive wall clock == UTC instant, independent of session timezone
-    # (same normalization as catalog.load_table).
-    return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), F.expr("current_timezone()")))
+    # (same normalization as catalog.load_table: cast reads the naive
+    # value in the session tz, from_utc re-anchors it to UTC — identity
+    # under a UTC session).
+    return raw.withColumn("ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), F.expr("current_timezone()")))
 
 
 def hourly_agg(events: DataFrame) -> DataFrame:

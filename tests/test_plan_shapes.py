@@ -153,6 +153,17 @@ def test_hybrid_neardup_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_hybrid_ann_blocks_on_bucket_not_label(spark):
+    """q87b: the semantic arm must equi-join on the sign-LSH bucket
+    key — no label self-join, no cross product, so no data-dependent
+    skew key survives in the plan."""
+    plan = plan_of(spark, "q87b_hybrid_neardup_ann")
+    assert "CartesianProduct" not in plan, plan
+    assert "bucket" in plan, plan
+    # the embeddings self-join must not key on the label column
+    assert "label#" not in plan, plan
+
+
 def test_multiprobe_broadcasts_query_side(spark):
     """q74: the exploded probe set (queries × 9) broadcasts; the
     corpus is never replicated or cross-joined."""

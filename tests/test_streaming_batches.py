@@ -3,6 +3,13 @@ source runs everything in one batch, which can mask state bugs; here
 events are split into 4 time-ordered files streamed one per trigger
 (the file source processes in modification-time order), so keys recur
 across batches and the state must suppress re-emission.
+
+The events fixture has shipped ``ts`` both as TIMESTAMP(NANOS) (nanos
+long) and naive TIMESTAMP(MICROS) across driver rounds; these tests
+route every read through ``catalog.load_table``, which normalizes
+either encoding to TIMESTAMP — the split files are then written (and
+stream-read) in the normalized form, so the tests are fixture-encoding
+agnostic. ``test_events_ts_normalized`` is the schema-drift guard.
 """
 
 from __future__ import annotations
@@ -16,37 +23,80 @@ import uuid
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.streaming.stateful import first_event_per_key
 
 from tests.conftest import SF_DIR
 
+#: normalized split-file schema (what load_table emits, written back out)
+_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def _split_events_by_time(raw, d: str) -> str:
+    """Write 4 time-quartile split files of the normalized events table
+    into ``d``/src with ascending mtimes (arrival order = time order:
+    the file source sorts by mtime). Returns the src dir."""
+    qs = raw.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    now = time.time()
+    us = F.unix_micros("ts")
+    for i in range(4):
+        part = raw.where((us > bounds[i]) & (us <= bounds[i + 1]))
+        tmp_i = os.path.join(d, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp_i)
+        src_file = glob.glob(os.path.join(tmp_i, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"events-{i}.parquet")
+        shutil.move(src_file, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return src
+
+
+def test_events_ts_normalized(spark):
+    """Schema-drift guard: whichever encoding the fixture ships
+    (nanos-long or naive micros), load_table must yield TIMESTAMP —
+    and both historical encodings must normalize to the same instants
+    (synthetic twin files, value-checked)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    raw = load_table(spark, SF_DIR, "events")
+    assert isinstance(raw.schema["ts"].dataType, T.TimestampType)
+
+    micros = [1_600_000_000_000_000, 1_600_000_123_456_789]
+    with tempfile.TemporaryDirectory() as d:
+        for sub, typ, vals in (
+            ("nanos", pa.timestamp("ns"), [m * 1000 for m in micros]),
+            ("ntz", pa.timestamp("us"), micros),
+        ):
+            os.makedirs(os.path.join(d, sub))
+            tbl = pa.table({"ts": pa.array(vals, typ)})
+            pq.write_table(tbl, os.path.join(d, sub, "events.parquet"))
+        got = {
+            sub: sorted(
+                r[0]
+                for r in load_table(spark, os.path.join(d, sub), "events")
+                .select(F.unix_micros("ts"))
+                .collect()
+            )
+            for sub in ("nanos", "ntz")
+        }
+    # nanos beyond micro precision truncate toward zero on both paths
+    assert got["nanos"] == got["ntz"] == sorted(m // 1 for m in micros)
+
 
 def test_stateful_dedup_across_microbatches(spark):
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts = nanos long here
-    qs = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
-    bounds = [float("-inf"), *qs, float("inf")]
+    raw = load_table(spark, SF_DIR, "events")
     with tempfile.TemporaryDirectory() as d:
-        src = os.path.join(d, "src")
-        os.makedirs(src)
-        now = time.time()
-        for i in range(4):
-            part = raw.where((F.col("ts") > bounds[i]) & (F.col("ts") <= bounds[i + 1]))
-            tmp_i = os.path.join(d, f"tmp{i}")
-            part.coalesce(1).write.parquet(tmp_i)
-            src_file = glob.glob(os.path.join(tmp_i, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"events-{i}.parquet")
-            shutil.move(src_file, dst)
-            # arrival order = time order: the file source sorts by mtime
-            os.utime(dst, (now + i * 10, now + i * 10))
-
-        schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        src = _split_events_by_time(raw, d)
         stream = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
             .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
         out = first_event_per_key(stream)
         name = f"mb_{uuid.uuid4().hex[:8]}"
@@ -75,33 +125,18 @@ def test_checkpoint_recovery_exactly_once(spark):
     suppress re-emission so the final output equals the batch answer
     exactly (no dupes, no gaps) — the cluster crash-recovery contract.
     """
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    qs = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
-    bounds = [float("-inf"), *qs, float("inf")]
+    raw = load_table(spark, SF_DIR, "events")
     with tempfile.TemporaryDirectory() as d:
-        src = os.path.join(d, "src")
+        src = _split_events_by_time(raw, d)
         ckpt = os.path.join(d, "ckpt")
         sink = os.path.join(d, "sink")
-        os.makedirs(src)
-        now = time.time()
-        for i in range(4):
-            part = raw.where((F.col("ts") > bounds[i]) & (F.col("ts") <= bounds[i + 1]))
-            tmp_i = os.path.join(d, f"tmp{i}")
-            part.coalesce(1).write.parquet(tmp_i)
-            src_file = glob.glob(os.path.join(tmp_i, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"events-{i}.parquet")
-            shutil.move(src_file, dst)
-            os.utime(dst, (now + i * 10, now + i * 10))
-
-        schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
 
         def start():
             stream = (
-                spark.readStream.schema(schema)
+                spark.readStream.schema(_SCHEMA)
                 .option("maxFilesPerTrigger", 1)
                 .option("latestFirst", "false")
                 .parquet(src)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             )
             return (
                 first_event_per_key(stream)
@@ -132,8 +167,6 @@ def test_checkpoint_recovery_exactly_once(spark):
             (r.user_id, r.event_type): r.event_id
             for r in spark.read.parquet(sink).collect()
         }
-        from pyspark.sql import Window
-
         w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
         expected = {
             (r.user_id, r.event_type): r.event_id
