@@ -34,6 +34,8 @@ _WINDOW_PRIORITY = [
     "q53_teravalidate",
     "q52_terasort",
     "q87b_hybrid_neardup_ann",
+    "q98_pii_scrub",
+    "q99_temperature_mixture",
     "q90_sequence_packing",
     "q94_dedup_clusters",
     "q87_hybrid_neardup",

@@ -360,6 +360,68 @@ def q87b_hybrid_neardup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII scrubbing --------------------------------------------------------
+
+#: conservative patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): no backreferences, no lookaround. Replacement order is
+#: fixed (email → ip → digit-run) so overlapping matches resolve
+#: identically on both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITRUN = r"\b\d{9,}\b"  # SSNs, account/phone number runs
+
+
+@query(
+    "q98_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '{PII_EMAIL}')) as int) AS n_emails,
+           cast(len(regexp_extract_all(text, '{PII_IPV4}')) as int) AS n_ips,
+           cast(len(regexp_extract_all(text, '{PII_DIGITRUN}')) as int) AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_DIGITRUN}', '<NUM>', 'g')) AS scrub_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing: redact emails / IPv4s / long digit runs to typed placeholders; per-doc counts + md5 of scrubbed text (map-only).",
+    tags=("pipeline", "pii", "text"),
+)
+def q98_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII pass: replace emails, IPv4 addresses, and
+    ≥9-digit runs with typed placeholders. Counts come from the RAW
+    text per pattern (independent detectors — an email containing a
+    digit run reports both); the value check is the md5 of the fully
+    scrubbed text, which verifies every replacement byte-for-byte
+    without hauling document bodies through the comparator. Every doc
+    emits a row (the synthetic corpus is digit-free, so the oracle
+    check proves the no-false-positive path; redaction semantics on
+    real PII strings are pinned by ``tests/test_properties.py``).
+
+    Scale: map-only Catalyst regexps — no shuffle, no Python; the
+    patterns avoid constructs that diverge between Java regex and
+    RE2, so the oracle runs the identical program.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_DIGITRUN,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_DIGITRUN)).alias("n_digit_runs"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    ).orderBy("doc_id")
+
+
 # --- contamination / decontamination --------------------------------------
 
 EVAL_DOCS = 20  # doc_id < 20 plays the benchmark/eval set

@@ -174,6 +174,108 @@ def q91_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q99: temperature-based mixture sampling ------------------------------
+
+TEMP_NUM, TEMP_DEN = 1, 2  # overall token budget: half the corpus
+
+
+@query(
+    "q99_temperature_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, cast(len({tokens_sql("text")}) as bigint) AS n_tokens FROM documents
+    ),
+    per_src AS (
+      SELECT source, cast(sum(n_tokens) as bigint) AS src_tokens FROM t GROUP BY source
+    ),
+    w AS (
+      SELECT source, src_tokens,
+             cast(floor(sqrt(cast(src_tokens as double))) as bigint) AS weight
+      FROM per_src
+    ),
+    tot AS (
+      SELECT cast(sum(src_tokens) as bigint) AS total_tokens,
+             cast(sum(weight) as bigint) AS total_weight
+      FROM w
+    ),
+    rates AS (
+      SELECT source, src_tokens,
+             cast(floor(least(1.0,
+               cast((total_tokens * {TEMP_NUM} // {TEMP_DEN}) * weight // total_weight as double)
+                 / cast(src_tokens as double)) * 1000000) as bigint) AS thresh_ppm
+      FROM w, tot
+    )
+    SELECT r.source, r.src_tokens, r.thresh_ppm,
+           cast(count(*) as bigint) AS n_sampled,
+           cast(sum(t.n_tokens) as bigint) AS sampled_tokens
+    FROM t JOIN rates r ON t.source = r.source
+    WHERE cast(concat('0x', substr(md5(concat('temp:', t.source, ':', cast(t.doc_id as varchar))), 1, 15)) as bigint)
+            % 1000000 < r.thresh_ppm
+    GROUP BY r.source, r.src_tokens, r.thresh_ppm
+    ORDER BY r.source
+    """,
+    doc="Temperature mixture sampling (alpha=0.5): per-source token budgets proportional to sqrt(src_tokens), deterministic ppm-hash membership.",
+    tags=("training", "sampling", "mixture"),
+)
+def q99_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual/multi-source temperature sampling — the standard
+    alpha-smoothed mixture (GPT-3/PaLM style, alpha = 0.5): source s
+    gets a share of the token budget proportional to src_tokens^alpha,
+    flattening the head and boosting the tail relative to proportional
+    sampling. q91 is the equal-share limit (alpha → 0); this is the
+    tempered middle.
+
+    Determinism across engines: weights are floor(sqrt(tokens)) —
+    sqrt is IEEE-correctly-rounded in both Spark and DuckDB, floor
+    pins the one ulp that could differ — and all share math stays in
+    bigint (budget·weight // total_weight) until the single double
+    division that q91 also makes before the ppm floor. Membership is
+    the same md5-ppm hash, salted 'temp:' so q91 and q99 samples are
+    independent.
+
+    Scale shape: identical to q91 — one |sources|-row partial-agg
+    shuffle, broadcast rate table, map-only membership.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens"))
+    per_src = t.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    w = per_src.withColumn("weight", F.floor(F.sqrt(F.col("src_tokens").cast("double"))).cast("bigint"))
+    tot = w.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.sum("weight").alias("total_weight")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget",
+            F.expr(f"((total_tokens * {TEMP_NUM}) div {TEMP_DEN}) * weight div total_weight"),
+        )
+        .select(
+            "source",
+            "src_tokens",
+            F.floor(
+                F.least(F.lit(1.0), F.col("budget").cast("double") / F.col("src_tokens").cast("double"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("thresh_ppm"),
+        )
+    )
+    member = F.pmod(
+        hex16(F.concat(F.lit("temp:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+        F.lit(1000000),
+    )
+    return (
+        t.join(F.broadcast(rates), "source")
+        .where(member < F.col("thresh_ppm"))
+        .groupBy("source", "src_tokens", "thresh_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- q92: cross-document boilerplate blocks -------------------------------
 
 BLOCK_WORDS = 8

@@ -130,3 +130,34 @@ def test_rank_selection_percentiles_match_numpy(run_percentiles, pairs):
         vals = np.array([v for gg, v in pairs if gg == g])
         want = tuple(float(np.quantile(vals, p, method="linear")) for p in (0.1, 0.5, 0.95))
         assert got[g] == pytest.approx(want, rel=1e-12, abs=1e-9), (g, got[g], want)
+
+
+def test_pii_scrub_redaction_semantics(spark):
+    """The q98 regexp program must actually redact real PII shapes —
+    the synthetic corpus is digit-free, so the oracle check there only
+    proves the no-false-positive path; this pins the positive path."""
+    from pandamapreduce_spark.plans.pipeline import PII_DIGITRUN, PII_EMAIL, PII_IPV4
+
+    rows = [
+        ("mail me: jane.doe+x@sub.example.co.uk today", "mail me: <EMAIL> today", 1, 0, 0),
+        ("host 192.168.100.2 and 10.0.0.1 up", "host <IP> and <IP> up", 0, 2, 0),
+        ("acct 1234567890 ref 987654321", "acct <NUM> ref <NUM>", 0, 0, 2),
+        ("12345678 is too short", "12345678 is too short", 0, 0, 0),
+        ("e@b.io at 1.2.3.4 code 123456789", "<EMAIL> at <IP> code <NUM>", 1, 1, 1),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], "text string")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"),
+        PII_DIGITRUN,
+        "<NUM>",
+    )
+    got = df.select(
+        "text",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("ne"),
+        F.regexp_count("text", F.lit(PII_IPV4)).alias("ni"),
+        F.regexp_count("text", F.lit(PII_DIGITRUN)).alias("nd"),
+    ).collect()
+    want = {t: (s, ne, ni, nd) for t, s, ne, ni, nd in rows}
+    for r in got:
+        assert (r.scrubbed, r.ne, r.ni, r.nd) == want[r.text], r.text
