@@ -164,6 +164,23 @@ def test_hybrid_ann_blocks_on_bucket_not_label(spark):
     assert "label#" not in plan, plan
 
 
+def test_pii_scrub_is_map_only(spark):
+    """q98: regexp redaction + counts must stay narrow JVM ops — no
+    hash shuffle, no Python eval; the only exchange is the
+    presentational output sort."""
+    plan = plan_of(spark, "q98_pii_scrub")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_temperature_mixture_broadcasts_rates(spark):
+    """q99: the per-source rate table joins back to the corpus as a
+    broadcast — the fact side must never shuffle for the join."""
+    plan = plan_of(spark, "q99_temperature_mixture")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_multiprobe_broadcasts_query_side(spark):
     """q74: the exploded probe set (queries × 9) broadcasts; the
     corpus is never replicated or cross-joined."""

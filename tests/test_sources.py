@@ -63,3 +63,20 @@ def test_orc_partitioned_roundtrip(spark):
 def test_delta_gated(spark):
     # jar not in this image: must degrade cleanly, never raise
     assert try_delta(spark) is None
+
+
+def test_events_ts_sniffer_handles_dataset_dirs(tmp_path):
+    """_ts_is_nanos must resolve the schema for a single parquet file
+    AND a partitioned dataset directory (pq.read_schema rejects dirs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandamapreduce_spark.streaming.events import _ts_is_nanos
+
+    for sub, typ, want in (("ns_dir", pa.timestamp("ns"), True), ("us_dir", pa.timestamp("us"), False)):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(2):
+            pq.write_table(pa.table({"ts": pa.array([1, 2], typ)}), d / f"part-{i}.parquet")
+        assert _ts_is_nanos(str(d)) is want
+        assert _ts_is_nanos(str(d / "part-0.parquet")) is want
