@@ -65,6 +65,33 @@ def test_terasort_validates(spark):
     assert before == after
 
 
+def test_teravalidate_detects_disorder(spark):
+    """Negative paths of the two-level block validator: an inversion
+    INSIDE a block, an inversion exactly AT a block boundary, and
+    fully unsorted input must all fail; the repaired input passes."""
+    B = tera.VALIDATE_BLOCK
+    n = B + 64  # two blocks in one partition
+    val = bytes(90)
+
+    def df_with_swap(i: int | None):
+        keys = [i_.to_bytes(tera.KEY_LEN, "big") for i_ in range(n)]
+        if i is not None:
+            keys[i], keys[i + 1] = keys[i + 1], keys[i]
+        return spark.createDataFrame([(k, val) for k in keys], tera.TERA_SCHEMA).coalesce(1)
+
+    # sorted → valid
+    assert tera.teravalidate(df_with_swap(None))["all_sorted"]
+    # in-block inversion (middle of block 0)
+    assert not tera.teravalidate(df_with_swap(100))["all_sorted"]
+    # inversion spanning the block-0 / block-1 boundary
+    assert not tera.teravalidate(df_with_swap(B - 1))["all_sorted"]
+    # unsorted gen output: sortedness fails overall
+    gen = tera.teragen(spark, 20_000, num_partitions=2)
+    v = tera.teravalidate(gen)
+    assert not (v["all_sorted"] and v["boundaries_ok"])
+    assert v["n_records"] == 20_000
+
+
 def test_terasort_globally_ordered(spark):
     gen = tera.teragen(spark, 2_000, num_partitions=4)
     keys = [bytes(r.key) for r in tera.terasort(gen, num_partitions=5).collect()]
