@@ -36,6 +36,7 @@ _WINDOW_PRIORITY = [
     "q87b_hybrid_neardup_ann",
     "q98_pii_scrub",
     "q99_temperature_mixture",
+    "q100_global_quality_deciles",
     "q90_sequence_packing",
     "q94_dedup_clusters",
     "q87_hybrid_neardup",

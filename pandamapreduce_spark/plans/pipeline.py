@@ -227,6 +227,106 @@ def q86_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- global quality deciles (distributed exact rank) ----------------------
+
+RANK_RANGES = 64  # range partitions for the global-rank exchange
+
+
+@query(
+    "q100_global_quality_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len({tokens_sql("text")}) AS n_tokens,
+             coalesce(cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)
+                        / nullif(cast(length(text) as double), 0.0), -1.0) AS alpha_ratio
+      FROM documents
+    ),
+    binned AS (
+      SELECT n_tokens, alpha_ratio,
+             cast(ntile(10) OVER (ORDER BY alpha_ratio, doc_id) as int) AS decile
+      FROM scored
+    )
+    SELECT decile, count(*) AS n_docs,
+           {davg_sql("alpha_ratio")} AS avg_alpha,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+    FROM binned GROUP BY decile ORDER BY decile
+    """,
+    doc="GLOBAL quality deciles via distributed exact rank (range partition + per-range row_number + driver prefix) — ntile semantics without a single-partition window.",
+    tags=("pipeline", "quality", "rank"),
+)
+def q100_global_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q86's global form. A naive global ``ntile(10)`` is a
+    single-partition window — one task sorts the corpus. Here the
+    global rank comes from the engine's distributed-rank pattern
+    (q90/q96): range-partition on the full rank key
+    ``(alpha_ratio, doc_id)``, row_number within each range in
+    parallel, and per-range base offsets from one bounded driver
+    collect (one row per range). The ntile bucket is then pure
+    integer arithmetic on (rank, total) — buckets 1..(T mod 10) get
+    ``T div 10 + 1`` rows, the rest ``T div 10`` — exactly DuckDB's
+    ntile, so the oracle hash-matches.
+
+    Scale: one range exchange of (score, id, tokens) triples, fully
+    parallel per-range sorts (spill-capable), ~RANK_RANGES rows to
+    the driver. Result invariant to the range boundaries.
+    """
+    from pyspark.sql import Window
+
+    from pandamapreduce_spark.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.coalesce(
+            F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
+            / F.nullif(F.length("text").cast("double"), F.lit(0.0)),
+            F.lit(-1.0),
+        ).alias("alpha_ratio"),
+    )
+    parts = scoped_persist(
+        scored.repartitionByRange(RANK_RANGES, "alpha_ratio", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # Bounded collect: (pid, n, min full rank key) per range; the head
+    # key must be the min of the FULL (alpha_ratio, doc_id) key so
+    # ranges splitting inside one score value still order correctly.
+    head = F.min(F.struct(F.col("alpha_ratio").alias("a"), F.col("doc_id").alias("d"))).alias("head")
+    per = sorted(
+        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
+        key=lambda r: (r["head"]["a"], r["head"]["d"]),
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("bigint")).otherwise(base)
+        acc += r["n"]
+    total = acc
+    tq, tr = total // 10, total % 10
+    w = Window.partitionBy("pid").orderBy("alpha_ratio", "doc_id")
+    rk = (F.row_number().over(w).cast("bigint") + base).alias("rk")
+    big_cut = tr * (tq + 1)  # ranks ≤ big_cut land in the +1-sized buckets
+    decile = (
+        F.when(F.col("rk") <= big_cut, F.expr(f"(rk - 1) div {tq + 1}"))
+        .otherwise(F.expr(f"{tr} + (rk - 1 - {big_cut}) div {max(tq, 1)}"))
+        .cast("int")
+        + 1
+    )
+    return (
+        parts.select("n_tokens", "alpha_ratio", rk)
+        .withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("alpha_ratio").alias("avg_alpha"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("decile")
+    )
+
+
 # --- hybrid near-dup ------------------------------------------------------
 
 HYBRID_COS = 0.93

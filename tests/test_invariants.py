@@ -259,3 +259,23 @@ def test_dedup_clusters_roots_are_members_and_minimal(spark):
         assert root == min(members)
         assert len(members) == len(set(members))
         assert all(s == len(members) for s in [r["cluster_size"] for r in rows if r["cluster_root"] == root])
+
+
+def test_global_deciles_invariant_to_range_count(spark):
+    """q100's distributed global rank must be invariant to the number
+    of range partitions (the cluster-size knob)."""
+    from pandamapreduce_spark.plans import pipeline
+    from tests.conftest import SF_DIR
+
+    def rows(n_ranges):
+        orig = pipeline.RANK_RANGES
+        pipeline.RANK_RANGES = n_ranges
+        try:
+            return [
+                tuple(r)
+                for r in pipeline.q100_global_quality_deciles(spark, SF_DIR).collect()
+            ]
+        finally:
+            pipeline.RANK_RANGES = orig
+
+    assert rows(3) == rows(17)
