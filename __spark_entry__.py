@@ -37,6 +37,8 @@ _WINDOW_PRIORITY = [
     "q98_pii_scrub",
     "q99_temperature_mixture",
     "q100_global_quality_deciles",
+    "q43b_asof_forward_tolerance",
+    "q43_asof_join",
     "q90_sequence_packing",
     "q94_dedup_clusters",
     "q87_hybrid_neardup",

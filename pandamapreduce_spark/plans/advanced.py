@@ -288,6 +288,50 @@ def q43_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q43b_asof_forward_tolerance",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+         cand AS (
+           SELECT p.event_id, c.click_id, c.click_ts,
+                  row_number() OVER (PARTITION BY p.event_id ORDER BY c.click_ts, c.click_id) AS rn
+           FROM purchases p JOIN clicks c
+             ON p.user_id = c.user_id
+            AND c.click_ts >= p.ts AND c.click_ts <= p.ts + INTERVAL 10 MINUTE
+         )
+    SELECT p.event_id, p.user_id, c.click_id, c.click_ts
+    FROM purchases p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+    ORDER BY p.event_id
+    """,
+    doc="Forward as-of join with tolerance: each purchase matched to the user's NEXT click within 10 minutes; duplicate-tie order pinned (window-SQL oracle, not ASOF, because DuckDB's ASOF resolves duplicate timestamps arbitrarily).",
+    tags=("join", "asof"),
+)
+def q43b_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43's forward twin with a match-distance bound — attribution
+    windows ("next click within 10 min") are the canonical use. Same
+    operator, ``direction='forward'`` + ``tolerance_micros``: the
+    window flips to first-non-null over [current, following] and the
+    tolerance is a post-window null-out — still one shuffle on the
+    key, no range explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        direction="forward",
+        tolerance_micros=600_000_000,
+    )
+    return out.select("event_id", "user_id", "click_id", "click_ts").orderBy("event_id")
+
+
+@query(
     "q44_range_join",
     oracle="""
     SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id
