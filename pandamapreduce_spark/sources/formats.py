@@ -49,3 +49,25 @@ def try_delta(spark: SparkSession):
         return delta
     except ImportError:
         return None
+
+
+def has_avro(spark: SparkSession) -> bool:
+    """Avro source availability, gated: Spark's avro DATA SOURCE is an
+    external module (spark-avro jar) even though the avro core libs
+    ship in jars/ — this image has the libs but not the source module.
+    Probe once; callers degrade to parquet when False."""
+    try:
+        spark.read.format("avro").load("/nonexistent-avro-probe")
+        return True  # pragma: no cover - only on images with spark-avro
+    except Exception as e:
+        # missing module raises AnalysisException FAILED_TO_FIND_DATA_SOURCE
+        # before any path access; a path error means the source EXISTS
+        return "Failed to find data source" not in str(e)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.format("avro").mode(mode).save(path)

@@ -80,3 +80,18 @@ def test_events_ts_sniffer_handles_dataset_dirs(tmp_path):
             pq.write_table(pa.table({"ts": pa.array([1, 2], typ)}), d / f"part-{i}.parquet")
         assert _ts_is_nanos(str(d)) is want
         assert _ts_is_nanos(str(d / "part-0.parquet")) is want
+
+
+def test_avro_gated(spark):
+    """spark-avro module absent from this image: the probe must say so
+    cleanly; where present, a roundtrip must work."""
+    from pandamapreduce_spark.sources.formats import has_avro, read_avro, write_avro
+
+    if not has_avro(spark):
+        return  # gated: this image lacks the avro source module
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:  # pragma: no cover
+        df = spark.range(5).withColumnRenamed("id", "v")
+        write_avro(df, f"{d}/a")
+        assert read_avro(spark, f"{d}/a").count() == 5
