@@ -39,9 +39,6 @@ _WINDOW_PRIORITY = [
     "q100_global_quality_deciles",
     "q43b_asof_forward_tolerance",
     "q43_asof_join",
-    "q90_sequence_packing",
-    "q94_dedup_clusters",
-    "q87_hybrid_neardup",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",
@@ -82,7 +79,11 @@ _WINDOW_PRIORITY = [
     "q70_multimodal_meta",
     "q72_frame_sample",
     "q73_resize",
-    # (e) round-2-green regression sentinels
+    # (e) scoped-persist-touched plans (results unchanged; local
+    # parity green) and round-2-green regression sentinels
+    "q90_sequence_packing",
+    "q94_dedup_clusters",
+    "q87_hybrid_neardup",
     "q01_pricing_summary",
     "q20_wordcount",
     "q32_minhash_lsh_candidates",
