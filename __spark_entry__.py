@@ -39,6 +39,7 @@ _WINDOW_PRIORITY = [
     "q100_global_quality_deciles",
     "q43b_asof_forward_tolerance",
     "q43_asof_join",
+    "q101_bigram_nll",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

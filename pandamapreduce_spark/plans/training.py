@@ -276,6 +276,92 @@ def q99_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q101: bigram LM negative-log-likelihood scoring ----------------------
+
+
+@query(
+    "q101_bigram_nll",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+      WHERE len({tokens_sql("text")}) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([struct_pack(w1 := toks[i+1], w2 := toks[i+2])
+                     for i in range(0, cast(len(toks) - 1 as int))],
+                    recursive := true)
+      FROM t
+    ),
+    bc AS (SELECT w1, w2, cast(count(*) as bigint) AS c12 FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, cast(count(*) as bigint) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+      SELECT cast(count(DISTINCT tok) as bigint) AS v
+      FROM (SELECT unnest({tokens_sql("text")}) AS tok FROM documents)
+    )
+    SELECT bg.doc_id,
+           cast(count(*) as bigint) AS n_bigrams,
+           cast(sum(cast(round(-ln(cast(bc.c12 + 1 as double) / cast(uc.c1 + vocab.v as double)), 9)
+                         as decimal(18,9))) as double)
+             / cast(count(*) as double) AS avg_nll
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    doc="Bigram-LM quality score: per-doc mean negative log-likelihood under an add-one-smoothed corpus bigram model (CCNet-style LM filtering shape).",
+    tags=("training", "quality", "lm"),
+)
+def q101_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filtering, self-trained: fit an add-one-
+    smoothed bigram model on the corpus, score every document by its
+    mean token NLL — the CCNet/Wikipedia-LM filtering recipe with the
+    n-gram model standing in for KenLM (not in this image). High
+    NLL = improbable token sequences = gibberish candidates; low =
+    repetitive/boilerplate candidates.
+
+    Scale shape: bigram and unigram count tables are partial-agg
+    shuffles of (token-pair, count) — never document bodies; scoring
+    joins the exploded doc bigrams to those tables on the bigram key
+    (shuffle join — the model table is corpus-vocabulary-sized, NOT
+    broadcastable at real scale) plus a 1-row broadcast for |V|.
+
+    Float contract: each -ln(p) term rounds to 9 decimals and sums
+    exactly as decimal(18,9) (ulp-level libm differences between JVM
+    and DuckDB vanish at 1e-9); the final mean divides two exactly-
+    representable doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(F.col("toks")[i].alias("w1"), F.col("toks")[i + 1].alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    term = F.round(
+        -F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")), 9
+    ).cast("decimal(18,9)")
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(term).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- q92: cross-document boilerplate blocks -------------------------------
 
 BLOCK_WORDS = 8
