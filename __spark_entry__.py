@@ -40,6 +40,7 @@ _WINDOW_PRIORITY = [
     "q43b_asof_forward_tolerance",
     "q43_asof_join",
     "q101_bigram_nll",
+    "q34b_simhash_neardup",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -233,6 +233,139 @@ def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.groupBy("doc_id").agg(total.cast("bigint").alias("simhash")).orderBy("doc_id")
 
 
+# q34b: a wider fingerprint for PAIR detection — 16 bits can't be
+# banded usefully (4-bit band keys = 16 buckets = everything
+# collides); 48 bits give 4 × 12-bit bands, and bands > HAM_K
+# guarantees (pigeonhole) every pair at hamming ≤ HAM_K shares a band.
+SIMHASH_PAIR_BITS = 48
+HAM_BANDS = 4
+HAM_K = 3
+_BAND_W = SIMHASH_PAIR_BITS // HAM_BANDS
+
+
+def _simhash_pair_sql() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_PAIR_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokens_sql("text")}) AS t FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, {hex16_sql("t")} AS h, count(*) AS w
+      FROM tok GROUP BY doc_id, t
+    )
+    SELECT doc_id, cast({votes} as bigint) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+
+@query(
+    "q34b_simhash_neardup",
+    oracle=f"""
+    WITH sh AS ({_simhash_pair_sql()}),
+    bands AS (
+      SELECT doc_id, simhash,
+             unnest([struct_pack(band := i, key := (simhash >> (i * {_BAND_W})) & {(1 << _BAND_W) - 1})
+                     for i in range(0, {HAM_BANDS})], recursive := true)
+      FROM sh
+    ),
+    ok AS (
+      SELECT band, key FROM bands
+      GROUP BY band, key HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM bands a
+      JOIN ok o ON a.band = o.band AND a.key = o.key
+      JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) as int) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {HAM_K}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"SimHash near-dup pairs: {SIMHASH_PAIR_BITS}-bit fingerprint, {HAM_BANDS}-band Hamming-LSH (bucket-capped), verified hamming ≤ {HAM_K}.",
+    tags=("dedup", "simhash", "lsh"),
+)
+def q34b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Google-crawl dedup recipe (Manku et al., WWW'07 idea as
+    bands): near-dup ⟺ simhash hamming distance ≤ {HAM_K}. Pigeonhole
+    over {HAM_BANDS} bands of {_BAND_W} bits each guarantees recall at
+    the threshold — a qualifying pair agrees exactly on ≥1 band — so
+    candidates come from an EQUI-join on (band, key), never a pair
+    scan; the q32 bucket cap kills boilerplate-key skew identically in
+    the oracle.
+
+    Scale: fingerprints are one bigint/doc; bands shuffle (band, key,
+    doc_id, simhash) ≈ 30 B/doc × {HAM_BANDS}; verification is a
+    JVM ``bit_count(xor)`` on the candidate set only.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    bits = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("w")).withColumn("h", hex16("t"))
+    # one plain arithmetic sum per bit (±w as (2·bit−1)·w, no CASE),
+    # assembled into the fingerprint post-agg: 48 CASE-inside-sum
+    # trees in a single aggregate expression measurably stall codegen
+    # (~30 s plan compile at 48 bits); this form is flat.
+    aggs = [
+        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1) * F.col("w")).alias(f"v{j}")
+        for j in range(SIMHASH_PAIR_BITS)
+    ]
+    votes = bits.groupBy("doc_id").agg(*aggs)
+    total = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_PAIR_BITS):
+        total = total + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    sh = votes.select("doc_id", total.cast("bigint").alias("simhash"))
+
+    mask = (1 << _BAND_W) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * _BAND_W).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(HAM_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.key")
+    ok = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
+        .select("band", "key")
+    )
+    kept = bands.join(ok, ["band", "key"])
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.where(ham <= HAM_K)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "q35_embedding_neardup",
     oracle=f"""
