@@ -84,8 +84,17 @@ def q80_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha_ratio"
         ),
     )
-    filtered = quality.where(
-        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA) & (F.col("lang").isin(*KEEP_LANGS))
+    from pandamapreduce_spark.caching import scoped_persist
+
+    # scoped: three branches (exact hash, LSH shingles, final join)
+    # consume the filtered projection — uncached, each re-scans and
+    # re-tokenizes the corpus; at 100 TB that is two extra full scans
+    # vs a disk-backed cache of the ~filtered half. Released at the
+    # next registry dispatch.
+    filtered = scoped_persist(
+        quality.where(
+            (F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA) & (F.col("lang").isin(*KEEP_LANGS))
+        )
     )
     from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
 
