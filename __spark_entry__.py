@@ -41,6 +41,8 @@ _WINDOW_PRIORITY = [
     "q43_asof_join",
     "q101_bigram_nll",
     "q34b_simhash_neardup",
+    "q102_context_chunks",
+    "q103_dedup_keep_best",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

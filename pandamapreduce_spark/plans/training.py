@@ -666,14 +666,136 @@ def q96_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _patch_q94_oracle() -> None:
+# --- q102: context-window chunking (sliding token windows) ----------------
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+@query(
+    "q102_context_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    s AS (
+      SELECT doc_id, toks, n,
+             cast(g AS bigint) AS start_tok,
+             cast(g // {CHUNK_STRIDE} AS bigint) AS chunk_idx
+      FROM (SELECT doc_id, toks, n, unnest(range(0, n, {CHUNK_STRIDE})) AS g FROM n)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           cast(least({CHUNK_TOKENS}, n - start_tok) AS bigint) AS chunk_len,
+           array_to_string(list_slice(toks, start_tok + 1, start_tok + {CHUNK_TOKENS}), ' ') AS chunk_text
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Sliding-window context chunking: {CHUNK_TOKENS}-token chunks at stride {CHUNK_STRIDE} per document, map-only.",
+    tags=("training", "chunking", "text"),
+)
+def q102_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the standard long-document treatment for a bounded-context model
+    (BERT/RoBERTa-style stride chunking): {CHUNK_TOKENS}-token chunks
+    every {CHUNK_STRIDE} tokens, so consecutive chunks share a
+    {CHUNK_TOKENS - CHUNK_STRIDE}-token overlap and the tail chunk may
+    be short. Unlike q90 (cross-document concat-and-pack), chunks never
+    cross document boundaries.
+
+    Scale shape: entirely map-side — tokenize, ``sequence`` of chunk
+    starts, ``posexplode``, ``slice`` — zero shuffle, zero Python; the
+    fan-out is ~n_tokens/{CHUNK_STRIDE} rows per document, produced in
+    the same task that scanned the document.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+    )
+    e = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))).alias("chunk_idx", "start_tok"),
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start_tok")).cast("bigint").alias("chunk_len"),
+        F.array_join(F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(CHUNK_TOKENS)), " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# --- q103: dedup resolution apply (keep one survivor per cluster) ---------
+
+
+@query(
+    "q103_dedup_keep_best",
+    oracle="""
+    WITH clusters AS ({q94}),
+    scored AS (
+      SELECT c.doc_id, c.cluster_root, c.cluster_size, d.n_chars
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    r AS (
+      SELECT cluster_root, cluster_size, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_root ORDER BY n_chars DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT cluster_root, cluster_size, doc_id AS keep_doc, n_chars AS keep_chars,
+           cast(cluster_size - 1 AS bigint) AS n_dropped
+    FROM r WHERE rn = 1 ORDER BY cluster_root
+    """,
+    doc="Dedup apply: one canonical survivor per q94 near-dup cluster (longest doc, doc_id tie-break).",
+    tags=("training", "dedup"),
+)
+def q103_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that completes the dedup pipeline (candidates → verify
+    → cluster → RESOLVE): per q94 cluster, keep the longest member
+    (``n_chars``, ties to the lowest doc_id) and report how many
+    duplicates the cluster drops. Production pipelines anti-join the
+    corpus against the non-survivors; the survivor table here is the
+    driving artifact.
+
+    Scale shape: the cluster-member table is a small fraction of the
+    corpus, and the corpus side is pruned to (doc_id, n_chars) before
+    the equi-join — AQE broadcasts the member side when it fits (no
+    forced hint: at 50%-duplicate scales it must stay a shuffle join).
+    The argmax window partitions by cluster_root; near-dup clusters
+    are shallow, so no partition skews.
+    """
+    labels = q94_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_root", "cluster_size")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = docs.join(labels, "doc_id")
+    w = Window.partitionBy("cluster_root").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_root",
+            "cluster_size",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("n_chars").alias("keep_chars"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_root")
+    )
+
+
+def _patch_composed_oracles() -> None:
     """q94's oracle embeds q33's oracle verbatim so the two stay in
-    lockstep with the LSH parameters."""
+    lockstep with the LSH parameters; q103's embeds (patched) q94's.
+    String ``replace`` (not ``format``) for q103 because the embedded
+    SQL may itself contain braces."""
     from pandamapreduce_spark.plans.registry import REGISTRY
 
     q33_sql = REGISTRY["q33_neardup_verified"].oracle
     q94 = REGISTRY["q94_dedup_clusters"]
     q94.oracle = q94.oracle.format(q33=q33_sql)
+    q103 = REGISTRY["q103_dedup_keep_best"]
+    q103.oracle = q103.oracle.replace("{q94}", q94.oracle)
 
 
-_patch_q94_oracle()
+_patch_composed_oracles()
