@@ -213,3 +213,26 @@ def test_boilerplate_blocks_shuffles_hashes_only(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_context_chunks_is_map_only(spark):
+    """q102 fans each doc out to its chunk windows in the scanning
+    task: no join, no aggregation, no Python eval — the only exchange
+    is the presentational orderBy, and the scan reads just
+    doc_id + text."""
+    plan = plan_of(spark, "q102_context_chunks")
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "lang" not in schema and "n_chars" not in schema, schema
+
+
+def test_dedup_keep_best_prunes_corpus_scan(spark):
+    """q103 joins the (small) cluster-member table against the corpus:
+    the corpus side must be pruned to (doc_id, n_chars) — no second
+    full-text read — and nothing may degenerate to a cross join."""
+    plan = plan_of(spark, "q103_dedup_keep_best")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "struct<doc_id:bigint,n_chars:bigint>" in plan, plan
