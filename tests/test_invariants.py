@@ -279,3 +279,33 @@ def test_global_deciles_invariant_to_range_count(spark):
             pipeline.RANK_RANGES = orig
 
     assert rows(3) == rows(17)
+
+
+def test_context_chunks_cover_every_token(spark):
+    """q102: per document, chunk starts step by STRIDE from 0, every
+    token index lands in >=1 chunk, lengths are min(CHUNK, n-start),
+    and rebuilding the doc from the non-overlapping chunk prefixes
+    reproduces the tokenized text exactly."""
+    from pandamapreduce_spark.plans.training import CHUNK_STRIDE, CHUNK_TOKENS, q102_context_chunks
+
+    chunks = q102_context_chunks(spark, SF_DIR).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+    assert len(chunks) > 0
+    for doc_id, g in chunks.groupby("doc_id"):
+        toks = docs[doc_id].split()
+        n = len(toks)
+        g = g.sort_values("chunk_idx")
+        assert list(g["start_tok"]) == [i * CHUNK_STRIDE for i in range(len(g))]
+        assert (g["chunk_len"] == g["start_tok"].map(lambda s: min(CHUNK_TOKENS, n - s))).all()
+        # full coverage: last chunk reaches the last token
+        assert g["start_tok"].iloc[-1] + g["chunk_len"].iloc[-1] == n
+        # stride prefixes reassemble the document's token stream
+        rebuilt = []
+        for _, row in g.iterrows():
+            rebuilt.extend(row["chunk_text"].split()[: CHUNK_STRIDE])
+        assert rebuilt == toks
