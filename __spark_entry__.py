@@ -44,6 +44,7 @@ _WINDOW_PRIORITY = [
     "q102_context_chunks",
     "q103_dedup_keep_best",
     "q104_cms_heavy_hitters",
+    "q105_stream_cms_heavy_hitters",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -87,11 +87,13 @@ CMS_W = 2048  # buckets per row (~e/W relative error on the token mass)
 CMS_PROBES = ("the", "a", "of", "and", "to", "in", "zyzzyva", "qwertyuiop")
 
 
-def _cms_buckets(col, salt: str = "cms"):
+def _cms_buckets(col, salt: str = "cms", d: int | None = None, w: int | None = None):
     from pandamapreduce_spark.functions import hex16
 
+    d = CMS_D if d is None else d
+    w = CMS_W if w is None else w
     return F.array(
-        *[F.pmod(hex16(F.concat(F.lit(f"{salt}{d}:"), col)), F.lit(CMS_W)) for d in range(CMS_D)]
+        *[F.pmod(hex16(F.concat(F.lit(f"{salt}{i}:"), col)), F.lit(w)) for i in range(d)]
     )
 
 

@@ -315,3 +315,90 @@ def q76_stream_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.run_to_completion(out_stream, spark, mode="append")
     return out.orderBy("doc_id")
+
+
+# --- q105: streaming count-min sketch (per-day heavy hitters) -------------
+
+SCMS_D = 4
+SCMS_W = 256
+# Fixed probe list (the CMS use-case: estimate named keys without
+# storing per-key state). "refund" is absent from the testdata domain
+# — it pins the zero/collision path.
+SCMS_PROBES = ("click", "error", "purchase", "refund", "signup", "view")
+
+
+def _scms_oracle() -> str:
+    from pandamapreduce_spark.functions import hex16_sql
+
+    sk_bucket = hex16_sql("concat('scms', cast(d as varchar), ':', event_type)")
+    pb_bucket = hex16_sql("concat('scms', cast(d as varchar), ':', word)")
+    return f"""
+    WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events),
+    ds AS (SELECT unnest(range(0, {SCMS_D})) AS d),
+    sk AS (
+      SELECT day, d, {sk_bucket} % {SCMS_W} AS bucket, cast(count(*) as bigint) AS cnt
+      FROM ev, ds GROUP BY 1, 2, 3
+    ),
+    probes(word) AS (VALUES {", ".join(f"('{w}')" for w in SCMS_PROBES)}),
+    pb AS (
+      SELECT word, d, {pb_bucket} % {SCMS_W} AS bucket FROM probes, ds
+    ),
+    grid AS (
+      SELECT dy.day, pb.word, pb.d, pb.bucket
+      FROM (SELECT DISTINCT day FROM ev) dy, pb
+    ),
+    est AS (
+      SELECT day, word, cast(min(coalesce(sk.cnt, 0)) as bigint) AS est_count
+      FROM grid LEFT JOIN sk USING (day, d, bucket) GROUP BY 1, 2
+    )
+    SELECT day, word, est_count FROM est ORDER BY day, word
+    """
+
+
+@query(
+    "q105_stream_cms_heavy_hitters",
+    oracle=_scms_oracle(),
+    doc=f"Streaming count-min sketch: per-day {SCMS_D}x{SCMS_W} counters maintained as a windowed streaming agg (bounded state for an unbounded key domain); probe estimates hash-checked vs the batch construction.",
+    tags=("streaming", "sketch", "cms", "approx"),
+)
+def q105_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of q104's sketch: each event increments
+    {SCMS_D} per-day bucket counters, maintained by a tumbling-window
+    streaming aggregation. The state the stream carries is the SKETCH
+    — ≤ days×{SCMS_D}×{SCMS_W} cells — not per-key counts, which is
+    the point: frequency estimates over an unbounded key domain with
+    bounded, watermark-evictable state. After completion the probe
+    lookup (min over hash rows) runs batch-side against the finished
+    day sketches.
+
+    Scale shape: the pre-aggregation in each micro-batch collapses
+    task output to ≤ {SCMS_D}×{SCMS_W} rows per day touched, so the
+    shuffle and the state store stay fixed-size no matter the event
+    rate; day sketches merge cellwise across restarts/backfills.
+    """
+    from pandamapreduce_spark.plans.sketches import _cms_buckets
+
+    stream = ev.events_stream(spark, sf_dir)
+    entries = stream.select(
+        "ts",
+        F.posexplode(_cms_buckets(F.col("event_type"), salt="scms", d=SCMS_D, w=SCMS_W)).alias("d", "bucket"),
+    )
+    agg = (
+        entries.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("win"), "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("day"), "d", "bucket", "cnt")
+    )
+    sk = ev.run_to_completion(agg, spark)
+    probes = spark.createDataFrame([(w,) for w in SCMS_PROBES], "word string")
+    pb = probes.select(
+        "word",
+        F.posexplode(_cms_buckets(F.col("word"), salt="scms", d=SCMS_D, w=SCMS_W)).alias("d", "bucket"),
+    )
+    grid = sk.select("day").distinct().crossJoin(pb)
+    return (
+        grid.join(sk, ["day", "d", "bucket"], "left")
+        .groupBy("day", "word")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+        .orderBy("day", "word")
+    )
