@@ -45,6 +45,7 @@ _WINDOW_PRIORITY = [
     "q103_dedup_keep_best",
     "q104_cms_heavy_hitters",
     "q105_stream_cms_heavy_hitters",
+    "q106_final_corpus",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

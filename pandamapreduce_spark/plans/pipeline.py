@@ -654,3 +654,132 @@ def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
         .orderBy("lang")
     )
+
+
+# --- q106: final corpus materialization (the whole pipeline, doc-level) ---
+
+CONTAM_MAX = 0.5  # drop a train doc when > half its 4-grams hit the eval set
+
+
+@query(
+    "q106_final_corpus",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, source, text,
+             len({tokens_sql("text")}) AS n_tokens,
+             (cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)
+                / cast(length(text) as double)) AS alpha_ratio
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM quality
+      WHERE n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
+        AND lang IN ({", ".join(f"'{lang}'" for lang in KEEP_LANGS)})
+    ),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5({normalize_text_sql("text")})
+    ),
+    near_dups AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({_lsh_pairs_sql("filtered")})
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest({word_ngrams_sql("text", CONTAM_NGRAM)}) AS g
+      FROM documents WHERE doc_id < {EVAL_DOCS}
+    ),
+    train_grams AS (
+      SELECT doc_id, unnest({word_ngrams_sql("text", CONTAM_NGRAM)}) AS g
+      FROM documents WHERE doc_id >= {EVAL_DOCS}
+    ),
+    contaminated AS (
+      SELECT t.doc_id
+      FROM train_grams t LEFT JOIN eval_grams e ON t.g = e.g
+      GROUP BY t.doc_id
+      HAVING cast(count(e.g) as double) / cast(count(*) as double) > {CONTAM_MAX}
+    ),
+    kept AS (
+      SELECT f.* FROM filtered f
+      JOIN exact_keep e ON f.doc_id = e.doc_id
+      WHERE f.doc_id NOT IN (SELECT doc_id FROM near_dups)
+        AND f.doc_id >= {EVAL_DOCS}
+        AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, lang, source, cast(n_tokens as bigint) AS n_tokens, md5(text) AS text_md5
+    FROM kept ORDER BY doc_id
+    """,
+    doc="Final training-corpus materialization: quality + language filters, exact dedup, LSH near-dup removal, eval-set exclusion AND decontamination — doc-level output with content md5.",
+    tags=("pipeline", "dedup", "contamination", "quality"),
+)
+def q106_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact the whole engine exists to produce: the cleaned,
+    deduplicated, decontaminated training corpus as a doc-level table
+    (content-addressed via md5 so the materialization is value-checked,
+    not just counted). Extends q80's cleaning composition with the two
+    eval-safety stages: eval docs themselves leave the corpus, and any
+    train doc whose {CONTAM_NGRAM}-gram overlap with the eval set
+    exceeds {CONTAM_MAX} is dropped — even when its exact/near-dup
+    survivor status would have kept it.
+
+    Scale shape: all of q80's properties hold (filters first, LSH on
+    survivors only, hash-only shuffles); the contamination stage adds
+    one broadcast of the eval n-gram universe (benchmarks are small by
+    definition) and one doc_id-keyed count shuffle. The three
+    exclusion sets (near-dups, contaminated, non-representatives)
+    join as semi/anti joins on doc_id — document bodies still never
+    shuffle."""
+    from pandamapreduce_spark.caching import scoped_persist
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double") / F.length("text").cast("double")).alias(
+            "alpha_ratio"
+        ),
+    )
+    filtered = scoped_persist(
+        quality.where(
+            (F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA) & (F.col("lang").isin(*KEEP_LANGS))
+        )
+    )
+    exact_keep = filtered.groupBy(F.md5(normalize_text("text")).alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    near_dups = (
+        minhash_band_pairs(filtered.select("doc_id", "text"), max_bucket_size=MAX_BUCKET)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    grams = word_ngrams("text", CONTAM_NGRAM)
+    eval_grams = (
+        docs.where(F.col("doc_id") < EVAL_DOCS)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_grams = docs.where(F.col("doc_id") >= EVAL_DOCS).select("doc_id", F.explode(grams).alias("g"))
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("__hit").alias("n_hit"))
+        .where(F.col("n_hit").cast("double") / F.col("n_grams").cast("double") > CONTAM_MAX)
+        .select("doc_id")
+    )
+    kept = (
+        filtered.where(F.col("doc_id") >= EVAL_DOCS)
+        .join(exact_keep.select("doc_id"), "doc_id", "left_semi")
+        .join(near_dups, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return (
+        kept.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )

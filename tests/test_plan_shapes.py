@@ -236,3 +236,15 @@ def test_dedup_keep_best_prunes_corpus_scan(spark):
     plan = plan_of(spark, "q103_dedup_keep_best")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "struct<doc_id:bigint,n_chars:bigint>" in plan, plan
+
+
+def test_final_corpus_never_shuffles_bodies(spark):
+    """q106 (the full pipeline materialization): no cartesian anywhere,
+    and no exchange may carry document text — exact dedup ships
+    (hash, doc_id), LSH ships (band, signature), contamination ships
+    (doc_id, counts)."""
+    plan = plan_of(spark, "q106_final_corpus")
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
