@@ -46,6 +46,7 @@ _WINDOW_PRIORITY = [
     "q104_cms_heavy_hitters",
     "q105_stream_cms_heavy_hitters",
     "q106_final_corpus",
+    "q107_tokenize_ids",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

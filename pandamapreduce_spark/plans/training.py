@@ -666,6 +666,75 @@ def q96_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q107: tokenizer encode (corpus -> token-id sequences) ----------------
+
+UNK_ID = -1
+
+
+@query(
+    "q107_tokenize_ids",
+    oracle=f"""
+    WITH vocab AS ({{q96}}),
+    t AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM t
+    ),
+    enc AS (
+      SELECT doc_id,
+             cast(count(*) as bigint) AS n_tokens,
+             cast(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) as bigint) AS n_unk,
+             md5(string_agg(cast(coalesce(v.token_id, {UNK_ID}) as varchar), ',' ORDER BY pos)) AS ids_md5
+      FROM tok LEFT JOIN vocab v USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_unk, ids_md5 FROM enc ORDER BY doc_id
+    """,
+    doc="Tokenizer encode: every document's token stream mapped to q96 vocab ids (OOV -> -1); per-doc id-sequence md5 value-checks the exact encoding.",
+    tags=("training", "vocab", "text"),
+)
+def q107_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the tokenizer pair (q96 builds the vocab,
+    this applies it): each document becomes its ordered token-id
+    sequence, with out-of-vocabulary tokens mapped to {UNK_ID}. The
+    output is content-addressed — the md5 of the comma-joined id
+    sequence — so the driver checks the exact per-position encoding,
+    not just counts.
+
+    Scale shape: the vocab broadcasts (even a 10^6-term vocab is tens
+    of MB of (token, id) pairs), so the corpus-side token stream maps
+    to ids WITHOUT shuffling token strings; the only exchange carries
+    (doc_id, pos, id) integers for the per-doc regroup. At 100 TB the
+    regroup can be avoided entirely by encoding per-partition with the
+    broadcast vocab inside one mapInArrow pass; the declarative form
+    here keeps the whole plan in Catalyst and its shuffle is already
+    id-width, not text-width.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    vocab = q96_vocab_build(spark, sf_dir).select("token", "token_id")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    j = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("token_id"), F.lit(UNK_ID)).alias("tid")
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == UNK_ID, 1).otherwise(0)).cast("bigint").alias("n_unk"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                        lambda p: p["tid"].cast("string"),
+                    ),
+                )
+            ).alias("ids_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- q102: context-window chunking (sliding token windows) ----------------
 
 CHUNK_TOKENS = 128
@@ -796,6 +865,8 @@ def _patch_composed_oracles() -> None:
     q94.oracle = q94.oracle.format(q33=q33_sql)
     q103 = REGISTRY["q103_dedup_keep_best"]
     q103.oracle = q103.oracle.replace("{q94}", q94.oracle)
+    q107 = REGISTRY["q107_tokenize_ids"]
+    q107.oracle = q107.oracle.replace("{q96}", REGISTRY["q96_vocab_build"].oracle)
 
 
 _patch_composed_oracles()
