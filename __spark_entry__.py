@@ -47,6 +47,10 @@ _WINDOW_PRIORITY = [
     "q105_stream_cms_heavy_hitters",
     "q106_final_corpus",
     "q107_tokenize_ids",
+    "q108_full_outer_join",
+    "q109_higher_order_funcs",
+    "q110_source_cap",
+    "q111_stream_sliding",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -598,3 +598,59 @@ def q17_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+@query(
+    "q108_full_outer_join",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 7500
+    ), rev AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             cast(round(sum(cast(o_totalprice as decimal(18,6))), 2) as double) AS revenue_1995
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           c_name, c_acctbal, n_orders, revenue_1995
+    FROM rich FULL OUTER JOIN rev ON c_custkey = o_custkey
+    ORDER BY custkey
+    """,
+    doc="Full outer join: high-balance customers reconciled against 1995 order revenue; either side may be unmatched.",
+    tags=("join", "outer"),
+)
+def q108_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the join-type surface (inner/left/semi/anti/cogroup/
+    as-of/range already covered). Scale: full outer join cannot
+    broadcast either side (unmatched rows of BOTH sides must survive),
+    so Catalyst picks a shuffle sort-merge join on custkey — the
+    correct 100 TB plan; the orders side is pre-aggregated to one row
+    per customer before the join, so join input is bounded by customer
+    cardinality, not order count."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.where(F.col("c_acctbal") > 7500).select("c_custkey", "c_name", "c_acctbal")
+    rev = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).cast("double").alias("revenue_1995"),
+        )
+    )
+    return (
+        rich.join(rev, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            "c_name",
+            "c_acctbal",
+            "n_orders",
+            "revenue_1995",
+        )
+        .orderBy("custkey")
+    )

@@ -108,3 +108,39 @@ def q83_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q109_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(cast(embedding as double[]), x -> x > 0)) AS n_pos,
+           list_aggregate(cast(embedding as double[]), 'max') AS max_val,
+           list_dot_product(cast(embedding as double[]), cast(embedding as double[])) AS l2sq
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Array higher-order functions (filter/transform/zip_with/aggregate) over the embedding column, all JVM-side.",
+    tags=("functions", "array"),
+)
+def q109_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only — every expression is a Catalyst higher-order
+    function (filter / array_max / zip_with+aggregate via ``dot``), so
+    the whole plan is one codegen'd projection with zero shuffle and
+    zero Python. l2sq reuses the engine's sequential-fold ``dot`` whose
+    evaluation order matches DuckDB's list_dot_product bitwise."""
+    from pyspark.sql import functions as F
+
+    from pandamapreduce_spark.functions import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return (
+        e.select(
+            "vec_id",
+            F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+            F.array_max(arr).alias("max_val"),
+            dot("embedding", "embedding").alias("l2sq"),
+        )
+        .orderBy("vec_id")
+    )

@@ -402,3 +402,35 @@ def q105_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
         .orderBy("day", "word")
     )
+
+
+@query(
+    "q111_stream_sliding",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS s0
+      FROM events
+    ), x AS (
+      SELECT event_type, value, u.ws
+      FROM ev, unnest([s0, s0 - INTERVAL 30 MINUTE]) AS u(ws)
+    )
+    SELECT ws AS win_start, event_type, count(*) AS n,
+           cast(round(sum(cast(value as decimal(18,6))), 2) as double) AS total_value
+    FROM x GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    doc="Streaming sliding-window aggregate (1h window / 30m slide) run to completion; oracle = batch expansion of each event into its two overlapping windows.",
+    tags=("streaming", "agg", "window"),
+)
+def q111_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows are the overlap generalization of q60's tumbling
+    windows: the state store keeps window(ts)/slide = 2 open panes per
+    key instead of 1. Scale: state is O(open windows × event types),
+    bounded by the 2-hour watermark; each input row fans out to exactly
+    two panes map-side (no extra shuffle vs tumbling)."""
+    stream = ev.events_stream(spark, sf_dir)
+    out = ev.run_to_completion(ev.sliding_agg(stream), spark)
+    return out.orderBy("win_start", "event_type")

@@ -853,6 +853,42 @@ def q103_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOURCE_CAP = 40  # max documents kept per source
+
+
+@query(
+    "q110_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(cast(doc_id as varchar)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {SOURCE_CAP}
+    ORDER BY doc_id
+    """,
+    doc=f"Per-source document cap: keep at most {SOURCE_CAP} docs per source, selected by deterministic hash rank (domain/source capping, a standard pretraining-mixture control).",
+    tags=("training", "sampling"),
+)
+def q110_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir-style cap: rank docs within each source
+    by md5(doc_id) — a uniform, rerun-stable permutation — and keep the
+    first SOURCE_CAP. Scale: one shuffle on source; a hot source makes
+    a hot partition, but the window needs only rank ≤ K, so on a real
+    cluster this becomes the two-phase form (per-partition top-K then
+    top-K-of-top-Ks, cf. rank_stats) — documented here because at
+    K=40 the single window is the right local plan. md5 (not xxhash)
+    so the oracle permutation matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _patch_composed_oracles() -> None:
     """q94's oracle embeds q33's oracle verbatim so the two stay in
     lockstep with the LSH parameters; q103's embeds (patched) q94's.

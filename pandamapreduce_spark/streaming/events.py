@@ -85,6 +85,20 @@ def hourly_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes with a 2-hour watermark:
+    each event lands in exactly two overlapping windows."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
 def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (streaming twin of q12_sessionize)."""
     return (
