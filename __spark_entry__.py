@@ -51,6 +51,7 @@ _WINDOW_PRIORITY = [
     "q109_higher_order_funcs",
     "q110_source_cap",
     "q111_stream_sliding",
+    "q112_gap_fill",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -567,3 +567,64 @@ def q65_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "g_hour", F.col("hour").asc_nulls_first(), "event_type")
     )
+
+
+@query(
+    "q112_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+             cast(round(sum(cast(value as decimal(18,6))), 2) as double) AS total_value
+      FROM events WHERE value > 250 GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans
+    )
+    SELECT g.event_type, g.hour,
+           coalesce(h.n, 0) AS n,
+           h.total_value IS NULL AS is_gap,
+           last_value(h.total_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+    ORDER BY g.event_type, g.hour
+    """,
+    doc="Time-series gap fill: densify the sparse hourly series per event type (sequence grid + left join), zero-fill counts, carry the last observation forward.",
+    tags=("timeseries", "gapfill", "window"),
+)
+def q112_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densification = per-key grid (sequence over the key's own
+    [min,max] span, exploded map-side) left-joined back to the sparse
+    aggregate; LOCF = last(ignorenulls) over an ordered per-key window.
+    Scale: the grid is O(keys × span/step) rows of two columns — it
+    dwarfs nothing; the join is an equi-join on (key, hour) that AQE
+    broadcasts when the sparse side is small. The LOCF window sorts
+    within key only. No Python, no driver collect."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("value") > 250)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total_value"),
+        )
+    )
+    spans = hourly.groupBy("event_type").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    h = hourly.withColumnRenamed("event_type", "et").withColumnRenamed("hour", "hr")
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(h, (grid.event_type == h.et) & (grid.hour == h.hr), "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.col("total_value").isNull().alias("is_gap"),
+            F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
