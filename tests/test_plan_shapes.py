@@ -248,3 +248,40 @@ def test_final_corpus_never_shuffles_bodies(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_full_outer_join_never_broadcasts(spark):
+    """q108: a full outer join must keep unmatched rows of BOTH sides,
+    so neither side may be broadcast — the plan has to be a shuffle
+    sort-merge join, which is also the right 100 TB plan."""
+    plan = plan_of(spark, "q108_full_outer_join")
+    assert "FullOuter" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_higher_order_funcs_map_only(spark):
+    """q109: every metric is a codegen'd array expression — the only
+    exchange permitted is the final presentation sort."""
+    plan = plan_of(spark, "q109_higher_order_funcs")
+    body = plan.split("rangepartitioning", 1)[0]  # up to the ORDER BY
+    assert "Exchange hashpartitioning" not in body, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_source_cap_single_shuffle(spark):
+    """q110: exactly one hash exchange (the per-source window) plus the
+    presentation sort, and Spark's two-phase WindowGroupLimit (partial
+    top-K before the shuffle) must engage — that's what keeps a hot
+    source from shipping all its rows to one reducer."""
+    plan = plan_of(spark, "q110_source_cap")
+    final = plan.split("== Initial Plan ==", 1)[0]  # AQE prints both plans
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    assert final.count("WindowGroupLimit") == 2, plan  # Partial + Final
+
+
+def test_gap_fill_no_cartesian(spark):
+    """q112: the grid join is an equi-join on (event_type, hour) —
+    a nested-loop/cartesian here would explode at scale."""
+    plan = plan_of(spark, "q112_gap_fill")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
