@@ -52,6 +52,8 @@ _WINDOW_PRIORITY = [
     "q110_source_cap",
     "q111_stream_sliding",
     "q112_gap_fill",
+    "q113_dup_ngram_fraction",
+    "q114_bm25_search",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import (
+    hex16_sql,
     normalize_text,
     normalize_text_sql,
     tokens,
@@ -782,4 +783,75 @@ def q106_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("text_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- cross-document duplicate-n-gram fraction ----------------------------
+
+DUP_NGRAM = 4  # same density rationale as CONTAM_NGRAM on the synthetic corpus
+
+
+@query(
+    "q113_dup_ngram_fraction",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, {{h}} AS h FROM (
+        SELECT doc_id, unnest({{grams}}) AS g FROM documents
+      )
+    ),
+    dfreq AS (SELECT h, count(*) AS c FROM grams GROUP BY h),
+    per_doc AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             cast(count_if(d.c >= 2) as bigint) AS n_dup
+      FROM grams g JOIN dfreq d USING (h)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup,
+           cast(n_dup as double) / cast(n_grams as double) AS dup_frac
+    FROM per_doc
+    WHERE n_dup > 0
+    ORDER BY dup_frac DESC, doc_id
+    LIMIT 100
+    """.format(grams=word_ngrams_sql("text", DUP_NGRAM), h=hex16_sql("g")),
+    doc=f"Cross-document duplicate-{DUP_NGRAM}-gram fraction per doc (Gopher/RefinedWeb-style dup-ngram metric): share of a doc's distinct {DUP_NGRAM}-grams that appear in 2+ docs.",
+    tags=("pipeline", "dedup", "text"),
+)
+def q113_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-n-gram scoring, the cross-document
+    counterpart of q93's within-document repetition (Rae et al.,
+    Gopher, and RefinedWeb both gate training docs on it).
+
+    Two shuffles, both on the 8-byte gram hash — never on text:
+    (1) ``groupBy(h)`` computes each gram's document frequency with
+    map-side partial counts; (2) the grams relation re-joins the
+    ``dfreq >= 2`` survivors (AQE broadcasts them when small) and
+    reduces per doc. At 100 TB the gram relation is the corpus ×
+    ~n_tokens, but only hashes move, partial aggs halve the exchange,
+    and no operator buffers a whole document's grams beyond the
+    codegen'd distinct-array builder (reference combiner analogue:
+    ``apps/wordcount/wc_api.cu:89-96``)."""
+    from pandamapreduce_spark.functions import hex16
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams("text", DUP_NGRAM)).alias("g")
+    ).select("doc_id", hex16(F.col("g")).alias("h"))
+    dfreq = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("c") >= 2).alias("n_dup"),
+        )
+        .where(F.col("n_dup") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_grams").cast("double")).alias("dup_frac"),
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+        .limit(100)
     )

@@ -409,3 +409,101 @@ def q84_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nb > 0, F.array_min(block)).otherwise(F.lit(None).cast("bigint")).alias("block_min_fp"),
         nb.alias("n_blocks"),
     ).orderBy("doc_id")
+
+
+# --- BM25 top-k retrieval -------------------------------------------------
+
+BM25_TERMS = ("spark", "query", "sort")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+@query(
+    "q114_bm25_search",
+    oracle=f"""
+    WITH doclen AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(cast(dl as double)) AS avgdl FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+      ) WHERE term IN {BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term, ln(1.0 + (stats.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+      FROM tf, stats GROUP BY term, stats.n_docs
+    )
+    SELECT tf.doc_id,
+           sum(idf.idf * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl))) AS bm25
+    FROM tf
+    JOIN idf USING (term)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 top-{BM25_TOPK} document retrieval for a fixed keyword query {BM25_TERMS}: tf/idf/length-normalized Okapi scoring, the lexical-search counterpart of the ANN queries.",
+    tags=("text", "search"),
+)
+def q114_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) retrieval as pure dataflow.
+
+    Scale shape: the corpus is tokenized once; the ``isin`` filter on
+    query terms happens map-side BEFORE any shuffle, so the tf
+    relation is |matching postings|, not the corpus. Document length
+    and the (n_docs, avgdl) scalar pair come from a one-row aggregate
+    that Spark broadcasts (no driver collect); per-term df is a
+    ~|terms|-row aggregate joined back by broadcast. The only
+    corpus-sized shuffle is the tf groupBy on (doc_id, term) — partial
+    counts make it |distinct postings|. Top-k compiles to
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    doclen = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.crossJoin(F.broadcast(stats.select("n_docs")))
+        .groupBy("term", "n_docs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

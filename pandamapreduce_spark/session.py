@@ -56,7 +56,12 @@ def get_spark(app_name: str = "pandamapreduce_spark", shuffle_partitions: int | 
         # benchmarks measure the engine, not /tmp disk flush stalls. On
         # a real cluster spark.local.dir comes from the deployment
         # (SSD/NVMe per executor) and this branch is never taken.
-        if os.access("/dev/shm", os.W_OK):
+        # NOTE: a set-but-empty SPARK_LOCAL_DIRS env var silently
+        # overrides spark.local.dir and lands shuffle files in /tmp
+        # (observed: 3-7x tera slowdown from virtio-disk writeback),
+        # so pin the env var itself before the JVM launches.
+        if os.access("/dev/shm", os.W_OK) and not os.environ.get("SPARK_LOCAL_DIRS"):
+            os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
             builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

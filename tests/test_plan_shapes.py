@@ -285,3 +285,28 @@ def test_gap_fill_no_cartesian(spark):
     a nested-loop/cartesian here would explode at scale."""
     plan = plan_of(spark, "q112_gap_fill")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dup_ngram_fraction_hash_only_shuffles(spark):
+    """q113: both shuffles move 8-byte gram hashes, never text; the
+    dfreq side comes back as a broadcast; final top-k is TakeOrdered."""
+    plan = plan_of(spark, "q113_dup_ngram_fraction")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+    assert "TakeOrderedAndProject" in final, plan
+    assert "EvalPython" not in final, plan
+
+
+def test_bm25_filters_before_shuffle(spark):
+    """q114: the query-term isin filter must sit under the first
+    exchange (postings, not corpus, get shuffled) and the idf/stats
+    sides must broadcast."""
+    plan = plan_of(spark, "q114_bm25_search")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "TakeOrderedAndProject" in final, plan
+    # the term filter is a map-side IN before any aggregation
+    assert "term#" in final and " IN (" in final.replace("IN(", " IN ("), plan
+    assert "EvalPython" not in final, plan
