@@ -54,6 +54,7 @@ _WINDOW_PRIORITY = [
     "q112_gap_fill",
     "q113_dup_ngram_fraction",
     "q114_bm25_search",
+    "q115_embedding_quantize",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

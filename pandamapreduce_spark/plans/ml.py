@@ -424,3 +424,61 @@ def q97_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# --- q115: int8 scalar quantization of embeddings -------------------------
+
+Q8_MAX = 127
+
+
+@query(
+    "q115_embedding_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             [cast(x as double) for x in embedding] AS v,
+             list_max([abs(cast(x as double)) for x in embedding]) / {Q8_MAX}.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           cast(list_sum([least(greatest(coalesce(floor(x / nullif(scale, 0) + 0.5), 0), -{Q8_MAX}), {Q8_MAX}) for x in v]) as bigint) AS qsum,
+           sqrt(list_sum([pow(x - least(greatest(coalesce(floor(x / nullif(scale, 0) + 0.5), 0), -{Q8_MAX}), {Q8_MAX}) * scale, 2) for x in v]) / len(v)) AS rmse
+    FROM s
+    ORDER BY vec_id
+    """,
+    doc="Per-vector symmetric int8 scalar quantization of the embedding column: absmax scale, quantized-code checksum, reconstruction RMSE — the compression step before large-scale ANN serving.",
+    tags=("ml", "embeddings", "quantization"),
+)
+def q115_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 absmax quantization (the scheme vector stores and
+    LLM.int8()-style inference kernels use): per vector,
+    ``scale = max|v| / 127``, ``q_i = clip(round(v_i/scale))``;
+    emits the scale, the integer checksum of the codes (exact,
+    order-independent) and the reconstruction RMSE.
+
+    Scale shape: entirely map-side Catalyst array expressions
+    (transform / array_max / aggregate fold) — zero shuffle except the
+    presentation sort, zero Python. At 100 TB this runs at scan speed;
+    the rounding is spelled ``floor(x + 0.5)`` in BOTH engines so no
+    round-half-to-even discrepancy can split the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / float(Q8_MAX)
+
+    def qcode(x, s):
+        raw = F.floor(x / F.nullif(s, F.lit(0.0)) + F.lit(0.5))
+        return F.least(F.greatest(F.coalesce(raw, F.lit(0)), F.lit(-Q8_MAX)), F.lit(Q8_MAX))
+
+    with_scale = emb.select("vec_id", v.alias("v"), scale.alias("scale"))
+    qarr = F.transform(F.col("v"), lambda x: qcode(x, F.col("scale")))
+    err = F.aggregate(
+        F.zip_with(F.col("v"), qarr, lambda x, q: F.pow(x - q * F.col("scale"), F.lit(2))),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.aggregate(qarr, F.lit(0).cast("bigint"), lambda acc, q: acc + q).alias("qsum"),
+        F.sqrt(err / F.size("v")).alias("rmse"),
+    ).orderBy("vec_id")

@@ -310,3 +310,12 @@ def test_bm25_filters_before_shuffle(spark):
     # the term filter is a map-side IN before any aggregation
     assert "term#" in final and " IN (" in final.replace("IN(", " IN ("), plan
     assert "EvalPython" not in final, plan
+
+
+def test_embedding_quantize_map_only(spark):
+    """q115: int8 quantization is pure Catalyst array math — no hash
+    exchange, no Python; only the presentation sort may shuffle."""
+    plan = plan_of(spark, "q115_embedding_quantize")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "Exchange hashpartitioning" not in final, plan
+    assert "EvalPython" not in final, plan
