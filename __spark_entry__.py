@@ -55,6 +55,7 @@ _WINDOW_PRIORITY = [
     "q113_dup_ngram_fraction",
     "q114_bm25_search",
     "q115_embedding_quantize",
+    "q116_incremental_neardup",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

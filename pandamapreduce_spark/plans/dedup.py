@@ -392,3 +392,85 @@ def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= 0.93)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- q116: incremental (delta-vs-base) near-dup ---------------------------
+
+DELTA_MOD = 5  # doc_id % 5 == 4 plays the incoming crawl batch (~20%)
+
+
+@query(
+    "q116_incremental_neardup",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {{sig}} AS sig FROM documents
+      WHERE len({{grams3}}) > 0
+    ),
+    bands AS (
+      SELECT doc_id, unnest([{{bands_list}}], recursive := true) FROM sigs
+    ),
+    base AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} <> {DELTA_MOD - 1}),
+    delta AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = {DELTA_MOD - 1}),
+    ok_buckets AS (
+      SELECT band, key FROM base GROUP BY band, key HAVING count(*) <= {{max_bucket}}
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+      FROM delta d
+      JOIN ok_buckets o ON d.band = o.band AND d.key = o.key
+      JOIN base b ON d.band = b.band AND d.key = b.key
+    ),
+    g AS (SELECT doc_id, {{grams3}} AS grams FROM documents)
+    SELECT c.delta_id, c.base_id, {{jac}} AS jaccard
+    FROM cand c JOIN g ga ON c.delta_id = ga.doc_id JOIN g gb ON c.base_id = gb.doc_id
+    WHERE {{jac}} >= 0.1
+    ORDER BY delta_id, base_id
+    """.format(
+        sig=minhash_sig_sql(word_ngrams_sql("text", 3), NUM_HASHES),
+        grams3=word_ngrams_sql("text", 3),
+        bands_list=", ".join(
+            f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)
+        ),
+        max_bucket=MAX_BUCKET,
+        jac=_jaccard_sql("ga.grams", "gb.grams"),
+    ),
+    doc="Incremental dedup: near-dups of an incoming batch (doc_id % 5 == 4) against the existing corpus via a base-vs-delta LSH bucket join — no base self-join — verified by exact Jaccard.",
+    tags=("dedup", "lsh", "incremental"),
+)
+def q116_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl dedup shape: only (delta × base-bucket-mates)
+    candidates are generated — the base corpus is never self-joined,
+    so each increment costs O(|delta| + matched buckets), not
+    O(|corpus|²). In production the base band keys are a materialized
+    table keyed by (band, key); here both sides project from
+    ``documents`` with the same stateless band-key operator the
+    streaming dedup (q69) uses, so batch/stream/incremental buckets
+    all coincide. Hot-bucket skew is capped on the BASE side
+    (boilerplate buckets bigger than MAX_BUCKET are dropped, mirrored
+    in the oracle), and the final Jaccard verify touches shingle
+    arrays only for candidate ids."""
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_keys
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    keys = minhash_band_keys(docs, num_hashes=NUM_HASHES, num_bands=NUM_BANDS)
+    base = keys.where(~is_delta)
+    delta = keys.where(is_delta)
+    ok = base.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") <= MAX_BUCKET)
+    cand = (
+        delta.select(F.col("doc_id").alias("delta_id"), "band", "key")
+        .join(ok.select("band", "key"), ["band", "key"], "left_semi")
+        .join(base.select(F.col("doc_id").alias("base_id"), "band", "key"), ["band", "key"])
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    g = docs.select("doc_id", word_ngrams("text", 3).alias("grams"))
+    ga, gb = g.alias("ga"), g.alias("gb")
+    jac = _jaccard_cols(F.col("ga.grams"), F.col("gb.grams"))
+    return (
+        cand.join(ga, F.col("delta_id") == F.col("ga.doc_id"))
+        .join(gb, F.col("base_id") == F.col("gb.doc_id"))
+        .select("delta_id", "base_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.1)
+        .orderBy("delta_id", "base_id")
+    )

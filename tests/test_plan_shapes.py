@@ -319,3 +319,12 @@ def test_embedding_quantize_map_only(spark):
     final = plan.split("== Initial Plan ==", 1)[0]
     assert "Exchange hashpartitioning" not in final, plan
     assert "EvalPython" not in final, plan
+
+
+def test_incremental_neardup_no_base_self_join(spark):
+    """q116: the bucket join must be delta-vs-base equi-join on
+    (band, key) — no cartesian, no nested-loop; that's what keeps an
+    increment O(|delta| + matched buckets) instead of O(|corpus|^2)."""
+    plan = plan_of(spark, "q116_incremental_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
