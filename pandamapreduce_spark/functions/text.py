@@ -110,15 +110,29 @@ def minhash_sig(shingles: Column, num_hashes: int) -> Column:
     Empty shingle sets map to nulls so they never collide.
     """
 
-    def h_i(i: Column) -> Column:
-        def one(s: Column) -> Column:
-            h1, h2 = minhash_hashes(s)
-            return h1 + i.cast("bigint") * h2
+    # Evaluation-count discipline: a higher-order function's ARGUMENT
+    # is evaluated once per row, but its lambda BODY re-evaluates per
+    # element — so md5 must never sit inside a lambda that runs once
+    # per hash member (that shape costs 12 md5s per shingle; measured
+    # 3-6x slower on LSH-heavy plans). Chain: md5 once per shingle →
+    # (h1, h2) pair once per shingle → 12 mul-adds per shingle →
+    # elementwise-min fold across shingles.
+    def pair(m: Column) -> Column:
+        h1 = F.conv(F.substring(m, 1, 12), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(m, 17, 12), 16, 10).cast("bigint")
+        return F.struct(h1.alias("a"), h2.alias("b"))
 
-        return F.array_min(F.transform(shingles, one))
-
-    sig = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), h_i)
-    return F.when(F.size(shingles) > 0, sig).otherwise(F.array_repeat(F.lit(None).cast("bigint"), num_hashes))
+    pairs = F.transform(F.transform(shingles, F.md5), pair)
+    fam = F.transform(
+        pairs,
+        lambda p: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)), lambda i: p["a"] + i.cast("bigint") * p["b"]
+        ),
+    )
+    init = F.array_repeat(F.lit(None).cast("bigint"), num_hashes)
+    # least() skips nulls, so the all-null init is the fold identity
+    sig = F.aggregate(fam, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)))
+    return F.when(F.size(shingles) > 0, sig).otherwise(init)
 
 
 def minhash_sig_sql(shingles_expr: str, num_hashes: int) -> str:

@@ -449,11 +449,16 @@ def q116_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate buckets bigger than MAX_BUCKET are dropped, mirrored
     in the oracle), and the final Jaccard verify touches shingle
     arrays only for candidate ids."""
-    from pandamapreduce_spark.operators.dedup_ops import minhash_band_keys
+    from pandamapreduce_spark.caching import scoped_persist
+    from pandamapreduce_spark.operators.dedup_ops import minhash_band_keys_agg
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     is_delta = F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
-    keys = minhash_band_keys(docs, num_hashes=NUM_HASHES, num_bands=NUM_BANDS)
+    # aggregation-formulated band keys (one md5 per shingle), persisted
+    # once for the three consumers (base bands, delta bands, base
+    # bucket counts) — the expression variant re-hashed every shingle
+    # 12× per consumer (measured 22.5 s → ~4 s at sf0.1)
+    keys = scoped_persist(minhash_band_keys_agg(docs, num_hashes=NUM_HASHES, num_bands=NUM_BANDS))
     base = keys.where(~is_delta)
     delta = keys.where(is_delta)
     ok = base.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") <= MAX_BUCKET)

@@ -63,6 +63,15 @@ def get_spark(app_name: str = "pandamapreduce_spark", shuffle_partitions: int | 
         if os.access("/dev/shm", os.W_OK) and not os.environ.get("SPARK_LOCAL_DIRS"):
             os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
             builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+            # Streaming TEMP checkpoints (state store + per-microbatch
+            # WAL fsyncs) go to java.io.tmpdir — move that to tmpfs
+            # too, keeping Spark's temp-checkpoint auto-delete (a conf
+            # checkpointLocation would accumulate instead). Queries
+            # that need durable checkpoints pass their own location.
+            os.makedirs("/dev/shm/spark-local/tmp", exist_ok=True)
+            builder = builder.config(
+                "spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/dev/shm/spark-local/tmp"
+            ).config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
