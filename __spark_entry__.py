@@ -56,6 +56,7 @@ _WINDOW_PRIORITY = [
     "q114_bm25_search",
     "q115_embedding_quantize",
     "q116_incremental_neardup",
+    "q117_udtf_chunks",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pandamapreduce_spark.caching import scoped_persist
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import hex16, tokens, tokens_sql
-from pandamapreduce_spark.plans.registry import query
+from pandamapreduce_spark.plans.registry import REGISTRY, query
 
 # --- q90: sequence packing (concat-and-chunk) -----------------------------
 
@@ -906,3 +906,51 @@ def _patch_composed_oracles() -> None:
 
 
 _patch_composed_oracles()
+
+
+# --- q117: Python UDTF chunking (API-parity twin of q102) -----------------
+
+
+@query(
+    "q117_udtf_chunks",
+    oracle=REGISTRY["q102_context_chunks"].oracle,
+    doc=f"Same {CHUNK_TOKENS}/{CHUNK_STRIDE} stride chunking as q102, but through a Spark 4 Python UDTF lateral join — the reference's map-emits-many callback (UDTF shape) on the modern API; shares q102's oracle so the two engines cross-check.",
+    tags=("training", "chunking", "udtf"),
+)
+def q117_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Map callback emits 0..n records per input
+    (``include/PandaAPI.h:29-35`` — the UDTF shape); q50/q51 express
+    it through ``rdd.flatMap``, this query through the first-class
+    ``@udtf`` API (pickled row path — the documented slow lane; the
+    production plan is q102's codegen'd posexplode, which this must
+    match row-for-row via the shared oracle).
+    """
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+    chunk_tokens, chunk_stride = CHUNK_TOKENS, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_idx bigint, start_tok bigint, chunk_len bigint, chunk_text string")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            toks = [t for t in ws.split(text.strip()) if t]
+            n = len(toks)
+            for idx, start in enumerate(range(0, n, chunk_stride)):
+                yield (
+                    idx,
+                    start,
+                    min(chunk_tokens, n - start),
+                    " ".join(toks[start : start + chunk_tokens]),
+                )
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    load_table(spark, sf_dir, "documents", spread=True).createOrReplaceTempView("__q117_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, c.chunk_idx, c.start_tok, c.chunk_len, c.chunk_text
+        FROM __q117_docs s, LATERAL chunk_udtf(s.text) c
+        ORDER BY doc_id, chunk_idx
+        """
+    )
