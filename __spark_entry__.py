@@ -8,9 +8,17 @@ DuckDB oracle SQL; this module re-exports them in the driver's shape.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# A set-but-empty SPARK_LOCAL_DIRS overrides spark.local.dir and puts
+# shuffle files on the virtio disk (3-7x slowdowns under writeback).
+# Pin it before ANY SparkSession (ours or the driver's) launches a JVM
+# — same guard as session.get_spark, here for sessions we don't build.
+if _os.access("/dev/shm", _os.W_OK) and not _os.environ.get("SPARK_LOCAL_DIRS"):
+    _os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
 
 from pandamapreduce_spark.plans import REGISTRY
 
