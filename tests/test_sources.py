@@ -95,3 +95,24 @@ def test_avro_gated(spark):
         df = spark.range(5).withColumnRenamed("id", "v")
         write_avro(df, f"{d}/a")
         assert read_avro(spark, f"{d}/a").count() == 5
+
+
+def test_local_dirs_env_guard():
+    """A set-but-empty SPARK_LOCAL_DIRS overrides spark.local.dir and
+    lands shuffle on the virtio disk; both get_spark and the driver
+    contract must pin the env var to tmpfs BEFORE any JVM launch.
+    (The live session already proves the get_spark path; this guards
+    the import-time pin against regressions.)"""
+    import importlib
+    import os
+
+    assert os.environ.get("SPARK_LOCAL_DIRS"), "env pin missing after session bootstrap"
+
+    saved = os.environ.pop("SPARK_LOCAL_DIRS")
+    try:
+        import __spark_entry__
+
+        importlib.reload(__spark_entry__)
+        assert os.environ.get("SPARK_LOCAL_DIRS") == "/dev/shm/spark-local"
+    finally:
+        os.environ["SPARK_LOCAL_DIRS"] = saved
