@@ -309,3 +309,42 @@ def test_context_chunks_cover_every_token(spark):
         for _, row in g.iterrows():
             rebuilt.extend(row["chunk_text"].split()[: CHUNK_STRIDE])
         assert rebuilt == toks
+
+
+def test_quantization_error_bound(spark):
+    """q115: absmax int8 rounding error is at most scale/2 per element,
+    so per-vector RMSE <= scale/2; codes stay inside [-127, 127]."""
+    from pandamapreduce_spark.plans import REGISTRY
+
+    rows = REGISTRY["q115_embedding_quantize"].build(spark, SF_DIR).collect()
+    assert rows, "empty quantization output"
+    for r in rows:
+        assert r.scale >= 0
+        assert -127 * 64 <= r.qsum <= 127 * 64
+        assert r.rmse <= r.scale / 2 + 1e-12, (r.vec_id, r.rmse, r.scale)
+
+
+def test_dup_ngram_fraction_bounds(spark):
+    """q113: a reported doc has 0 < dup_frac <= 1 and n_dup <= n_grams;
+    fractions are exactly n_dup/n_grams."""
+    from pandamapreduce_spark.plans import REGISTRY
+
+    rows = REGISTRY["q113_dup_ngram_fraction"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_dup <= r.n_grams
+        assert abs(r.dup_frac - r.n_dup / r.n_grams) < 1e-12
+
+
+def test_incremental_neardup_sides(spark):
+    """q116: every pair joins one delta doc (id % 5 == 4) to one base
+    doc, never delta-delta or base-base, and passes the verify bar."""
+    from pandamapreduce_spark.plans import REGISTRY
+    from pandamapreduce_spark.plans.dedup import DELTA_MOD
+
+    rows = REGISTRY["q116_incremental_neardup"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_id % DELTA_MOD == DELTA_MOD - 1
+        assert r.base_id % DELTA_MOD != DELTA_MOD - 1
+        assert r.jaccard >= 0.1
