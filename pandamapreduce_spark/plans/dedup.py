@@ -435,6 +435,7 @@ DELTA_MOD = 5  # doc_id % 5 == 4 plays the incoming crawl batch (~20%)
         jac=_jaccard_sql("ga.grams", "gb.grams"),
     ),
     doc="Incremental dedup: near-dups of an incoming batch (doc_id % 5 == 4) against the existing corpus via a base-vs-delta LSH bucket join — no base self-join — verified by exact Jaccard.",
+    bench=True,  # per-round signal for the delta-vs-base dedup path
     tags=("dedup", "lsh", "incremental"),
 )
 def q116_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

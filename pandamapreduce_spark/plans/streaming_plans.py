@@ -22,6 +22,7 @@ from pandamapreduce_spark.streaming import events as ev
     GROUP BY 1, 2 ORDER BY hour, event_type
     """,
     doc="Streaming tumbling-window hourly aggregate run to completion; oracle = batch SQL (batch/stream parity).",
+    bench=True,  # per-round streaming-latency signal (microbatch + state store + sink)
     tags=("streaming", "agg"),
 )
 def q60_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
