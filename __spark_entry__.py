@@ -65,6 +65,8 @@ _WINDOW_PRIORITY = [
     "q115_embedding_quantize",
     "q116_incremental_neardup",
     "q117_udtf_chunks",
+    "q54_kmeans_iterative",
+    "q60a_cmeans",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -253,10 +253,64 @@ def q59_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cmeans_oracle_sql(k: int = 4, iters: int = 3, dim: int = DIM) -> str:
+    """Unrolled-iteration SQL twin of ``operators.ml.cmeans`` (same
+    idea as ``_kmeans_oracle_sql``): fuzzy C-means with m=2 is
+    transcendental-free — memberships are ratio chains in explicit
+    cid order, M-steps are exact-decimal weighted means — so a fixed
+    iteration count unrolls to plain CTEs and the whole loop is
+    bit-reproducible. (GMM stays rows-only: its log-sum-exp E-step
+    hits exp/ln, where JVM and libm may differ in the last ulp.)"""
+    DECM = "decimal(28,12)"
+    dp = "list_dot_product"
+    parts = [
+        "WITH v AS (SELECT vec_id, cast(embedding as double[]) AS x FROM embeddings)",
+        f"seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c FROM v ORDER BY vec_id LIMIT {k})",
+        "cp0 AS (SELECT "
+        + ", ".join(f"(SELECT c FROM seed WHERE cid={c}) AS cc{c}" for c in range(k))
+        + ")",
+    ]
+
+    def memb_cte(name: str, cp: str) -> str:
+        dcols = ", ".join(
+            f"greatest({dp}(v.x, {cp}.cc{c}) * (-2) + {dp}(v.x, v.x) + {dp}({cp}.cc{c}, {cp}.cc{c}), 1e-12) AS d{c}"
+            for c in range(k)
+        )
+        den = " + ".join(f"(1.0 / d{c})" for c in range(k))  # cid-order sum, matching the Spark fold
+        ucols = ", ".join(f"(1.0 / d{c}) / ({den}) AS u{c}" for c in range(k))
+        return (
+            f"{name}d AS (SELECT v.vec_id, v.x, {dcols} FROM v CROSS JOIN {cp}),\n"
+            f"{name} AS (SELECT *, {ucols} FROM {name}d)"
+        )
+
+    def mstep_cte(perdim: str, memb: str, cpnext: str) -> str:
+        aggs = ", ".join(
+            f"cast(sum(cast(u{c} * u{c} * x[r.i] as {DECM})) as double) / cast(sum(cast(u{c} * u{c} as {DECM})) as double) AS m{c}"
+            for c in range(k)
+        )
+        lists = ", ".join(f"(SELECT list(m{c} ORDER BY i) FROM {perdim}) AS cc{c}" for c in range(k))
+        return (
+            f"{perdim} AS (SELECT r.i AS i, {aggs} FROM {memb}, range(1, {dim + 1}) r(i) GROUP BY r.i),\n"
+            f"{cpnext} AS (SELECT {lists})"
+        )
+
+    for it in range(iters):
+        parts.append(memb_cte(f"m{it}", f"cp{it}"))
+        parts.append(mstep_cte(f"pd{it}", f"m{it}", f"cp{it + 1}"))
+    parts.append(memb_cte(f"m{iters}", f"cp{iters}"))
+    jterm = " + ".join(f"cast(u{c} * u{c} * d{c} as {DECM})" for c in range(k))
+    parts.append(f"obj AS (SELECT cast(sum({jterm}) as double) AS j FROM m{iters})")
+    masses = " UNION ALL ".join(
+        f"SELECT {c} AS cluster, (SELECT cast(round(sum(cast(u{c} as {DECM})), 4) as double) FROM m{iters}) AS fuzzy_mass, (SELECT j FROM obj) AS final_objective"
+        for c in range(k)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({masses}) ORDER BY cluster"
+
+
 @query(
     "q60a_cmeans",
-    oracle=None,  # iterative fuzzy clustering — monotonicity/determinism tested
-    doc="Fuzzy C-means (m=2, 3 iterations): the reference's namesake paper app; per-cluster fuzzy mass + objective trace.",
+    oracle=_cmeans_oracle_sql(),
+    doc="Fuzzy C-means (m=2, 3 iterations): the reference's namesake paper app; per-cluster fuzzy mass + objective trace — value-hash-oracled via unrolled SQL iterations.",
     tags=("ml", "cmeans", "iterative"),
 )
 def q60a_cmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,10 +323,55 @@ def q60a_cmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cluster int, fuzzy_mass double, final_objective double")
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = DIM) -> str:
+    """Unrolled-iteration SQL twin of ``operators.ml.kmeans``: because
+    the Spark side is bitwise-deterministic (decimal centroid means,
+    struct-argmin with cid tie-break, sequential double dot folds),
+    a FIXED iteration count is expressible as a chain of plain CTEs —
+    assign_i = argmin over centroids_(i-1), centroids_i = decimal-exact
+    elementwise means — no recursive aggregation needed. This upgrades
+    the iterative workload from rows-only to a full value-hash oracle."""
+    dp = "list_dot_product"
+    parts = [
+        "WITH v AS (SELECT vec_id, cast(embedding as double[]) AS x FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it}d AS (SELECT v.vec_id, v.x, c.cid, "
+            f"{dp}(v.x, v.x) - 2*{dp}(v.x, c.c) + {dp}(c.c, c.c) AS d "
+            f"FROM v CROSS JOIN c{it - 1} c)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, x, cid AS cluster_id, d AS dist2 FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a{it}d) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cid, list(m ORDER BY dim) AS c FROM "
+            f"(SELECT cluster_id AS cid, r.i AS dim, "
+            f"cast(sum(cast(x[r.i] as decimal(28,12))) as double) / count(*) AS m "
+            f"FROM a{it}, range(1, {dim + 1}) r(i) GROUP BY cluster_id, r.i) GROUP BY cid)"
+        )
+    parts.append(
+        f"fd AS (SELECT v.vec_id, c.cid, "
+        f"{dp}(v.x, v.x) - 2*{dp}(v.x, c.c) + {dp}(c.c, c.c) AS d "
+        f"FROM v CROSS JOIN c{iters} c)"
+    )
+    parts.append(
+        "fa AS (SELECT vec_id, cid AS cluster_id, d AS dist2 FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM fd) WHERE rn = 1)"
+    )
+    return ",\n".join(parts) + """
+    SELECT cluster_id, count(*) AS n_vectors, min(vec_id) AS min_vec_id,
+           cast(round(sum(cast(dist2 as decimal(28,10))), 4) as double) AS inertia
+    FROM fa GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
 @query(
     "q54_kmeans_iterative",
-    oracle=None,  # iterative algorithm — validated by invariant tests
-    doc="Full iterative k-means (Lloyd's, 3 iterations, deterministic seeding): cluster sizes + inertia.",
+    oracle=_kmeans_oracle_sql(),
+    doc="Full iterative k-means (Lloyd's, 3 iterations, deterministic seeding): cluster sizes + inertia — value-hash-oracled via unrolled SQL iterations (deterministic decimal means make the whole loop bit-reproducible).",
     tags=("ml", "kmeans", "iterative"),
 )
 def q54_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
