@@ -935,6 +935,8 @@ def q117_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx bigint, start_tok bigint, chunk_len bigint, chunk_text string")
     class ChunkUDTF:
         def eval(self, text: str):
+            if not text:  # null/empty doc → no chunks (q102: filtered by n > 0)
+                return
             toks = [t for t in ws.split(text.strip()) if t]
             n = len(toks)
             for idx, start in enumerate(range(0, n, chunk_stride)):
