@@ -69,6 +69,7 @@ _WINDOW_PRIORITY = [
     "q117_udtf_chunks",
     "q54_kmeans_iterative",
     "q60a_cmeans",
+    "q118_dup_span",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

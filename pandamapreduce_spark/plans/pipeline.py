@@ -855,3 +855,104 @@ def q113_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_frac").desc(), "doc_id")
         .limit(100)
     )
+
+
+# --- q118: longest duplicated token span per document ---------------------
+
+SPAN_GRAM = 4  # same gram size as q113's dup fraction
+
+
+@query(
+    "q118_dup_span",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    posu AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - {SPAN_GRAM} + 1)) AS p
+      FROM tok
+    ),
+    pos AS (
+      SELECT doc_id, p, {{h}} AS h FROM (
+        SELECT doc_id, p,
+               array_to_string(list_slice(toks, p, p + {SPAN_GRAM} - 1), ' ') AS g
+        FROM posu
+      )
+    ),
+    dup AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM pos)
+      GROUP BY h HAVING count(*) >= 2
+    ),
+    dpos AS (
+      SELECT p.doc_id, p.p,
+             p.p - row_number() OVER (PARTITION BY p.doc_id ORDER BY p.p) AS grp
+      FROM pos p JOIN dup d USING (h)
+    ),
+    runs AS (
+      SELECT doc_id, count(*) AS run FROM dpos GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT r.doc_id,
+             max(r.run) AS max_run,
+             sum(r.run) AS n_dup_grams
+      FROM runs r GROUP BY r.doc_id
+    )
+    SELECT doc_id,
+           cast(max_run + {SPAN_GRAM} - 1 as bigint) AS max_dup_span_tokens,
+           cast(n_dup_grams as bigint) AS n_dup_grams
+    FROM per_doc
+    ORDER BY max_dup_span_tokens DESC, doc_id
+    LIMIT 100
+    """.format(h=hex16_sql("g"), toks=tokens_sql("text")),
+    doc=f"Longest duplicated token span per doc: positional {SPAN_GRAM}-grams shared by 2+ docs, collapsed to maximal consecutive runs (gaps-and-islands) — the span-level exact-substring dedup diagnostic (Lee et al. dedup spans).",
+    tags=("pipeline", "dedup", "text"),
+)
+def q118_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where q113 scores HOW MUCH of a doc is duplicated, this locates
+    the duplication: positional n-grams whose hash appears in ≥2
+    distinct documents are collapsed into maximal consecutive runs via
+    the gaps-and-islands trick (p - row_number(p) is constant within a
+    run), and the longest run converts back to a token-span length.
+
+    Scale shape: positional grams shuffle as 8-byte hashes with their
+    int positions; the cross-doc dup set is (distinct doc, h) → partial
+    agg; the islands window partitions by doc_id — each doc's dup
+    positions sort locally, no global sort. Top-k via TakeOrdered."""
+    from pyspark.sql import Window
+
+    from pandamapreduce_spark.functions import hex16
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= SPAN_GRAM)
+    idx = F.sequence(F.lit(1), F.size("toks") - SPAN_GRAM + 1)
+    pos = (
+        base.select(
+            "doc_id",
+            F.explode(idx).alias("p"),
+            "toks",
+        )
+        .select("doc_id", "p", F.concat_ws(" ", F.slice("toks", F.col("p"), SPAN_GRAM)).alias("g"))
+        .select("doc_id", "p", hex16(F.col("g")).alias("h"))
+    )
+    dup = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    dpos = pos.join(dup, "h", "left_semi").withColumn("grp", F.col("p") - F.row_number().over(w))
+    runs = dpos.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            (F.max("run") + SPAN_GRAM - 1).cast("bigint").alias("max_dup_span_tokens"),
+            F.sum("run").cast("bigint").alias("n_dup_grams"),
+        )
+        .orderBy(F.col("max_dup_span_tokens").desc(), "doc_id")
+        .limit(100)
+    )

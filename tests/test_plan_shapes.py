@@ -328,3 +328,15 @@ def test_incremental_neardup_no_base_self_join(spark):
     plan = plan_of(spark, "q116_incremental_neardup")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dup_span_shuffles_hashes_only(spark):
+    """q118: positional grams shuffle as (doc_id, p, 8-byte hash) —
+    token text never crosses an exchange; the islands window
+    partitions by doc_id (local sorts, no global sort)."""
+    plan = plan_of(spark, "q118_dup_span")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "toks#" not in line and "text#" not in line, line
+    assert "TakeOrderedAndProject" in final, plan
