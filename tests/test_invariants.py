@@ -348,3 +348,17 @@ def test_incremental_neardup_sides(spark):
         assert r.delta_id % DELTA_MOD == DELTA_MOD - 1
         assert r.base_id % DELTA_MOD != DELTA_MOD - 1
         assert r.jaccard >= 0.1
+
+
+def test_dup_span_bounds(spark):
+    """q118: a span is at least the gram size and never exceeds the
+    doc's token count; the dup-gram count covers at least the longest
+    run."""
+    from pandamapreduce_spark.plans import REGISTRY
+    from pandamapreduce_spark.plans.pipeline import SPAN_GRAM
+
+    rows = REGISTRY["q118_dup_span"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_dup_span_tokens >= SPAN_GRAM
+        assert r.n_dup_grams >= r.max_dup_span_tokens - SPAN_GRAM + 1
