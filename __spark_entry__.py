@@ -70,6 +70,7 @@ _WINDOW_PRIORITY = [
     "q54_kmeans_iterative",
     "q60a_cmeans",
     "q118_dup_span",
+    "q119_collocations",
     # (c) events-ts normalization path touched this round
     "q60_stream_hourly",
     "q61_stream_sessions",

@@ -507,3 +507,91 @@ def q114_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# --- q119: collocation mining via lift ------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 50
+
+
+@query(
+    "q119_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {tokens_sql('text')} AS tokens FROM documents
+    ),
+    toks AS (SELECT unnest(tokens) AS w FROM tok),
+    uni AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    pairs AS (
+      SELECT tokens[p] AS a, tokens[p + 1] AS b FROM (
+        SELECT tokens, unnest(generate_series(1, len(tokens) - 1)) AS p FROM tok
+      )
+    ),
+    big AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b),
+    scored AS (
+      SELECT big.a, big.b, big.n_ab,
+             (cast(big.n_ab as double) * cast(tot.n_total as double))
+               / (cast(ua.n as double) * cast(ub.n as double)) AS lift
+      FROM big
+      JOIN uni ua ON big.a = ua.w
+      JOIN uni ub ON big.b = ub.w
+      CROSS JOIN tot
+      WHERE big.n_ab >= {COLLOC_MIN_COUNT}
+    )
+    SELECT a, b, n_ab, lift FROM scored
+    ORDER BY lift DESC, a, b LIMIT {COLLOC_TOPK}
+    """,
+    doc=f"Collocation mining: adjacent-token pairs scored by lift = P(ab)/(P(a)P(b)) (the transcendental-free PMI variant, exactly cross-engine-reproducible) — the phrase-extraction signal for tokenizer merges; min count {COLLOC_MIN_COUNT}, top {COLLOC_TOPK}.",
+    tags=("text", "ngram", "collocation"),
+)
+def q119_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift rather than PMI on purpose: PMI's log() differs between
+    the JVM and libm by 1 ulp on ~10% of inputs (measured — see q59),
+    while lift is pure *,/ arithmetic and hashes identically. Ranking
+    is order-isomorphic to PMI (log is monotone).
+
+    Scale shape: unigram and bigram counts are classic partial-agg
+    shuffles on token keys; the two unigram joins are equi-joins AQE
+    can broadcast (vocab ≪ corpus); the corpus total is a one-row
+    broadcast. Top-k compiles to TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = tokens("text")
+    tok = docs.select(t.alias("tokens"))
+    toks = tok.select(F.explode("tokens").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    pairs = tok.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tokens", i).alias("a"),
+                        F.element_at("tokens", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).where(F.col("n_ab") >= COLLOC_MIN_COUNT)
+    ua = uni.select(F.col("w").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n").alias("nb"))
+    return (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(COLLOC_TOPK)
+    )
