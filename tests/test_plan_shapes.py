@@ -340,3 +340,12 @@ def test_dup_span_shuffles_hashes_only(spark):
         if "Exchange hashpartitioning" in line:
             assert "toks#" not in line and "text#" not in line, line
     assert "TakeOrderedAndProject" in final, plan
+
+
+def test_collocations_broadcast_vocab_joins(spark):
+    """q119: the unigram-count joins must not cartesian; corpus total
+    is a one-row broadcast; final top-k is TakeOrdered."""
+    plan = plan_of(spark, "q119_collocations")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "CartesianProduct" not in final, plan
+    assert "TakeOrderedAndProject" in final, plan
