@@ -24,54 +24,26 @@ from pandamapreduce_spark.plans import REGISTRY
 
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
-# Round-3 priority: (a) the three queries that have never had a driver
-# row (landed after round 2's window filled), (b) queries that are new
-# or changed this round — the q98-q117 additions, the teravalidate
-# rewrite (q52/q53), q87b, and q54/q60a whose oracles were upgraded
-# from rows-only to unrolled-SQL value-hash this round, (c) the
-# streaming/events queries — the events-ts normalization path and the
-# minhash/checkpoint layers changed this round — then (d) the oldest
-# round-1-only greens so no green signal is more than two rounds stale
-# (VERDICT r2 #4), and (e) round-2-green regression sentinels. Entries
-# beyond the window stay covered locally by tests/test_oracle_parity.py
-# and this session's full 117-query driver emulation (FAILURES: 0).
+# Round-4 priority: (a) queries changed this round — the three newly
+# hash-oracled ex-rows-only queries (q59 pinned literal rows, q64/q66
+# exact-regime oracles), q118's offsets-only gram layout, q114's
+# 6-dp score rounding, q117's ASCII strip fix; (b) every streaming
+# query — the memory-sink handover in streaming/events.py switched
+# from toPandas to a distributed parquet write this round; (c) the
+# 26 round-1-only greens whose driver signal is two rounds stale
+# (VERDICT r3 #2 — the full rotation cohort); (d) round-2-only greens
+# as regression sentinels, oldest-first. Entries beyond the window
+# stay covered by tests/test_oracle_parity.py at sf0.001 and this
+# session's full-registry driver emulation at sf0.01.
 _WINDOW_PRIORITY = [
-    # (a) never driver-checked
-    "q95_unpivot",
-    "q96_vocab_build",
-    "q97_embedding_centroids",
-    # (b) changed or new in round 3
-    "q53_teravalidate",
-    "q52_terasort",
-    "q87b_hybrid_neardup_ann",
-    "q98_pii_scrub",
-    "q99_temperature_mixture",
-    "q100_global_quality_deciles",
-    "q43b_asof_forward_tolerance",
-    "q43_asof_join",
-    "q101_bigram_nll",
-    "q34b_simhash_neardup",
-    "q102_context_chunks",
-    "q103_dedup_keep_best",
-    "q104_cms_heavy_hitters",
-    "q105_stream_cms_heavy_hitters",
-    "q106_final_corpus",
-    "q107_tokenize_ids",
-    "q108_full_outer_join",
-    "q109_higher_order_funcs",
-    "q110_source_cap",
-    "q111_stream_sliding",
-    "q112_gap_fill",
-    "q113_dup_ngram_fraction",
-    "q114_bm25_search",
-    "q115_embedding_quantize",
-    "q116_incremental_neardup",
-    "q117_udtf_chunks",
-    "q54_kmeans_iterative",
-    "q60a_cmeans",
+    # (a) changed this round
+    "q59_gmm_em",
+    "q64_sketch_distinct_rollup",
+    "q66_approx_quantiles",
     "q118_dup_span",
-    "q119_collocations",
-    # (c) events-ts normalization path touched this round
+    "q114_bm25_search",
+    "q117_udtf_chunks",
+    # (b) streaming: run_to_completion handover changed
     "q60_stream_hourly",
     "q61_stream_sessions",
     "q62_stream_first_event",
@@ -79,20 +51,15 @@ _WINDOW_PRIORITY = [
     "q68_stream_stream_join",
     "q69_stream_neardup",
     "q76_stream_multimodal",
-    # (d) oldest round-1-only greens (rotation: staleness ≤ 2 rounds)
-    "q02_filter_project",
-    "q04_order_priority",
-    "q07_distinct",
-    "q08_orderby_limit",
-    "q09_group_having",
-    "q10_window_topk_per_group",
-    "q11_window_running_sum",
-    "q12_sessionize",
-    "q13_set_ops",
-    "q14_rollup",
+    "q105_stream_cms_heavy_hitters",
+    "q111_stream_sliding",
+    # (c) round-1-only greens, two rounds stale — full rotation
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
     "q15_conditional_agg",
     "q16_anti_join",
     "q17_events_hourly",
+    "q20_wordcount",
     "q21_top_words",
     "q22_corpus_stats",
     "q23_token_count",
@@ -103,25 +70,26 @@ _WINDOW_PRIORITY = [
     "q31_dedup_normalized",
     "q34_simhash",
     "q35_embedding_neardup",
+    "q40_knn_bruteforce",
     "q41_lsh_buckets",
     "q42_lsh_knn",
     "q46_window_functions",
+    "q50_mr_wordcount",
     "q51_mr_keyval_agg",
     "q67_bpe_token_count",
     "q70_multimodal_meta",
     "q72_frame_sample",
     "q73_resize",
-    # (e) scoped-persist-touched plans (results unchanged; local
-    # parity green) and round-2-green regression sentinels
-    "q90_sequence_packing",
-    "q94_dedup_clusters",
-    "q87_hybrid_neardup",
-    "q01_pricing_summary",
-    "q20_wordcount",
-    "q32_minhash_lsh_candidates",
-    "q40_knn_bruteforce",
-    "q80_clean_corpus",
-    "q85_train_split",
+    # (d) round-2-only greens, oldest-first regression sentinels
+    "q18_json_extract",
+    "q19_scalar_functions",
+    "q27_bigrams",
+    "q28_percentiles",
+    "q29_moment_stats",
+    "q36_pivot",
+    "q37_grouping_sets",
+    "q44_range_join",
+    "q45_cogroup",
 ]
 
 
@@ -147,7 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query; non-SQL ops
-    (tera pipeline, Arrow-batched codecs) are omitted → rows-only check.
+    """DuckDB oracle SQL for every registered query — as of round 4
+    every query carries one (pinned literal-row oracles cover the
+    generative/deterministic-fit cases: tera q52/q53, GMM q59).
     """
     return {name: REGISTRY[name].oracle for name in _ordered_names() if REGISTRY[name].oracle is not None}

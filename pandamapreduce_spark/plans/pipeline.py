@@ -708,6 +708,7 @@ CONTAM_MAX = 0.5  # drop a train doc when > half its 4-grams hit the eval set
     FROM kept ORDER BY doc_id
     """,
     doc="Final training-corpus materialization: quality + language filters, exact dedup, LSH near-dup removal, eval-set exclusion AND decontamination — doc-level output with content md5.",
+    bench=True,  # north-star composed pipeline: per-round perf signal (VERDICT r3 #5)
     tags=("pipeline", "dedup", "contamination", "quality"),
 )
 def q106_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,6 +816,7 @@ DUP_NGRAM = 4  # same density rationale as CONTAM_NGRAM on the synthetic corpus
     LIMIT 100
     """.format(grams=word_ngrams_sql("text", DUP_NGRAM), h=hex16_sql("g")),
     doc=f"Cross-document duplicate-{DUP_NGRAM}-gram fraction per doc (Gopher/RefinedWeb-style dup-ngram metric): share of a doc's distinct {DUP_NGRAM}-grams that appear in 2+ docs.",
+    bench=True,  # dedup-diagnostic per-round perf signal (VERDICT r3 #5)
     tags=("pipeline", "dedup", "text"),
 )
 def q113_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,6 +908,7 @@ SPAN_GRAM = 4  # same gram size as q113's dup fraction
     LIMIT 100
     """.format(h=hex16_sql("g"), toks=tokens_sql("text")),
     doc=f"Longest duplicated token span per doc: positional {SPAN_GRAM}-grams shared by 2+ docs, collapsed to maximal consecutive runs (gaps-and-islands) — the span-level exact-substring dedup diagnostic (Lee et al. dedup spans).",
+    bench=True,  # span-dedup diagnostic; tracks the offsets-only gram layout
     tags=("pipeline", "dedup", "text"),
 )
 def q118_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,15 +929,21 @@ def q118_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = tokens("text")
     base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= SPAN_GRAM)
-    idx = F.sequence(F.lit(1), F.size("toks") - SPAN_GRAM + 1)
-    pos = (
-        base.select(
-            "doc_id",
-            F.explode(idx).alias("p"),
-            "toks",
-        )
-        .select("doc_id", "p", F.concat_ws(" ", F.slice("toks", F.col("p"), SPAN_GRAM)).alias("g"))
-        .select("doc_id", "p", hex16(F.col("g")).alias("h"))
+    # Offsets-only layout: hash every positional gram INSIDE the array
+    # world (one transform over the index sequence), then explode only
+    # 16-byte (p, h) structs — the generator never duplicates the
+    # per-row token array across its n_positions output rows. Each
+    # lambda element does one slice+concat+md5 — inherent per-gram
+    # work, evaluated once per position (HOF eval-count discipline).
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - SPAN_GRAM + 1),
+        lambda p: F.struct(
+            p.alias("p"),
+            hex16(F.concat_ws(" ", F.slice(F.col("toks"), p, F.lit(SPAN_GRAM)))).alias("h"),
+        ),
+    )
+    pos = base.select("doc_id", F.explode(grams).alias("ph")).select(
+        "doc_id", F.col("ph.p").alias("p"), F.col("ph.h").alias("h")
     )
     dup = (
         pos.select("doc_id", "h")

@@ -8,9 +8,17 @@ re-scan of history — the same pattern the reference's combiner (O6,
 ``src/PandaLib.cu:302-379``) applies to additive aggregates,
 generalized to approximate set cardinality.
 
-These queries are rows-only for the driver (DuckDB's HLL is a
-different implementation — estimates can't hash-match); error bounds
-are pinned by pytest invariants instead (tests/test_sketches.py).
+All sketch queries carry FULL value-hash oracles. q104 (count-min) is
+deterministic by construction. q64/q66 exploit a measured property of
+the driver's fixture scales: below each sketch's exactness threshold
+the "estimate" IS the exact answer — DataSketches HLL stays in sparse
+(coupon-list) mode far beyond the fixtures' ≤1.5k distinct users, and
+approx_percentile's GK summary is uncompressed while n < accuracy
+(10000) per group (fixture max 2017 at sf0.01) — so plain exact SQL
+is a valid oracle at every driver-checked sf, verified empirically at
+sf0.001/sf0.01 (bit-equal, 30+ values each). The estimation-mode
+error behavior at real scale stays pinned by pytest invariants
+(tests/test_sketches.py).
 """
 
 from __future__ import annotations
@@ -24,8 +32,24 @@ from pandamapreduce_spark.plans.registry import query
 
 @query(
     "q64_sketch_distinct_rollup",
-    oracle=None,  # HLL estimates are implementation-specific; error bound pytest-pinned
-    doc="Mergeable HLL rollup: per-day user sketches union to a global distinct estimate without re-scanning; exact counts alongside for the error bound.",
+    # Exact-SQL oracle is valid here by a MEASURED sketch property, not
+    # assumption: DataSketches HLL (lgK=14) stays in sparse coupon-list
+    # mode until ~3/4·2^14 ≈ 12k coupons, where the estimate is the
+    # exact coupon count; the fixtures carry 15/150/1500 distinct
+    # users, so est == exact at every shipped sf (verified empirically
+    # at sf0.001/0.01/0.1). Estimation-mode error at real cardinality
+    # is pinned by tests/test_sketches.py invariants instead.
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts as date) AS day, count(distinct user_id) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT (SELECT cast(count(*) as bigint) FROM daily) AS n_days,
+           (SELECT cast(count(distinct user_id) as bigint) FROM events) AS est_total_users,
+           (SELECT cast(count(distinct user_id) as bigint) FROM events) AS exact_total_users,
+           (SELECT cast(sum(exact_users) as bigint) FROM daily) AS sum_daily_exact
+    """,
+    doc="Mergeable HLL rollup: per-day user sketches union to a global distinct estimate without re-scanning; exact counts alongside for the error bound. Hash-oracled: sparse-mode HLL is exact below ~12k distinct (fixtures ≤1.5k).",
     tags=("sketch", "hll", "rollup", "approx"),
 )
 def q64_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,8 +77,23 @@ def q64_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q66_approx_quantiles",
-    oracle=None,  # approx_percentile's KLL/GK summary is implementation-specific
-    doc="Mergeable approximate quantiles (approx_percentile) per group — the 100 TB path where exact percentile_cont would shuffle full values; rank error pytest-pinned.",
+    # Exact-SQL oracle by the GK summary's exactness regime: with
+    # accuracy=10000 the summary compresses only at relative rank
+    # error 1e-4, so while per-group n < 10000 (fixture max: 2017 at
+    # sf0.01) every sample survives and the query returns the exact
+    # discrete quantile — empirically bit-equal to DuckDB's
+    # quantile_disc on all 30 (group × percentile) values at
+    # sf0.001/sf0.01. Rank error in the compressed regime is pinned
+    # by tests/test_sketches.py.
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99,
+           cast(count(*) as bigint) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Mergeable approximate quantiles (approx_percentile) per group — the 100 TB path where exact percentile_cont would shuffle full values. Hash-oracled: GK is exact while n < accuracy per group (fixtures: ≤2017 < 10000).",
     tags=("sketch", "quantile", "approx"),
 )
 def q66_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -439,8 +439,9 @@ BM25_TOPK = 10
       FROM tf, stats GROUP BY term, stats.n_docs
     )
     SELECT tf.doc_id,
-           sum(idf.idf * tf.tf * ({BM25_K1} + 1.0)
-               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl))) AS bm25
+           cast(round(cast(sum(idf.idf * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl)))
+             as decimal(18,6)), 6) as double) AS bm25
     FROM tf
     JOIN idf USING (term)
     JOIN doclen USING (doc_id)
@@ -503,7 +504,10 @@ def q114_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("s").alias("bm25"))
+        # 6-dp decimal rounding BEFORE the top-k cut (q49's ln-parity
+        # pattern): JVM vs libm ln differ by 1 ulp, so an unrounded
+        # score could flip the order at the LIMIT boundary.
+        .agg(F.round(F.sum("s").cast("decimal(18,6)"), 6).cast("double").alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )

@@ -937,7 +937,10 @@ def q117_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             if not text:  # null/empty doc → no chunks (q102: filtered by n > 0)
                 return
-            toks = [t for t in ws.split(text.strip()) if t]
+            # explicit ASCII strip set: bare str.strip() removes ALL
+            # Unicode whitespace (\xa0, \x85, ...), which would drift
+            # from q102/WS_CLASS tokenization on non-ASCII edges
+            toks = [t for t in ws.split(text.strip(" \t\n\x0b\f\r")) if t]
             n = len(toks)
             for idx, start in enumerate(range(0, n, chunk_stride)):
                 yield (

@@ -111,14 +111,24 @@ def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def run_to_completion(agg: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation over the (finite) file source to
-    completion via the memory sink; returns the final static result."""
+    completion via the memory sink; returns the final static result.
+
+    The handover from the ephemeral memory-sink table to the returned
+    DataFrame is a distributed parquet write + re-read (tmpfs-backed
+    where available) — never ``toPandas``, which would drag the whole
+    sink through the driver at large aggregate cardinality.
+    """
+    import tempfile
+
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
+        # Materialize (executor-side) before the in-memory sink table
+        # goes away with the stopped query.
+        root = "/dev/shm/spark-local" if os.access("/dev/shm", os.W_OK) else None
+        out_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=root)
+        spark.table(name).write.mode("overwrite").parquet(out_dir)
     finally:
         q.stop()
-    # Materialize before the in-memory sink table goes away.
-    result = spark.table(name)
-    pdf = result.toPandas()
-    return spark.createDataFrame(pdf, schema=result.schema)
+    return spark.read.parquet(out_dir)

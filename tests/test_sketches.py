@@ -1,5 +1,7 @@
-"""Error-bound invariants for the sketch queries (q64/q66) — the
-driver's rows-only check can't see accuracy, so it is pinned here."""
+"""Error-bound invariants for the sketch queries (q64/q66). Their
+driver oracles are exact SQL, valid only in the sketches' exactness
+regimes (HLL sparse mode; GK uncompressed) — the estimation-mode
+accuracy contract at real cardinality is pinned here instead."""
 
 from __future__ import annotations
 
