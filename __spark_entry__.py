@@ -22,6 +22,14 @@ if _os.access("/dev/shm", _os.W_OK) and not _os.environ.get("SPARK_LOCAL_DIRS"):
 
 from pandamapreduce_spark.plans import REGISTRY
 
+# Registry/driver count reconciliation: 119 queries register on this
+# image. One further query — q62b_stream_first_event_tws
+# (transformWithStateInPandas) — is implemented in
+# plans/streaming_plans.py but conditionally registered: Spark's
+# transformWithState state-server protocol requires google.protobuf,
+# which this image does not ship, so it registers (and verifies
+# against q62's oracle) only on protobuf-capable runtimes.
+
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
 # Round-4 priority: (a) queries changed this round — the three newly

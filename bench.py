@@ -168,20 +168,30 @@ def main() -> None:
         except Exception as e:  # deltas are advisory — never fail the bench
             print(f"# delta computation skipped: {e}", file=sys.stderr)
 
+    # Attach the recorded disk-backed tera calibration (one-off runs
+    # with shuffle on the real disk — scripts/tera_disk_bench.py —
+    # including the 100 GB host-limit finding) so the per-round BENCH
+    # record carries the spill story alongside the tmpfs numbers.
+    tera_disk = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs", "TERA_DISK.json")) as fh:
+            tera_disk = json.load(fh)
+    except Exception:
+        pass
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_elapsed",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "hsph_at_sf": hsph,
-                "deltas_vs_prev": deltas,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_elapsed",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "hsph_at_sf": hsph,
+        "deltas_vs_prev": deltas,
+    }
+    if tera_disk:
+        payload["tera_disk_calibration"] = tera_disk
+    print(json.dumps(payload))
     spark.stop()
 
 
