@@ -22,8 +22,9 @@ if _os.access("/dev/shm", _os.W_OK) and not _os.environ.get("SPARK_LOCAL_DIRS"):
 
 from pandamapreduce_spark.plans import REGISTRY
 
-# Registry/driver count reconciliation: 119 queries register on this
-# image. One further query — q62b_stream_first_event_tws
+# Registry/driver count reconciliation: 121 queries register on this
+# image, every one with a value-hash oracle. One further query —
+# q62b_stream_first_event_tws
 # (transformWithStateInPandas) — is implemented in
 # plans/streaming_plans.py but conditionally registered: Spark's
 # transformWithState state-server protocol requires google.protobuf,
@@ -32,7 +33,8 @@ from pandamapreduce_spark.plans import REGISTRY
 
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
-# Round-4 priority: (a) queries changed this round — the three newly
+# Round-4 priority: (a) queries new this round (q120 fuzzy join, q121
+# bloom-prune join) or changed this round — the three newly
 # hash-oracled ex-rows-only queries (q59 pinned literal rows, q64/q66
 # exact-regime oracles), q118's offsets-only gram layout, q114's
 # 6-dp score rounding, q117's ASCII strip fix; (b) every streaming
@@ -44,7 +46,9 @@ from pandamapreduce_spark.plans import REGISTRY
 # stay covered by tests/test_oracle_parity.py at sf0.001 and this
 # session's full-registry driver emulation at sf0.01.
 _WINDOW_PRIORITY = [
-    # (a) changed this round
+    # (a) new this round (never driver-checked) or changed this round
+    "q120_fuzzy_join",
+    "q121_bloom_prune_join",
     "q59_gmm_em",
     "q64_sketch_distinct_rollup",
     "q66_approx_quantiles",
@@ -96,8 +100,6 @@ _WINDOW_PRIORITY = [
     "q29_moment_stats",
     "q36_pivot",
     "q37_grouping_sets",
-    "q44_range_join",
-    "q45_cogroup",
 ]
 
 

@@ -654,3 +654,119 @@ def q108_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --- q121: bloom-filter join pruning (semi-join reduction) ----------------
+
+BF_K = 4  # hash functions
+BF_M = 16384  # bits (2^14) — sized so the fixture shows a real FP tail
+BF_PRICE = 300000  # build-side selectivity threshold
+
+
+def _bf_pos_sql(i: int, key: str) -> str:
+    """Bit position i of ``key`` — same md5-prefix formula in both
+    engines (Spark SQL conv() / DuckDB 0x-cast, the q104 parity
+    machinery)."""
+    return f"cast(concat('0x', substr(md5(concat('bf{i}:', cast({key} as varchar))), 1, 15)) as bigint) % {BF_M}"
+
+
+def _bf_pos_spark_sql(i: int, key: str) -> str:
+    return f"pmod(cast(conv(substr(md5(concat('bf{i}:', cast({key} as string))), 1, 15), 16, 10) as bigint), {BF_M})"
+
+
+@query(
+    "q121_bloom_prune_join",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {BF_PRICE}
+    ),
+    bits AS (
+      SELECT DISTINCT
+        cast(concat('0x', substr(md5(concat('bf', cast(r.d as varchar), ':', cast(o_orderkey as varchar))), 1, 15)) as bigint) % {BF_M} AS pos
+      FROM keys, range(0, {BF_K}) r(d)
+    ),
+    lpos AS (
+      SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount,
+             {", ".join(f"{_bf_pos_sql(i, 'l_orderkey')} AS p{i}" for i in range(BF_K))}
+      FROM lineitem
+    ),
+    cand AS (
+      SELECT * FROM lpos
+      WHERE {" AND ".join(f"p{i} IN (SELECT pos FROM bits)" for i in range(BF_K))}
+    ),
+    flag AS (
+      SELECT c.*, k.o_orderkey IS NOT NULL AS m
+      FROM cand c LEFT JOIN keys k ON c.l_orderkey = k.o_orderkey
+    )
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n_bloom_pass,
+           cast(count(*) FILTER (m) as bigint) AS n_items,
+           {dsum_sql(f"CASE WHEN m THEN {dmul_sql('l_extendedprice', '(1 - l_discount)')} END")} AS revenue
+    FROM flag GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc=f"Bloom-filter join pruning as pure dataflow: {BF_K}x md5 bits in a {BF_M}-bit bitmap built from the selective orders side prune the lineitem scan map-side before the exact join; per-flag audit shows bloom passes vs exact matches (the FP tail).",
+    tags=("join", "bloom", "prune", "ref"),
+)
+def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction — THE 100 TB join pattern: when a selective
+    dimension filter drives a fact join, ship a bits-sized summary of
+    the surviving keys to the fact scan so non-matching rows die
+    map-side, before any shuffle or join. Spark's own runtime row
+    filters (InjectRuntimeFilter) do this opportunistically;
+    this operator is the explicit, engine-independent form (Spark
+    lacks public bloom_filter_agg/might_contain SQL functions).
+
+    Dataflow bloom build (q104's CMS trick applied to membership):
+    each surviving key sets {BF_K} md5-derived bits; bits aggregate
+    into a ≤{BF_M // 64}-row (word → 64-bit lane) bitmap via bit_or —
+    a fixed-size mergeable summary regardless of key count — which
+    collapses to ONE map row broadcast to the probe side. The probe
+    filter is pure JVM bit math inside the scan's codegen stage.
+    FP behavior is deterministic (md5 positions), so the per-flag
+    audit (n_bloom_pass vs n_items) is value-hash-oracled; the final
+    revenue is EXACT — false positives are removed by the exact
+    (broadcast) join behind the filter.
+
+    Sizing note: m={BF_M} is deliberately small for the fixture
+    (~0.5% FP at ~1.2k build keys) so the FP tail is visible in the
+    audit; production sizing is m ≈ 10-15 bits/key for <1% FP, still
+    KB-scale for millions of keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > BF_PRICE)
+    ).select("o_orderkey")
+    bits = keys.select(
+        F.explode(F.array(*[F.expr(_bf_pos_spark_sql(i, "o_orderkey")) for i in range(BF_K)])).alias("pos")
+    )
+    bitmap = (
+        bits.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    bmap = bitmap.agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bmap"))
+    probe = li.crossJoin(F.broadcast(bmap))
+    bloom_pass = " AND ".join(
+        f"(coalesce(element_at(bmap, cast({_bf_pos_spark_sql(i, 'l_orderkey')} / 64 as int)), 0L)"
+        f" & shiftleft(1L, cast(pmod({_bf_pos_spark_sql(i, 'l_orderkey')}, 64) as int))) != 0"
+        for i in range(BF_K)
+    )
+    cand = probe.where(F.expr(bloom_pass))
+    flagged = cand.join(
+        F.broadcast(keys.withColumnRenamed("o_orderkey", "k")),
+        F.col("l_orderkey") == F.col("k"),
+        "left",
+    )
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_pass"),
+            F.count("k").alias("n_items"),
+            dsum(F.when(F.col("k").isNotNull(), dmul("l_extendedprice", F.lit(1) - F.col("l_discount")))).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

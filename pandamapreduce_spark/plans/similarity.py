@@ -208,3 +208,75 @@ def q74_multiprobe_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")
     )
+
+
+# --- q120: fuzzy string join (entity resolution) --------------------------
+
+FUZZY_PREFIX = 40  # chars of document head treated as the match key
+FUZZY_MAX_DIST = 12  # max edit distance to report a pair
+FUZZY_MAX_BLOCK = 1000  # skew cap: skip blocks larger than this
+
+
+@query(
+    "q120_fuzzy_join",
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS p,
+             string_split(substr(text, 1, {FUZZY_PREFIX}), ' ')[1] AS w1,
+             cast(floor(length(substr(text, 1, {FUZZY_PREFIX})) / 8) as int) AS lb
+      FROM documents
+    ),
+    ok AS (SELECT w1 FROM pre GROUP BY w1 HAVING count(*) <= {FUZZY_MAX_BLOCK}),
+    capped AS (SELECT * FROM pre WHERE w1 IN (SELECT w1 FROM ok)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             cast(levenshtein(a.p, b.p) as int) AS edit_dist
+      FROM capped a JOIN capped b
+        ON a.w1 = b.w1 AND a.doc_id < b.doc_id AND abs(a.lb - b.lb) <= 1
+    )
+    SELECT doc_a, doc_b, edit_dist FROM pairs
+    WHERE edit_dist <= {FUZZY_MAX_DIST}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"Fuzzy string self-join (entity resolution): {FUZZY_PREFIX}-char document heads, blocked on (first token, length band), verified with edit distance <= {FUZZY_MAX_DIST}; skew-capped blocks.",
+    tags=("similarity", "fuzzy", "join", "text"),
+)
+def q120_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join — the entity-resolution primitive (match
+    near-identical records without a shared key). The quadratic
+    levenshtein verify runs only inside blocks: equi-join on the
+    head's first token plus a length band (edit distance >= length
+    difference, so |Δlen| > 8·(band+1) pairs can't pass the threshold
+    and are never generated).
+
+    Scale shape: only (doc_id, {FUZZY_PREFIX}-char prefix, block key)
+    shuffles — never document bodies. The block key is data-dependent
+    (first token ≈ Zipfian at crawl scale), so blocks above
+    {FUZZY_MAX_BLOCK} members are dropped entirely (stop-word heads
+    match everything and mean nothing) — the cap is mirrored in the
+    oracle, same policy as q32's LSH MAX_BUCKET. Levenshtein is
+    O(len²) per pair but len is the fixed {FUZZY_PREFIX}-char prefix,
+    so per-pair cost is constant."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pre = docs.select("doc_id", F.substring("text", 1, FUZZY_PREFIX).alias("p")).select(
+        "doc_id",
+        "p",
+        F.split("p", " ").getItem(0).alias("w1"),
+        F.floor(F.length("p") / 8).cast("int").alias("lb"),
+    )
+    ok = (
+        pre.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= FUZZY_MAX_BLOCK)
+        .select("w1")
+    )
+    capped = pre.join(ok, "w1", "left_semi")
+    a = capped.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "w1", F.col("lb").alias("lba"))
+    b = capped.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "w1", F.col("lb").alias("lbb"))
+    return (
+        a.join(b, "w1")
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("lba") - F.col("lbb")) <= 1))
+        .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+        .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .orderBy("doc_a", "doc_b")
+    )

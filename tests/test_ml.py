@@ -92,3 +92,19 @@ def test_assign_ties_break_on_lowest_cid(spark):
     cents = [(0, [0.0, 1.0]), (1, [0.0, 1.0]), (2, [5.0, 5.0])]
     r = assign_clusters(vecs, cents).collect()[0]
     assert r.cluster_id == 0
+
+
+def test_q59_pinned_oracle_is_honest_on_unknown_fixture():
+    """q59's pinned literal-row oracle dispatches on an embeddings
+    fingerprint; an UNPINNED fixture must yield 0 oracle rows (a loud
+    row-count mismatch), never a silent pass. sf0.1 is deliberately
+    not pinned — verify the dispatch returns nothing there."""
+    import duckdb
+
+    from pandamapreduce_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM '/root/testdata/sf0.1/embeddings.parquet'"
+    )
+    assert con.execute(REGISTRY["q59_gmm_em"].oracle).fetchall() == []

@@ -349,3 +349,31 @@ def test_collocations_broadcast_vocab_joins(spark):
     final = plan.split("== Initial Plan ==", 1)[0]
     assert "CartesianProduct" not in final, plan
     assert "TakeOrderedAndProject" in final, plan
+
+
+def test_fuzzy_join_caps_blocks_and_never_shuffles_bodies(spark):
+    """q120: the levenshtein verify runs only on capped blocks; no
+    CartesianProduct anywhere, and no exchange carries document text —
+    only the fixed-width prefixes travel."""
+    plan = plan_of(spark, "q120_fuzzy_join")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "CartesianProduct" not in final, plan
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_bloom_prune_filters_fact_scan_map_side(spark):
+    """q121: the bloom membership test is a Filter fed by a single-row
+    bitmap broadcast directly over the lineitem scan — the fact side
+    must reach its aggregation partials without ANY hash exchange
+    (both the bitmap and the exact join are broadcasts)."""
+    plan = plan_of(spark, "q121_bloom_prune_join")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "element_at" in final, plan  # the bitmap probe exists...
+    assert final.count("BroadcastExchange") >= 2, plan  # bitmap + keys
+    # ...and no exchange ships lineitem columns (only the final
+    # per-returnflag partial-agg rows and the tiny build side shuffle)
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "l_orderkey#" not in line and "l_extendedprice#" not in line, line

@@ -64,3 +64,13 @@ def test_cms_overestimates_and_bounds(spark):
         assert r.est_count >= r.exact_count, r
         if r.exact_count > 0:
             assert r.overestimate <= max(3 * bound, 10), (r, bound)
+
+
+def test_q64_sparse_mode_exact_at_all_fixtures(spark):
+    """The q64 exact-SQL oracle rests on HLL sparse-mode exactness;
+    assert est == exact at the LARGEST shipped fixture (1500 distinct
+    users at sf0.1 — still far under the ~12k coupon transition), so
+    the oracle's validity regime covers every fixture, not just the
+    driver-checked ones."""
+    row = REGISTRY["q64_sketch_distinct_rollup"].build(spark, "/root/testdata/sf0.1").collect()[0]
+    assert row.est_total_users == row.exact_total_users == 1500
