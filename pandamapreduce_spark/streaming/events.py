@@ -109,7 +109,24 @@ def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_completion(agg: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+# State-store partition count for the local harness's streaming runs.
+# A stateful query creates (shuffle partitions) state-store instances
+# per stateful operator — each with per-microbatch snapshot/commit
+# work — and the count is FIXED into the checkpoint at query start.
+# At fixture scale, 64 instances are pure overhead: measured at sf0.1,
+# 8 instead of 64 takes q69 35→14 s, q68 14→3 s, q60 3.4→1.2 s with
+# identical results (state partitioning is semantics-free). On a real
+# cluster this is sized to executors × cores for the expected key
+# cardinality — it is a deployment knob, not plan shape.
+STREAM_STATE_PARTITIONS = 8
+
+
+def run_to_completion(
+    agg: DataFrame,
+    spark: SparkSession,
+    mode: str = "complete",
+    state_partitions: int | None = STREAM_STATE_PARTITIONS,
+) -> DataFrame:
     """Drive a streaming aggregation over the (finite) file source to
     completion via the memory sink; returns the final static result.
 
@@ -117,18 +134,28 @@ def run_to_completion(agg: DataFrame, spark: SparkSession, mode: str = "complete
     DataFrame is a distributed parquet write + re-read (tmpfs-backed
     where available) — never ``toPandas``, which would drag the whole
     sink through the driver at large aggregate cardinality.
+
+    ``state_partitions`` overrides shuffle partitions for the stream's
+    lifetime (see ``STREAM_STATE_PARTITIONS``); the previous value is
+    restored before the batch-side handover read.
     """
     import tempfile
 
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
-        # Materialize (executor-side) before the in-memory sink table
-        # goes away with the stopped query.
-        root = "/dev/shm/spark-local" if os.access("/dev/shm", os.W_OK) else None
-        out_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=root)
-        spark.table(name).write.mode("overwrite").parquet(out_dir)
+        q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            # Materialize (executor-side) before the in-memory sink
+            # table goes away with the stopped query.
+            root = "/dev/shm/spark-local" if os.access("/dev/shm", os.W_OK) else None
+            out_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=root)
+            spark.table(name).write.mode("overwrite").parquet(out_dir)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.read.parquet(out_dir)
