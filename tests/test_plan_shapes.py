@@ -364,14 +364,16 @@ def test_fuzzy_join_caps_blocks_and_never_shuffles_bodies(spark):
 
 
 def test_bloom_prune_filters_fact_scan_map_side(spark):
-    """q121: the bloom membership test is a Filter fed by a single-row
-    bitmap broadcast directly over the lineitem scan — the fact side
-    must reach its aggregation partials without ANY hash exchange
-    (both the bitmap and the exact join are broadcasts)."""
+    """q121: the bloom membership test is a codegen'd Filter over the
+    lineitem scan probing an inlined array-literal bitmap (the
+    InjectRuntimeFilter collect-and-reuse shape) — the fact side must
+    reach its aggregation partials without ANY hash exchange (the
+    exact join is a broadcast)."""
     plan = plan_of(spark, "q121_bloom_prune_join")
     final = plan.split("== Initial Plan ==", 1)[0]
     assert "element_at" in final, plan  # the bitmap probe exists...
-    assert final.count("BroadcastExchange") >= 2, plan  # bitmap + keys
+    assert "BroadcastHashJoin" in final, plan  # exact join broadcasts
+    assert "BroadcastNestedLoopJoin" not in final, plan  # no interpreted-path join
     # ...and no exchange ships lineitem columns (only the final
     # per-returnflag partial-agg rows and the tiny build side shuffle)
     for line in final.splitlines():
