@@ -723,7 +723,8 @@ def _bf_key_spark_sql(key: str) -> str:
            {dsum_sql(f"CASE WHEN m THEN {dmul_sql('l_extendedprice', '(1 - l_discount)')} END")} AS revenue
     FROM flag GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    doc=f"Bloom-filter join pruning as pure dataflow: one 60-bit md5-prefix integer per key sliced into {BF_K} 14-bit lanes sets bits in a {BF_M}-bit bitmap built from the selective orders side; the lineitem scan is pruned map-side before the exact join; per-flag audit shows bloom passes vs exact matches (the FP tail).",
+    bench=True,  # per-round signal for the semi-join-reduction pattern
+    doc=f"Bloom-filter join pruning as pure dataflow: one 60-bit md5-prefix integer per key sliced into {BF_K} {BF_BITS}-bit lanes sets bits in a {BF_M}-bit bitmap built from the selective orders side; the lineitem scan is pruned map-side before the exact join; per-flag audit shows bloom passes vs exact matches (the FP tail).",
     tags=("join", "bloom", "prune", "ref"),
 )
 def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:

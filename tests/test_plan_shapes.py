@@ -379,3 +379,51 @@ def test_bloom_prune_filters_fact_scan_map_side(spark):
     for line in final.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "l_orderkey#" not in line and "l_extendedprice#" not in line, line
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """q121 soundness invariant: a bloom filter may overadmit (FPs,
+    visible as n_bloom_pass > n_items) but must NEVER reject a true
+    match — n_items must equal the exact join's per-flag counts."""
+    from pyspark.sql import functions as F
+
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.relational import BF_PRICE
+
+    rows = {r.l_returnflag: r for r in REGISTRY["q121_bloom_prune_join"].build(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    keys = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > BF_PRICE)
+    ).select("o_orderkey")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.join(keys, li.l_orderkey == keys.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for flag, r in rows.items():
+        assert r.n_items == exact.get(flag, 0), (flag, r)
+        assert r.n_bloom_pass >= r.n_items, (flag, r)
+
+
+def test_fuzzy_join_edit_distance_lower_bound(spark):
+    """q120 invariant: reported edit distance is a true levenshtein —
+    never below the length difference of the two prefixes."""
+    from pyspark.sql import functions as F
+
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.similarity import FUZZY_PREFIX
+
+    out = REGISTRY["q120_fuzzy_join"].build(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.substring("text", 1, FUZZY_PREFIX).alias("p")
+    )
+    j = (
+        out.join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("p", "pa"), "doc_a")
+        .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("p", "pb"), "doc_b")
+        .select("edit_dist", (F.abs(F.length("pa") - F.length("pb"))).alias("len_diff"))
+    )
+    bad = j.where(F.col("edit_dist") < F.col("len_diff")).count()
+    assert bad == 0
