@@ -628,3 +628,76 @@ def q112_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "q122_variant_shred",
+    oracle="""
+    WITH env AS (
+      SELECT event_id,
+             concat('{"meta":{"src":"', event_type, '","uid":', cast(user_id as varchar),
+                    '},"payload":', props, '}') AS doc
+      FROM events
+    ),
+    shred AS (
+      SELECT cast(doc->>'$.meta.src' as varchar) AS src,
+             cast(doc->'$.meta.uid' as bigint) AS uid,
+             cast(doc->'$.payload.k' as bigint) AS k,
+             cast(doc->'$.payload.missing' as bigint) AS absent
+      FROM env
+    )
+    SELECT src,
+           cast(count(*) as bigint) AS n,
+           cast(sum(k) as bigint) AS k_total,
+           cast(count(distinct uid) as bigint) AS n_users,
+           cast(count(absent) as bigint) AS n_absent
+    FROM shred GROUP BY src ORDER BY src
+    """,
+    doc="Spark 4 VARIANT shredding: a nested semi-structured envelope parsed once to VARIANT, typed nested-path extraction (variant_get / try_variant_get), missing paths null-safe; oracle = DuckDB JSON operators.",
+    tags=("json", "variant", "agg"),
+)
+def q122_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern (Spark 4) semi-structured lane, complementing q18's
+    string-path get_json_object: the document is parsed ONCE into the
+    binary VARIANT encoding, then every field access is a typed
+    navigation of that parsed value — the open-schema ingestion shape
+    (logs/crawl metadata whose fields drift) where per-access string
+    re-parsing (q18's shape) re-pays the parse cost per path.
+
+    ``variant_get`` casts the leaf to the requested type;
+    ``try_variant_get`` on a missing path yields NULL instead of
+    erroring — asserted by the ``n_absent = 0`` audit column. All
+    JVM expressions inside codegen; the only shuffle is the final
+    partial-aggregated groupBy.
+
+    The envelope is synthesized from real columns (event_type,
+    user_id + the props JSON) so nested-path extraction is exercised
+    against the driver fixture without inventing input data."""
+    ev = load_table(spark, sf_dir, "events")
+    env = ev.select(
+        F.concat(
+            F.lit('{"meta":{"src":"'),
+            F.col("event_type"),
+            F.lit('","uid":'),
+            F.col("user_id").cast("string"),
+            F.lit('},"payload":'),
+            F.col("props"),
+            F.lit("}"),
+        ).alias("doc")
+    ).select(F.parse_json(F.col("doc")).alias("v"))
+    shred = env.select(
+        F.expr("variant_get(v, '$.meta.src', 'string')").alias("src"),
+        F.expr("variant_get(v, '$.meta.uid', 'bigint')").alias("uid"),
+        F.expr("variant_get(v, '$.payload.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.payload.missing', 'bigint')").alias("absent"),
+    )
+    return (
+        shred.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_total"),
+            F.countDistinct("uid").alias("n_users"),
+            F.count("absent").alias("n_absent"),
+        )
+        .orderBy("src")
+    )

@@ -1,4 +1,4 @@
-"""Sources & sinks beyond parquet: csv/json/orc/text readers+writers
+"""Sources & sinks beyond parquet: csv/json/orc/xml/text readers+writers
 (schema-explicit — no inference in production paths), partitioned
 writes, and the fixed-width tera record reader (in ``engine.py``).
 
@@ -12,10 +12,12 @@ from pandamapreduce_spark.sources.formats import (
     read_csv,
     read_json,
     read_orc,
+    read_xml,
     write_csv,
     write_json,
     write_orc,
+    write_xml,
     try_delta,
 )
 
-__all__ = ["read_csv", "read_json", "read_orc", "write_csv", "write_json", "write_orc", "try_delta"]
+__all__ = ["read_csv", "read_json", "read_orc", "read_xml", "write_csv", "write_json", "write_orc", "write_xml", "try_delta"]

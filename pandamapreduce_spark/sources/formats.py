@@ -40,6 +40,17 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: l
     w.orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, schema: str, row_tag: str = "row") -> DataFrame:
+    """Built-in XML source (Spark 4): splittable by rowTag framing.
+    Explicit schema, same contract as read_csv/read_json — inference
+    would need an extra full scan at 100 TB."""
+    return spark.read.format("xml").schema(schema).option("rowTag", row_tag).load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
+
+
 def try_delta(spark: SparkSession):
     """Delta Lake connector, gated: the jar is not in this image.
     Returns the delta module or None (callers degrade to parquet)."""

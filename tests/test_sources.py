@@ -126,3 +126,16 @@ def test_local_dirs_env_guard():
         assert os.environ.get("SPARK_LOCAL_DIRS") == "/dev/shm/spark-local"
     finally:
         os.environ["SPARK_LOCAL_DIRS"] = saved
+
+
+def test_xml_roundtrip(spark):
+    """Spark 4 ships the XML source built-in; same explicit-schema
+    roundtrip contract as csv/json."""
+    from pandamapreduce_spark.sources import read_xml, write_xml
+
+    orders = _orders(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "orders_xml")
+        write_xml(orders, p)
+        back = read_xml(spark, p, SCHEMA)
+        assert _canon(back) == _canon(orders)
