@@ -232,7 +232,7 @@ FUZZY_MAX_BLOCK = 1000  # skew cap: skip blocks larger than this
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              cast(levenshtein(a.p, b.p) as int) AS edit_dist
       FROM capped a JOIN capped b
-        ON a.w1 = b.w1 AND a.doc_id < b.doc_id AND abs(a.lb - b.lb) <= 1
+        ON a.w1 = b.w1 AND a.doc_id < b.doc_id AND abs(a.lb - b.lb) <= 2
     )
     SELECT doc_a, doc_b, edit_dist FROM pairs
     WHERE edit_dist <= {FUZZY_MAX_DIST}
@@ -245,9 +245,12 @@ def q120_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string join — the entity-resolution primitive (match
     near-identical records without a shared key). The quadratic
     levenshtein verify runs only inside blocks: equi-join on the
-    head's first token plus a length band (edit distance >= length
-    difference, so |Δlen| > 8·(band+1) pairs can't pass the threshold
-    and are never generated).
+    head's first token plus a ±2 length-octet band. The band is
+    LOSSLESS for the chosen threshold: edit distance ≥ |Δlen|, and a
+    pair outside the band has |Δlen| ≥ 8·3 − 7 = 17 > {FUZZY_MAX_DIST}
+    — so only the first-token block is a recall approximation (a pair
+    whose heads differ in their first word is missed; standard
+    multi-pass blocking adds more keys).
 
     Scale shape: only (doc_id, {FUZZY_PREFIX}-char prefix, block key)
     shuffles — never document bodies. The block key is data-dependent
@@ -275,7 +278,7 @@ def q120_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = capped.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "w1", F.col("lb").alias("lbb"))
     return (
         a.join(b, "w1")
-        .where((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("lba") - F.col("lbb")) <= 1))
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.abs(F.col("lba") - F.col("lbb")) <= 2))
         .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("edit_dist"))
         .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
         .orderBy("doc_a", "doc_b")
