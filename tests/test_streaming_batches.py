@@ -173,3 +173,31 @@ def test_checkpoint_recovery_exactly_once(spark):
             for r in raw.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
         }
         assert got == expected
+
+
+def test_rocksdb_state_store_parity(spark):
+    """The production state-store backend: RocksDB (bundled
+    rocksdbjni) keeps streaming state off-heap and spillable — the
+    backend a real deployment uses when state outgrows executor
+    memory. The windowed aggregation must produce EXACTLY the default
+    (HDFSBackedStateStore) answer; provider choice is durability
+    plumbing, never semantics."""
+    from pandamapreduce_spark.streaming import events as ev
+
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = ev.events_stream(spark, SF_DIR)
+        got = ev.run_to_completion(ev.hourly_agg(stream), spark).collect()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    want = ev.run_to_completion(ev.hourly_agg(ev.events_stream(spark, SF_DIR)), spark).collect()
+    canon = lambda rows: sorted((r.hour, r.event_type, r.n, r.total_value) for r in rows)  # noqa: E731
+    assert canon(got) == canon(want)
+    assert len(got) > 0
