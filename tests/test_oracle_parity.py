@@ -59,3 +59,56 @@ def test_rows_only_query_runs(spark, name):
     n = df.count()
     assert n >= 0
     assert df.schema == q.build(spark, SF_DIR).schema
+
+
+def test_canon_detects_differences():
+    """Negative control for the parity harness itself: the
+    canonicalizer must be insensitive to row/column order (that's the
+    driver contract) but MUST flag value drift beyond the 6-dp float
+    canon — a comparator that can't fail proves nothing."""
+    import pandas as pd
+
+    base = pd.DataFrame({"a": [1, 2], "x": [1.0000001, 2.5]})
+    reordered = pd.DataFrame({"x": [2.5, 1.0000004], "a": [2, 1]})[["x", "a"]]
+    assert canon(base) == canon(reordered)  # order + sub-canon float noise collapse
+
+    drift = pd.DataFrame({"a": [1, 2], "x": [1.000001, 2.5]})  # 6th dp moved
+    assert canon(base) != canon(drift)
+
+    int_drift = pd.DataFrame({"a": [1, 3], "x": [1.0000001, 2.5]})
+    assert canon(base) != canon(int_drift)
+
+    nan_vs_zero = pd.DataFrame({"a": [1, 2], "x": [float("nan"), 2.5]})
+    assert canon(base) != canon(nan_vs_zero)
+
+
+# Heavyweight sf0.1 parity (10× the default fixture): DuckDB's side of
+# the minhash oracles is minutes-slow, so this runs only when opted in
+# (SPARK_GRAFT_SF01_PARITY=1). Last full run (round 4): q32 (13,003
+# candidate pairs), q80, q118, q121 all hash-green at sf0.1 in 3m47.
+SF01_QUERIES = [
+    "q32_minhash_lsh_candidates",
+    "q80_clean_corpus",
+    "q118_dup_span",
+    "q121_bloom_prune_join",
+]
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SF01_PARITY"),
+    reason="minutes-slow DuckDB side; opt in with SPARK_GRAFT_SF01_PARITY=1",
+)
+@pytest.mark.parametrize("name", SF01_QUERIES)
+def test_query_matches_oracle_at_sf01(spark, name):
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    q = REGISTRY[name]
+    got = q.build(spark, sf_dir).toPandas()
+    want = con.execute(q.oracle).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    assert canon(got) == canon(want)
