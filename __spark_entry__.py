@@ -22,7 +22,7 @@ if _os.access("/dev/shm", _os.W_OK) and not _os.environ.get("SPARK_LOCAL_DIRS"):
 
 from pandamapreduce_spark.plans import REGISTRY
 
-# Registry/driver count reconciliation: 122 queries register on this
+# Registry/driver count reconciliation: 123 queries register on this
 # image, every one with a value-hash oracle. One further query —
 # q62b_stream_first_event_tws
 # (transformWithStateInPandas) — is implemented in
@@ -34,7 +34,8 @@ from pandamapreduce_spark.plans import REGISTRY
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
 # Round-4 priority: (a) queries new this round (q120 fuzzy join, q121
-# bloom-prune join, q122 variant shredding) or changed this round — the three newly
+# bloom-prune join, q122 variant shredding, q123 boilerplate scrub)
+# or changed this round — the three newly
 # hash-oracled ex-rows-only queries (q59 pinned literal rows, q64/q66
 # exact-regime oracles), q118's offsets-only gram layout, q114's
 # 6-dp score rounding, q117's ASCII strip fix; (b) every streaming
@@ -50,6 +51,7 @@ _WINDOW_PRIORITY = [
     "q120_fuzzy_join",
     "q121_bloom_prune_join",
     "q122_variant_shred",
+    "q123_boilerplate_scrub",
     "q59_gmm_em",
     "q64_sketch_distinct_rollup",
     "q66_approx_quantiles",
@@ -99,7 +101,6 @@ _WINDOW_PRIORITY = [
     "q27_bigrams",
     "q28_percentiles",
     "q29_moment_stats",
-    "q36_pivot",
 ]
 
 

@@ -959,3 +959,112 @@ def q117_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_idx
         """
     )
+
+
+# --- q123: boilerplate scrub (the APPLY twin of q92) ----------------------
+
+
+@query(
+    "q123_boilerplate_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+    m AS (SELECT doc_id, toks, cast(len(toks) // {BLOCK_WORDS} as int) AS nb FROM t),
+    b0 AS (SELECT doc_id, nb, toks, unnest(range(0, nb)) AS pos FROM m),
+    b AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[{BLOCK_WORDS}*pos+1 : {BLOCK_WORDS}*pos+{BLOCK_WORDS}], ' ') AS btxt
+      FROM b0
+    ),
+    hx AS (SELECT doc_id, pos, btxt, md5(btxt) AS h FROM b),
+    shared AS (SELECT h FROM hx GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (
+      SELECT doc_id, list(btxt ORDER BY pos) AS ks, count(*) AS n_kept
+      FROM hx WHERE h NOT IN (SELECT h FROM shared) GROUP BY doc_id
+    ),
+    asm AS (
+      SELECT m.doc_id, m.nb, len(m.toks) AS nt,
+             coalesce(k.ks, cast([] as varchar[])) AS ks,
+             coalesce(m.toks[{BLOCK_WORDS}*m.nb+1 :], cast([] as varchar[])) AS tail,
+             coalesce(k.n_kept, 0) AS n_kept
+      FROM m LEFT JOIN kept k USING (doc_id)
+    )
+    SELECT doc_id,
+           cast(nb as bigint) AS n_blocks,
+           cast(nb - n_kept as bigint) AS n_dropped,
+           cast({BLOCK_WORDS}*n_kept + (nt - {BLOCK_WORDS}*nb) as bigint) AS n_tokens_after,
+           md5(coalesce(array_to_string(coalesce(list_concat(ks, tail), cast([] as varchar[])), ' '), '')) AS scrub_md5
+    FROM asm ORDER BY doc_id
+    """,
+    doc=f"Boilerplate REMOVAL (apply twin of q92): every {BLOCK_WORDS}-word block shared by ≥2 docs is dropped from ALL documents, survivors reassemble in position order (+ the sub-block tail); md5 of each scrubbed doc value-checks exact reassembly.",
+    tags=("training", "dedup", "boilerplate"),
+)
+def q123_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where q92 DETECTS cross-document template content, this removes
+    it (the CCNet-style duplicated-paragraph drop, under this corpus's
+    flat-token structure): a block hash seen in ≥2 distinct documents
+    is boilerplate and is dropped from every document — including its
+    first occurrence; template content carries no training value
+    anywhere. Remaining blocks rejoin in position order, followed by
+    the sub-block tail tokens, and the scrubbed text is value-checked
+    exactly via md5.
+
+    Scale shape: the shared-hash set comes from one partial-agg
+    groupBy of (doc_id, 16-byte hash) pairs; block TEXT shuffles only
+    for the per-doc reassembly groupBy — bounded by document size, the
+    same bound any doc-granular transform already carries. Reassembly
+    is sort_array(collect_list(struct(pos, btxt))) — deterministic
+    under any partitioning because pos is unique within a doc.
+    """
+    from pandamapreduce_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    m = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.floor(F.size(toks) / BLOCK_WORDS).cast("int").alias("nb"),
+    )
+    blocks = F.when(
+        F.col("nb") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("nb") - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), i * BLOCK_WORDS + 1, F.lit(BLOCK_WORDS))
+                ).alias("btxt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,btxt:string>>"))
+    ex = m.select("doc_id", F.explode(blocks).alias("b")).select(
+        "doc_id", F.col("b.pos").alias("pos"), F.col("b.btxt").alias("btxt"), F.md5("b.btxt").alias("h")
+    )
+    shared = (
+        ex.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).where(F.col("nd") >= 2).select("h")
+    )
+    kept = (
+        ex.join(shared, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "btxt"))), lambda s: s["btxt"]
+            ).alias("ks"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    nb, nt = F.col("nb"), F.size("toks")
+    asm = m.join(kept, "doc_id", "left").select(
+        "doc_id",
+        nb.cast("bigint").alias("n_blocks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        nt.alias("nt"),
+        F.coalesce(F.col("ks"), F.array().cast("array<string>")).alias("ks"),
+        F.slice(F.col("toks"), nb * BLOCK_WORDS + 1, nt - nb * BLOCK_WORDS).alias("tail"),
+    )
+    return asm.select(
+        "doc_id",
+        "n_blocks",
+        (F.col("n_blocks") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+        (BLOCK_WORDS * F.col("n_kept") + (F.col("nt") - BLOCK_WORDS * F.col("n_blocks"))).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.concat_ws(" ", F.concat(F.col("ks"), F.col("tail")))).alias("scrub_md5"),
+    ).orderBy("doc_id")
