@@ -23,7 +23,6 @@ from pandamapreduce_spark.functions import (
     cosine_sql,
     hex16,
     hex16_sql,
-    minhash_sig,
     minhash_sig_sql,
     normalize_text,
     normalize_text_sql,

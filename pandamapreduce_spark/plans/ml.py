@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
-from pandamapreduce_spark.functions import dot, dot_sql
+from pandamapreduce_spark.functions import dot
 from pandamapreduce_spark.operators.ml import kmeans
 from pandamapreduce_spark.plans.registry import query
 

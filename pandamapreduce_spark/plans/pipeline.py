@@ -24,7 +24,7 @@ from pandamapreduce_spark.functions import (
     word_ngrams_sql,
 )
 from pandamapreduce_spark.plans.dedup import MAX_BUCKET, _lsh_pairs_sql
-from pandamapreduce_spark.plans.numeric import DEC, davg, davg_sql
+from pandamapreduce_spark.plans.numeric import davg, davg_sql
 from pandamapreduce_spark.plans.registry import query
 
 MIN_TOKENS = 20

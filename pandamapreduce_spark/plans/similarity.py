@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
-from pandamapreduce_spark.functions import cosine, cosine_sql, dot, dot_sql
+from pandamapreduce_spark.functions import cosine, cosine_sql, dot
 from pandamapreduce_spark.plans.registry import query
 
 N_PLANES = 8

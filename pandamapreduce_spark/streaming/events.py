@@ -24,7 +24,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.plans.numeric import DEC
 
 # The driver has shipped events.ts as TIMESTAMP(NANOS) (readable only
