@@ -22,6 +22,40 @@ from pandamapreduce_spark.plans import REGISTRY
 from pandamapreduce_spark.session import get_spark
 
 
+def _load_bench_record(path: str) -> dict:
+    """Parsed payload of one recorded BENCH_r*.json round.
+
+    The driver stores its own parse under ``"parsed"`` — but it
+    captures only the TAIL of stdout, so a round whose result line
+    grew too long (r4: the line carried the disk-calibration prose)
+    has ``"parsed": null`` and the history would silently vanish from
+    the noise guard (VERDICT r4 wrong#1). Fall back to re-parsing the
+    ``tail`` text: the per-query timings dict and the sf field survive
+    truncation because they sit early in the line."""
+    import re
+
+    try:
+        with open(path) as fh:
+            rec = json.load(fh)
+    except Exception:
+        return {}
+    parsed = rec.get("parsed")
+    if isinstance(parsed, dict):
+        return parsed
+    tail = rec.get("tail", "")
+    out: dict = {}
+    m = re.search(r'"queries": (\{[^{}]*\})', tail)
+    if m:
+        try:
+            out["queries"] = json.loads(m.group(1))
+        except Exception:
+            pass
+    m = re.search(r'"sf": ([0-9.]+)', tail)
+    if m:
+        out["sf"] = float(m.group(1)) if "." in m.group(1) else int(m.group(1))
+    return out
+
+
 def _best_bench_value(key: str, sf) -> float | None:
     """The BEST recorded value for ``key`` across every round AT THE
     SAME SCALE FACTOR — the known capability of this code on a quiet
@@ -32,16 +66,12 @@ def _best_bench_value(key: str, sf) -> float | None:
     here = os.path.dirname(os.path.abspath(__file__))
     vals = []
     for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        try:
-            with open(f) as fh:
-                parsed = json.load(fh).get("parsed", {})
-            if parsed.get("sf") != sf:
-                continue
-            v = parsed.get("queries", {}).get(key)
-            if v:
-                vals.append(v)
-        except Exception:
+        parsed = _load_bench_record(f)
+        if parsed.get("sf") != sf:
             continue
+        v = parsed.get("queries", {}).get(key)
+        if v:
+            vals.append(v)
     return min(vals) if vals else None
 
 
@@ -128,7 +158,12 @@ def main() -> None:
         key = f"tera_{gb:g}gb_pipeline"
         runs: list[float] = []
         all_valid = True
-        for _ in range(2):
+        # min-of-3 at the 1 GB scale (VERDICT r4 wrong#2): it is the
+        # shortest, noisiest pipeline and the HSph@SF 1 GB headline —
+        # two runs let a single co-tenant writeback spike set the
+        # round's number (r4 recorded 6.18 s vs a 4.37 s capability).
+        base_runs = 3 if gb <= 1 else 2
+        for _ in range(base_runs):
             el, valid = one_run()
             all_valid &= valid
             runs.append(el)
@@ -159,8 +194,7 @@ def main() -> None:
     prev_files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
     if prev_files:
         try:
-            with open(prev_files[-1]) as fh:
-                prev = json.load(fh).get("parsed", {}).get("queries", {})
+            prev = _load_bench_record(prev_files[-1]).get("queries", {})
             for name, sec in timings.items():
                 if name in prev and prev[name]:
                     deltas[name] = round(sec / prev[name], 2)
@@ -168,17 +202,11 @@ def main() -> None:
         except Exception as e:  # deltas are advisory — never fail the bench
             print(f"# delta computation skipped: {e}", file=sys.stderr)
 
-    # Attach the recorded disk-backed tera calibration (one-off runs
-    # with shuffle on the real disk — scripts/tera_disk_bench.py —
-    # including the 100 GB host-limit finding) so the per-round BENCH
-    # record carries the spill story alongside the tmpfs numbers.
-    tera_disk = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs", "TERA_DISK.json")) as fh:
-            tera_disk = json.load(fh)
-    except Exception:
-        pass
-
+    # The disk-backed tera calibration (scripts/tera_disk_bench.py,
+    # incl. the 100 GB host-limit finding) lives ONLY in the sidecar
+    # docs/TERA_DISK.json — embedding it here made the r4 result line
+    # outgrow the driver's tail capture and lose the whole round's
+    # history (VERDICT r4 wrong#1). The result line must stay compact.
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_elapsed",
@@ -189,8 +217,6 @@ def main() -> None:
         "hsph_at_sf": hsph,
         "deltas_vs_prev": deltas,
     }
-    if tera_disk:
-        payload["tera_disk_calibration"] = tera_disk
     print(json.dumps(payload))
     spark.stop()
 
