@@ -738,12 +738,12 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Dataflow bloom build (q104's CMS trick applied to membership):
     each surviving key hashes ONCE (md5 → one 60-bit hex→int
-    conversion), the digest splits into {BF_K} disjoint 14-bit slices
-    (the single-hash multi-lane scheme — one crypto hash AND one
+    conversion), the digest splits into BF_K=3 disjoint BF_BITS=17-bit
+    slices (the single-hash multi-lane scheme — one crypto hash AND one
     BigInteger conv per row, the q32-minhash lesson), and each slice sets
-    one bit of a ≤{BF_M // 64}-row (word → 64-bit lane) bitmap via
+    one bit of a ≤2048-row (word → 64-bit lane) bitmap via
     bit_or — a fixed-size mergeable summary regardless of key count —
-    which collapses to one {BF_M // 64}-long dense array (2 KB), pulled
+    which collapses to one BF_M/64 = 2048-long dense array (16 KB), pulled
     to the driver and inlined as an ARRAY LITERAL in the probe filter
     — the same collect-and-reuse mechanics as Spark's own
     InjectRuntimeFilter bloom subquery — so the probe is a plain
@@ -754,7 +754,7 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives are removed by the exact (broadcast) join behind the
     filter.
 
-    Sizing note: m={BF_M} ≈ 10+ bits/key at the largest fixture
+    Sizing note: m=BF_M=131072 ≈ 10+ bits/key at the largest fixture
     (~12k build keys at sf0.1 → ~1.4% FP, a visible audit tail;
     effectively 0 FP at sf0.01's ~1.2k keys). An UNDERSIZED filter
     fails soft but expensively: at m=2^14 the sf0.1 filter saturated
@@ -779,7 +779,7 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(b)").alias("bits"))
     )
     # Dense 1-indexed array, not a map: Catalyst's element_at on map
-    # data is a LINEAR key scan, so {BF_M // 64} entries × {BF_K}
+    # data is a LINEAR key scan, so BF_M/64 = 2048 entries × BF_K
     # probes × every fact row is O(m·k·n) comparisons; an array index
     # is O(1). Built once on the single bitmap row.
     bmap = (
@@ -804,9 +804,9 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-row alternative (crossJoin + condition) forces a
     # BroadcastNestedLoopJoin whose condition is evaluated by the
     # interpreted path — measured 3.1 s vs 0.8 s for the same bit math
-    # at sf0.1. The driver round-trip is a bounded summary ({BF_M//64}
-    # longs = 2 KB regardless of key count), the k-means-centroids
-    # precedent.
+    # at sf0.1. The driver round-trip is a bounded summary (BF_M/64 =
+    # 2048 longs = 16 KB regardless of key count), the
+    # k-means-centroids precedent.
     barr = F.lit(bmap.first()[0])
     hits = []
     for i in range(BF_K):

@@ -14,11 +14,15 @@ the driver's fixture scales: below each sketch's exactness threshold
 the "estimate" IS the exact answer — DataSketches HLL stays in sparse
 (coupon-list) mode far beyond the fixtures' ≤1.5k distinct users, and
 approx_percentile's GK summary is uncompressed while n < accuracy
-(10000) per group (fixture max 2017 at sf0.01) — so plain exact SQL
-is a valid oracle at every driver-checked sf, verified empirically at
-sf0.001/sf0.01 (bit-equal, 30+ values each). The estimation-mode
-error behavior at real scale stays pinned by pytest invariants
-(tests/test_sketches.py).
+(GK_ACCURACY=50000) per group — sized to cover the LARGEST shipped
+fixture (sf0.1: max group n = 20302), not just the driver-checked
+sf0.01 (max 2017), so the exact-SQL oracle is valid at every fixture
+scale (ADVICE r4: at the old accuracy=10000 the sf0.1 groups crossed
+the regime and the oracle measurably mismatched). Verified bit-equal
+at sf0.001/sf0.01/sf0.1. The estimation-mode error behavior at real
+scale stays pinned by pytest invariants (tests/test_sketches.py);
+tests/test_sketches.py guards the regime boundary at the largest
+fixture for BOTH q64 and q66.
 """
 
 from __future__ import annotations
@@ -75,16 +79,18 @@ def q64_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GK_ACCURACY = 50000  # exactness regime bound: exact while per-group n < this
+
+
 @query(
     "q66_approx_quantiles",
-    # Exact-SQL oracle by the GK summary's exactness regime: with
-    # accuracy=10000 the summary compresses only at relative rank
-    # error 1e-4, so while per-group n < 10000 (fixture max: 2017 at
-    # sf0.01) every sample survives and the query returns the exact
-    # discrete quantile — empirically bit-equal to DuckDB's
-    # quantile_disc on all 30 (group × percentile) values at
-    # sf0.001/sf0.01. Rank error in the compressed regime is pinned
-    # by tests/test_sketches.py.
+    # Exact-SQL oracle by the GK summary's exactness regime: while
+    # per-group n < GK_ACCURACY every sample survives compression and
+    # the query returns the exact discrete quantile — empirically
+    # bit-equal to DuckDB's quantile_disc at sf0.001/sf0.01/sf0.1
+    # (largest group 20302 < 50000; guard test pins the boundary).
+    # Rank error in the compressed regime is pinned by
+    # tests/test_sketches.py.
     oracle="""
     SELECT event_type,
            quantile_disc(value, 0.5) AS p50,
@@ -93,19 +99,20 @@ def q64_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(count(*) as bigint) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
-    doc="Mergeable approximate quantiles (approx_percentile) per group — the 100 TB path where exact percentile_cont would shuffle full values. Hash-oracled: GK is exact while n < accuracy per group (fixtures: ≤2017 < 10000).",
+    doc="Mergeable approximate quantiles (approx_percentile) per group — the 100 TB path where exact percentile_cont would shuffle full values. Hash-oracled: GK is exact while n < accuracy per group (fixtures: ≤20302 < 50000).",
     tags=("sketch", "quantile", "approx"),
 )
 def q66_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type p50/p95/p99 of value via ``approx_percentile``
-    (accuracy 10000 → ≤0.01 rank error). Unlike exact percentiles
-    (q28), the summary is fixed-size and merges across partitions —
-    one narrow shuffle of summaries, never of raw values."""
+    (accuracy GK_ACCURACY=50000 → ≤2e-5 rank error). Unlike exact
+    percentiles (q28), the summary is fixed-size and merges across
+    partitions — one narrow shuffle of summaries, never of raw
+    values."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("q"),
+            F.expr(f"approx_percentile(value, array(0.5, 0.95, 0.99), {GK_ACCURACY})").alias("q"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(

@@ -149,9 +149,25 @@ def run_to_completion(
         try:
             q.processAllAvailable()
             # Materialize (executor-side) before the in-memory sink
-            # table goes away with the stopped query.
+            # table goes away with the stopped query. The tmpfs subdir
+            # only exists when session bootstrap took the /dev/shm
+            # branch (SPARK_LOCAL_DIRS may point elsewhere, e.g. the
+            # disk-bench script) — create it rather than assume it,
+            # and fall back to the system tmpdir if tmpfs is denied.
             root = "/dev/shm/spark-local" if os.access("/dev/shm", os.W_OK) else None
+            if root is not None:
+                try:
+                    os.makedirs(root, exist_ok=True)
+                except OSError:
+                    root = None
             out_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=root)
+            # tmpfs is RAM: reclaim the handover dir at interpreter
+            # exit (the returned DataFrame reads it lazily, so it must
+            # outlive this call — atexit is the earliest safe point).
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
             spark.table(name).write.mode("overwrite").parquet(out_dir)
         finally:
             q.stop()

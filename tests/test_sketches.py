@@ -22,8 +22,9 @@ def test_hll_rollup_error_bound(spark):
 
 
 def test_approx_quantiles_rank_error(spark):
-    """approx_percentile(accuracy=10000) → rank error ≤ 1e-4; check
-    each estimate sits within a 2% rank window of the exact quantile."""
+    """approx_percentile(accuracy=GK_ACCURACY) → rank error ≤
+    1/accuracy; check each estimate sits within a 2% rank window of
+    the exact quantile."""
     rows = REGISTRY["q66_approx_quantiles"].build(spark, SF_DIR).collect()
     assert rows
     from pandamapreduce_spark.catalog import load_table
@@ -74,3 +75,37 @@ def test_q64_sparse_mode_exact_at_all_fixtures(spark):
     driver-checked ones."""
     row = REGISTRY["q64_sketch_distinct_rollup"].build(spark, "/root/testdata/sf0.1").collect()[0]
     assert row.est_total_users == row.exact_total_users == 1500
+
+
+def test_q66_exactness_regime_at_largest_fixture(spark):
+    """The q66 exact-SQL oracle rests on the GK summary staying
+    uncompressed (per-group n < GK_ACCURACY); assert BOTH halves at
+    the LARGEST shipped fixture (ADVICE r4: at the old accuracy=10000
+    the sf0.1 groups crossed the regime and the oracle measurably
+    mismatched — p50 35.06 vs quantile_disc 35.07):
+    (a) every sf0.1 group is under the regime bound, and
+    (b) the result is bit-equal to a live DuckDB quantile_disc —
+    so a future fixture regeneration or accuracy change that crosses
+    the boundary fails HERE, not in a driver run above sf0.01."""
+    import duckdb
+
+    from pandamapreduce_spark.plans.sketches import GK_ACCURACY
+
+    q = REGISTRY["q66_approx_quantiles"]
+    got = q.build(spark, "/root/testdata/sf0.1").toPandas()
+    assert int(got["n"].max()) < GK_ACCURACY, (
+        f"largest sf0.1 group {got['n'].max()} crossed the GK exactness "
+        f"regime ({GK_ACCURACY}) — the exact-SQL oracle is no longer valid"
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM"
+            " read_parquet('/root/testdata/sf0.1/events.parquet')"
+        )
+        want = con.execute(q.oracle).df()
+    finally:
+        con.close()
+    g = got.sort_values("event_type").reset_index(drop=True)
+    w = want.sort_values("event_type").reset_index(drop=True)
+    assert g.equals(w), f"sf0.1 parity broke:\n{g}\nvs oracle\n{w}"
