@@ -30,74 +30,69 @@ from pandamapreduce_spark.plans import REGISTRY
 
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
-# Round-4 priority: (a) queries new this round (q120 fuzzy join, q121
-# bloom-prune join, q122 variant shredding, q123 boilerplate scrub)
-# or changed this round — the three newly
-# hash-oracled ex-rows-only queries (q59 pinned literal rows, q64/q66
-# exact-regime oracles), q118's offsets-only gram layout, q114's
-# 6-dp score rounding, q117's ASCII strip fix; (b) every streaming
-# query — the memory-sink handover in streaming/events.py switched
-# from toPandas to a distributed parquet write this round; (c) the
-# 26 round-1-only greens whose driver signal is two rounds stale
-# (VERDICT r3 #2 — the full rotation cohort); (d) round-2-only greens
-# as regression sentinels, oldest-first. Entries beyond the window
+# Round-5 priority (VERDICT r4 #2 — the 35 round-2-stale cohort):
+# (a) queries changed this round — q66 (GK accuracy raised to 50000 so
+# the exactness regime covers sf0.1), q120 (second blocking pass),
+# plus any query new this round; (b) the 35 greens last windowed in
+# round 2; (c) round-3-only greens as regression sentinels,
+# oldest-first, filling the remaining slots. Entries beyond the window
 # stay covered by tests/test_oracle_parity.py at sf0.001 and this
 # session's full-registry driver emulation at sf0.01.
 _WINDOW_PRIORITY = [
-    # (a) new this round (never driver-checked) or changed this round
-    "q120_fuzzy_join",
-    "q121_bloom_prune_join",
-    "q122_variant_shred",
-    "q123_boilerplate_scrub",
-    "q59_gmm_em",
-    "q64_sketch_distinct_rollup",
+    # (a) changed or new this round
     "q66_approx_quantiles",
-    "q118_dup_span",
-    "q114_bm25_search",
-    "q117_udtf_chunks",
-    # (b) streaming: run_to_completion handover changed
-    "q60_stream_hourly",
-    "q61_stream_sessions",
-    "q62_stream_first_event",
-    "q63_stream_dedup",
-    "q68_stream_stream_join",
-    "q69_stream_neardup",
-    "q76_stream_multimodal",
-    "q105_stream_cms_heavy_hitters",
-    "q111_stream_sliding",
-    # (c) round-1-only greens, two rounds stale — full rotation
-    "q01_pricing_summary",
-    "q06_forecast_revenue",
-    "q15_conditional_agg",
-    "q16_anti_join",
-    "q17_events_hourly",
-    "q20_wordcount",
-    "q21_top_words",
-    "q22_corpus_stats",
-    "q23_token_count",
-    "q24_quality_score",
-    "q25_lang_id",
-    "q26_fingerprint",
-    "q30_dedup_exact",
-    "q31_dedup_normalized",
-    "q34_simhash",
-    "q35_embedding_neardup",
-    "q40_knn_bruteforce",
-    "q41_lsh_buckets",
-    "q42_lsh_knn",
-    "q46_window_functions",
-    "q50_mr_wordcount",
-    "q51_mr_keyval_agg",
-    "q67_bpe_token_count",
-    "q70_multimodal_meta",
-    "q72_frame_sample",
-    "q73_resize",
-    # (d) round-2-only greens, oldest-first regression sentinels
-    "q18_json_extract",
-    "q19_scalar_functions",
-    "q27_bigrams",
-    "q28_percentiles",
-    "q29_moment_stats",
+    "q120_fuzzy_join",
+    "q124_corpus_merge",
+    # (b) round-2-stale cohort, full rotation
+    "q03_top_orders",
+    "q05_revenue_by_nation",
+    "q32_minhash_lsh_candidates",
+    "q33_neardup_verified",
+    "q36_pivot",
+    "q37_grouping_sets",
+    "q44_range_join",
+    "q45_cogroup",
+    "q47_kmeans_assign",
+    "q48_gemv",
+    "q49_tfidf",
+    "q55_ivf_knn",
+    "q56_salted_agg",
+    "q57_pandas_udaf",
+    "q58_gmm_assign",
+    "q65_time_rollup",
+    "q71_multimodal_features",
+    "q74_multiprobe_lsh_knn",
+    "q75_salted_join",
+    "q77_ivf_nprobe",
+    "q80_clean_corpus",
+    "q81_correlated_subquery",
+    "q82_exists_semi",
+    "q83_range_frame_window",
+    "q84_rolling_fingerprint",
+    "q85_train_split",
+    "q86_quality_deciles",
+    "q87_hybrid_neardup",
+    "q88_contamination",
+    "q89_stratified_sample",
+    "q90_sequence_packing",
+    "q91_source_mixture",
+    "q92_boilerplate_blocks",
+    "q93_repetition_score",
+    "q94_dedup_clusters",
+    # (c) round-3-only greens as regression sentinels (the rest of the
+    # 38-query r3 cohort rotates in round 6)
+    "q02_filter_project",
+    "q04_order_priority",
+    "q07_distinct",
+    "q08_orderby_limit",
+    "q09_group_having",
+    "q10_window_topk_per_group",
+    "q11_window_running_sum",
+    "q12_sessionize",
+    "q13_set_ops",
+    "q14_rollup",
+    "q43_asof_join",
+    "q52_terasort",
 ]
 
 

@@ -31,7 +31,7 @@ from pandamapreduce_spark.functions import (
     word_ngrams,
     word_ngrams_sql,
 )
-from pandamapreduce_spark.plans.registry import query
+from pandamapreduce_spark.plans.registry import REGISTRY, query
 
 # MinHash-LSH parameters: 12 hashes in 4 bands of 3 → catches
 # Jaccard ≳ 0.5 pairs with good probability at tiny signature cost.
@@ -478,4 +478,157 @@ def q116_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_id", "base_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.1)
         .orderBy("delta_id", "base_id")
+    )
+
+
+# --- q124: incremental corpus MERGE (apply the delta) ---------------------
+
+MERGE_JACCARD = 0.5  # supersession threshold — the LSH design point (4 bands of 3)
+
+# Two-step CTE oracle (VERDICT r4 #8): step 1 = q116's near-dup oracle
+# verbatim as a CTE (spliced from the registry so the two can never
+# drift); step 2 = the merge application in plain SQL over
+# (pairs, per-doc metadata).
+_Q124_ORACLE = f"""
+    WITH nd AS ({{q116}}),
+    pairs AS (SELECT delta_id, base_id FROM nd WHERE jaccard >= {MERGE_JACCARD}),
+    meta AS (
+      SELECT doc_id, n_chars, md5({normalize_text_sql("text")}) AS norm_md5,
+             md5(text) AS text_md5,
+             doc_id % {DELTA_MOD} = {DELTA_MOD - 1} AS is_delta
+      FROM documents
+    ),
+    exact_win AS (
+      SELECT min(doc_id) AS doc_id FROM meta WHERE is_delta GROUP BY norm_md5
+    ),
+    delta_live AS (SELECT m.* FROM meta m JOIN exact_win e USING (doc_id)),
+    ms AS (
+      SELECT d.doc_id AS delta_id, count(*) AS n_match,
+             count(*) FILTER (d.n_chars > b.n_chars
+                              OR (d.n_chars = b.n_chars AND d.doc_id < b.doc_id)) AS n_beat
+      FROM delta_live d
+      JOIN pairs p ON d.doc_id = p.delta_id
+      JOIN meta b ON p.base_id = b.doc_id
+      GROUP BY d.doc_id
+    ),
+    admitted AS (
+      SELECT doc_id FROM delta_live
+      WHERE doc_id NOT IN (SELECT delta_id FROM ms WHERE n_match <> n_beat)
+    ),
+    superseded AS (
+      SELECT DISTINCT p.base_id AS doc_id
+      FROM pairs p JOIN admitted a ON p.delta_id = a.doc_id
+    )
+    SELECT doc_id, origin, action,
+           action IN ('retained', 'admitted') AS in_corpus,
+           n_chars, text_md5
+    FROM (
+      SELECT m.doc_id,
+             CASE WHEN m.is_delta THEN 'delta' ELSE 'base' END AS origin,
+             CASE WHEN NOT m.is_delta THEN
+                    CASE WHEN m.doc_id IN (SELECT doc_id FROM superseded)
+                         THEN 'superseded' ELSE 'retained' END
+                  WHEN m.doc_id NOT IN (SELECT doc_id FROM delta_live) THEN 'dropped_dup'
+                  WHEN m.doc_id IN (SELECT doc_id FROM admitted) THEN 'admitted'
+                  ELSE 'dropped_inferior' END AS action,
+             cast(m.n_chars as bigint) AS n_chars, m.text_md5
+      FROM meta m
+    ) ORDER BY doc_id
+    """
+
+
+@query(
+    "q124_corpus_merge",
+    oracle=_Q124_ORACLE.format(q116=REGISTRY["q116_incremental_neardup"].oracle),
+    doc="Incremental corpus MERGE — applies q116's delta-vs-base near-dups as an upsert: exact-dedup within the delta, admit a delta doc only where it beats every matched base doc (longer wins, ties to lower id), supersede the base docs an admitted delta beats; full post-merge corpus state, content-addressed (md5).",
+    tags=("dedup", "incremental", "merge", "pipeline"),
+)
+def q124_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl maintenance operator: q116 FINDS the incoming
+    batch's near-dups; this APPLIES them. One row per document (base
+    and delta) with the post-merge verdict — the table a production
+    MERGE INTO would be driven by:
+
+    - delta docs that exact-duplicate an earlier delta doc
+      (md5-normalized, q31's canon) → ``dropped_dup``;
+    - a surviving delta doc is ``admitted`` iff it beats EVERY base
+      doc it near-matches (q103's keep-best comparator: n_chars desc,
+      doc_id asc) — else ``dropped_inferior`` (a better version
+      already exists in the corpus);
+    - a base doc is ``superseded`` iff an admitted delta beats it
+      (admission guarantees the winner beat all its matches, so the
+      two rules can't contradict — no iterative resolution needed);
+      all other base docs are ``retained``.
+
+    Scale shape: near-dup discovery is q116's delta×base bucket join
+    (never a base self-join); the merge itself adds only id-keyed
+    joins over (doc_id, n_chars, md5) — 48-byte rows, document bodies
+    never shuffle (md5s computed map-side, q106's content-addressing).
+    The verdict-flag joins are semi/anti joins on doc_id, and the
+    pair/admission tables are bounded by the delta size, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_MOD - 1
+    meta = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(normalize_text("text")).alias("norm_md5"),
+        F.md5("text").alias("text_md5"),
+        is_delta.alias("is_delta"),
+    )
+    pairs = (
+        q116_incremental_neardup(spark, sf_dir)
+        .where(F.col("jaccard") >= MERGE_JACCARD)
+        .select("delta_id", "base_id")
+    )
+    exact_win = (
+        meta.where("is_delta").groupBy("norm_md5").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    delta_live = meta.where("is_delta").join(exact_win, "doc_id", "left_semi")
+    base_chars = meta.where(~F.col("is_delta")).select(
+        F.col("doc_id").alias("base_id"), F.col("n_chars").alias("b_chars")
+    )
+    beats = (F.col("d_chars") > F.col("b_chars")) | (
+        (F.col("d_chars") == F.col("b_chars")) & (F.col("delta_id") < F.col("base_id"))
+    )
+    ms = (
+        delta_live.select(F.col("doc_id").alias("delta_id"), F.col("n_chars").alias("d_chars"))
+        .join(pairs, "delta_id")
+        .join(base_chars, "base_id")
+        .groupBy("delta_id")
+        .agg(F.count(F.lit(1)).alias("n_match"), F.sum(beats.cast("int")).alias("n_beat"))
+    )
+    losers = ms.where(F.col("n_match") != F.col("n_beat")).select(F.col("delta_id").alias("doc_id"))
+    admitted = delta_live.select("doc_id").join(losers, "doc_id", "left_anti")
+    superseded = (
+        pairs.join(admitted.select(F.col("doc_id").alias("delta_id")), "delta_id", "left_semi")
+        .select(F.col("base_id").alias("doc_id"))
+        .distinct()
+    )
+
+    def _mark(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id").withColumn(name, F.lit(True))
+
+    action = (
+        F.when(
+            ~F.col("is_delta"),
+            F.when(F.col("_sup"), "superseded").otherwise("retained"),
+        )
+        .when(F.col("_live").isNull(), "dropped_dup")
+        .when(F.col("_adm"), "admitted")
+        .otherwise("dropped_inferior")
+    )
+    return (
+        meta.join(_mark(delta_live, "_live"), "doc_id", "left")
+        .join(_mark(admitted, "_adm"), "doc_id", "left")
+        .join(_mark(superseded, "_sup"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_delta"), "delta").otherwise("base").alias("origin"),
+            action.alias("action"),
+            action.isin("retained", "admitted").alias("in_corpus"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "text_md5",
+        )
+        .orderBy("doc_id")
     )

@@ -100,15 +100,48 @@ SF01_QUERIES = [
 )
 @pytest.mark.parametrize("name", SF01_QUERIES)
 def test_query_matches_oracle_at_sf01(spark, name):
+    _assert_parity_at(spark, name, "/root/testdata/sf0.1")
+
+
+def _assert_parity_at(spark, name, sf_dir):
     import duckdb
 
-    sf_dir = "/root/testdata/sf0.1"
     con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    q = REGISTRY[name]
-    got = q.build(spark, sf_dir).toPandas()
-    want = con.execute(q.oracle).df()
+    try:
+        for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        q = REGISTRY[name]
+        got = q.build(spark, sf_dir).toPandas()
+        want = con.execute(q.oracle).df()
+    finally:
+        con.close()
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want)
     assert canon(got) == canon(want)
+
+
+# sf1 oracle parity for the BENCH set (VERDICT r4 #3): the sf1 scaling
+# study cites perf at 10× rows, so the same scale needs recorded
+# correctness evidence. The FK-preserving scaled fixture
+# (scripts/make_scaled_fixture.py — key-offset copies keep every 1:N
+# fan-out) makes the registry oracles valid at sf1 for the bench set
+# (q52's oracle is literal/sf-independent; none of the bench oracles
+# is fixture-pinned or regime-bounded at this scale — q66/q59 are not
+# bench queries). DuckDB's side of the minhash/dedup oracles is
+# minutes-slow at sf1 → opt in with SPARK_GRAFT_SF1_PARITY=1 after
+# materializing the fixture (python scripts/make_scaled_fixture.py).
+BENCH_QUERIES = sorted(n for n, q in REGISTRY.items() if q.bench)
+SF1_DIR = "/root/repo/.bench/sf1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SF1_PARITY"),
+    reason="minutes-slow DuckDB side; opt in with SPARK_GRAFT_SF1_PARITY=1",
+)
+@pytest.mark.parametrize("name", BENCH_QUERIES)
+def test_bench_query_matches_oracle_at_sf1(spark, name):
+    import os
+
+    if not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+        pytest.skip("sf1 fixture not materialized (scripts/make_scaled_fixture.py)")
+    _assert_parity_at(spark, name, SF1_DIR)

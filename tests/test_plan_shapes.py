@@ -427,3 +427,18 @@ def test_fuzzy_join_edit_distance_lower_bound(spark):
     )
     bad = j.where(F.col("edit_dist") < F.col("len_diff")).count()
     assert bad == 0
+
+
+def test_corpus_merge_never_shuffles_bodies(spark):
+    """q124 (incremental MERGE): the near-dup discovery is q116's
+    bucket join (its shape is asserted by the q116/LSH tests); the
+    merge layer on top may join only id-keyed 48-byte rows
+    (doc_id, n_chars, md5s) — no KEY-partitioned exchange carries
+    document text (the round-robin REPARTITION_BY_NUM that spreads
+    the single-file scan across cores is scan-side and allowed), and
+    nothing degenerates to a cartesian."""
+    plan = plan_of(spark, "q124_corpus_merge")
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line:
+            assert "text#" not in line, line
