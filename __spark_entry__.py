@@ -43,6 +43,7 @@ _WINDOW_PRIORITY = [
     "q66_approx_quantiles",
     "q120_fuzzy_join",
     "q124_corpus_merge",
+    "q125_zorder_layout",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -92,7 +93,6 @@ _WINDOW_PRIORITY = [
     "q13_set_ops",
     "q14_rollup",
     "q43_asof_join",
-    "q52_terasort",
 ]
 
 

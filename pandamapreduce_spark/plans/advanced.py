@@ -701,3 +701,112 @@ def q122_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+# --- q125: Z-order clustering (data-skipping layout operator) -------------
+
+Z_BUCKET_SHIFT = 22  # 32-bit z-value >> 22 → up to 1024 layout buckets
+
+
+def _z_interleave(u: str, v: str, dialect: str) -> str:
+    """Bit-interleave two 16-bit ints into a 32-bit Morton z-value.
+
+    One shared generator emits the SAME 32-term expression for both
+    engines (Spark: shiftleft/shiftright functions; DuckDB: << >>
+    operators), so layout assignment is definitionally identical on
+    both sides — all integer bit math, no float anywhere.
+    """
+    terms = []
+    for i in range(16):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({u}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({v}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({u} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({v} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "q125_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT (SELECT min(user_id) FROM events) AS mnu,
+             (SELECT max(user_id) FROM events) AS mxu,
+             (SELECT min(value) FROM events) AS mnv,
+             (SELECT max(value) FROM events) AS mxv
+    ),
+    n AS (
+      SELECT user_id, value,
+             ((user_id - mnu) * 65535) // (mxu - mnu) AS u16,
+             cast(floor(((value - mnv) * 65535.0) / (mxv - mnv)) as bigint) AS v16
+      FROM events, b
+    ),
+    z AS (
+      SELECT user_id, value,
+             ({_z_interleave("u16", "v16", "duckdb")}) >> {Z_BUCKET_SHIFT} AS bucket
+      FROM n
+    )
+    SELECT bucket, cast(count(*) as bigint) AS n_rows,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(value) AS min_value, max(value) AS max_value
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Z-order (Morton) clustering layout: min-max-normalize two dimensions to 16 bits, bit-interleave to a 32-bit z-value, bucket by z-prefix; per-bucket min/max stats = the data-skipping index a zonemap/file-pruning scan would use. Identical integer bit math on both engines.",
+    tags=("layout", "zorder", "skipping"),
+)
+def q125_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical-layout operator behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` (public Delta OSS `OptimizeTableCommand` /
+    the Morton-curve literature): rows clustered by interleaved-bit
+    order give every file a tight bounding box in BOTH dimensions, so
+    a 2-D (or either-single-dim) range probe prunes most files from
+    min/max zonemap stats alone — the single biggest 100 TB scan
+    lever after partition pruning. A linear (single-column) sort
+    prunes only its lead column; z-order trades a little of each
+    dimension's locality for bounded boxes in all of them
+    (tests/test_invariants.py::test_zorder_prunes_better_than_linear
+    measures the pruning win on the same probe).
+
+    Output = the layout's zonemap: one row per z-bucket with row count
+    and per-dimension min/max — exactly what the writer would persist
+    as file-level stats (the production form is
+    ``repartitionByRange(z).sortWithinPartitions(z).write`` with
+    parquet min/max collected per file automatically; computing the
+    stats table keeps the operator value-checkable).
+
+    Scale shape: bounds are a bounded 4-value driver summary (the
+    k-means-centroids precedent); everything else is map-side integer
+    bit math inside whole-stage codegen plus ONE narrow
+    (bucket)-keyed agg of 48-byte stat rows. No shuffle ever carries
+    more than (bucket, user_id, value)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+        F.min("value").alias("mnv"),
+        F.max("value").alias("mxv"),
+    ).first()
+    mnu, mxu, mnv, mxv = b["mnu"], b["mxu"], b["mnv"], b["mxv"]
+    n = ev.select(
+        "user_id",
+        "value",
+        F.expr(f"((user_id - {mnu}) * 65535) DIV ({mxu} - {mnu})").alias("u16"),
+        F.expr(f"cast(floor(((value - {mnv!r}) * 65535.0) / ({mxv!r} - {mnv!r})) as bigint)").alias("v16"),
+    )
+    z = n.select(
+        "user_id",
+        "value",
+        F.expr(f"shiftright({_z_interleave('u16', 'v16', 'spark')}, {Z_BUCKET_SHIFT})").alias("bucket"),
+    )
+    return (
+        z.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )

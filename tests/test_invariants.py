@@ -362,3 +362,38 @@ def test_dup_span_bounds(spark):
     for r in rows:
         assert r.max_dup_span_tokens >= SPAN_GRAM
         assert r.n_dup_grams >= r.max_dup_span_tokens - SPAN_GRAM + 1
+
+
+def test_zorder_prunes_better_than_linear(spark):
+    """The claim behind q125: z-order bucket boxes are bounded in BOTH
+    dimensions, so a range probe on the NON-lead dimension prunes most
+    buckets, where a linear (user_id-sorted) layout's boxes span the
+    full value range and prune nothing. Build both layouts' zonemaps
+    over the same rows and compare buckets-scanned for the same probe."""
+    from pandamapreduce_spark.plans import REGISTRY
+
+    zmap = REGISTRY["q125_zorder_layout"].build(spark, SF_DIR).toPandas()
+    ev = (
+        __import__("pandamapreduce_spark.catalog", fromlist=["load_table"])
+        .load_table(spark, SF_DIR, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    # Linear layout: sort by the lead column only (intra-user rows stay
+    # in arrival order, as a real ingest-sorted table would), cut into
+    # the same number of equal-size buckets, collect min/max boxes.
+    n_buckets = len(zmap)
+    ev_sorted = ev.sort_values(["user_id"], kind="mergesort").reset_index(drop=True)
+    ev_sorted["bucket"] = (ev_sorted.index * n_buckets) // len(ev_sorted)
+    linmap = ev_sorted.groupby("bucket").agg(
+        min_value=("value", "min"), max_value=("value", "max")
+    )
+
+    # Probe: a 10%-wide band of `value`, all users — the non-lead-dim
+    # range query that kills single-column sorts.
+    lo = ev["value"].quantile(0.45)
+    hi = ev["value"].quantile(0.55)
+    z_scanned = ((zmap["max_value"] >= lo) & (zmap["min_value"] <= hi)).sum()
+    lin_scanned = ((linmap["max_value"] >= lo) & (linmap["min_value"] <= hi)).sum()
+    assert lin_scanned >= 0.9 * n_buckets, (lin_scanned, n_buckets)  # linear prunes ~nothing
+    assert z_scanned <= 0.5 * lin_scanned, (z_scanned, lin_scanned)  # z-order prunes most
