@@ -44,6 +44,7 @@ _WINDOW_PRIORITY = [
     "q120_fuzzy_join",
     "q124_corpus_merge",
     "q125_zorder_layout",
+    "q126_funnel",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -92,7 +93,6 @@ _WINDOW_PRIORITY = [
     "q12_sessionize",
     "q13_set_ops",
     "q14_rollup",
-    "q43_asof_join",
 ]
 
 

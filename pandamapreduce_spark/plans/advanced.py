@@ -810,3 +810,121 @@ def q125_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- q126: funnel analysis (ordered multi-stage conversion) ---------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")  # must happen in this order
+FUNNEL_HORIZON = "INTERVAL 1 DAY"  # max gap between consecutive stages
+
+
+@query(
+    "q126_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + {FUNNEL_HORIZON}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + {FUNNEL_HORIZON}
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM s1) AS v,
+             (SELECT count(*) FROM s2) AS c,
+             (SELECT count(*) FROM s3) AS b
+    )
+    SELECT stage, n_users, conv_from_prev, conv_from_entry FROM (
+      SELECT '1_{FUNNEL_STAGES[0]}' AS stage, cast(v as bigint) AS n_users,
+             cast(1.0 as double) AS conv_from_prev, cast(1.0 as double) AS conv_from_entry
+      FROM counts
+      UNION ALL
+      SELECT '2_{FUNNEL_STAGES[1]}', cast(c as bigint),
+             cast(c as double) / cast(v as double), cast(c as double) / cast(v as double)
+      FROM counts
+      UNION ALL
+      SELECT '3_{FUNNEL_STAGES[2]}', cast(b as bigint),
+             cast(b as double) / cast(c as double), cast(b as double) / cast(v as double)
+      FROM counts
+    ) ORDER BY stage
+    """,
+    doc=f"Event-funnel analysis: ordered {' -> '.join(FUNNEL_STAGES)} conversion where each stage must follow the previous user's stage timestamp within {FUNNEL_HORIZON.lower()}; per-stage user counts + exact int/int conversion rates.",
+    tags=("funnel", "events", "analytics"),
+)
+def q126_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-funnel operator (product analytics' bread and
+    butter; Spark has no native funnel, unlike e.g. ClickHouse's
+    windowFunnel): stage k counts users whose FIRST stage-k event
+    falls strictly after their stage-(k-1) timestamp and within the
+    horizon. Built as a chain of per-stage min-aggregations — each
+    stage is one map-side event-type filter, one (user_id)-keyed agg,
+    and one equi-join against the previous stage's (user_id, ts)
+    table, so per-stage shuffle rows are bounded by the surviving
+    cohort, not the event volume. No window function and no per-user
+    event-array collection: the classic collect_list-then-scan funnel
+    implementation holds a user's whole history in one row (skew bomb
+    at 100 TB); the min-agg chain never materializes more than
+    8-byte timestamps per surviving user per stage.
+
+    Conversion rates are int/int divisions (bitwise-deterministic
+    IEEE), stage labels carry an ordinal prefix so the output sorts
+    stably."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = F.expr(FUNNEL_HORIZON)
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("c")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("b")))
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(f"1_{FUNNEL_STAGES[0]}").alias("stage"),
+            F.col("v").alias("n_users"),
+            F.lit(1.0).alias("conv_from_prev"),
+            F.lit(1.0).alias("conv_from_entry"),
+        ),
+        F.struct(
+            F.lit(f"2_{FUNNEL_STAGES[1]}").alias("stage"),
+            F.col("c").alias("n_users"),
+            (F.col("c").cast("double") / F.col("v").cast("double")).alias("conv_from_prev"),
+            (F.col("c").cast("double") / F.col("v").cast("double")).alias("conv_from_entry"),
+        ),
+        F.struct(
+            F.lit(f"3_{FUNNEL_STAGES[2]}").alias("stage"),
+            F.col("b").alias("n_users"),
+            (F.col("b").cast("double") / F.col("c").cast("double")).alias("conv_from_prev"),
+            (F.col("b").cast("double") / F.col("v").cast("double")).alias("conv_from_entry"),
+        ),
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.n_users", "s.conv_from_prev", "s.conv_from_entry")
+        .orderBy("stage")
+    )

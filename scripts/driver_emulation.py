@@ -1,5 +1,9 @@
 """Full driver-contract emulation at sf0.01 (the verify skill's t2
-gate), runnable as a script: every queries() entry vs its oracle."""
+gate), runnable as a script: every queries() entry vs its oracle.
+
+Usage: driver_emulation.py [SF_DIR] [name1,name2,...]
+The optional second arg restricts the run to a comma-separated query
+subset (e.g. the bench set for the gated sf1 parity pass)."""
 
 import math
 import sys
@@ -11,6 +15,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from pandamapreduce_spark.session import get_spark  # noqa: E402
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 spark = get_spark("driver-emulation")
 df = entry_mod.entry(spark)
 print("ENTRY rows:", len(df.collect()))
@@ -39,6 +44,8 @@ def canon(df, places=6):
 qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
 fail = 0
 for name, fn in qs.items():
+    if only is not None and name not in only:
+        continue
     try:
         got = fn(spark, sf_dir).toPandas()
     except Exception as e:
