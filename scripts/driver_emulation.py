@@ -21,6 +21,10 @@ df = entry_mod.entry(spark)
 print("ENTRY rows:", len(df.collect()))
 
 con = duckdb.connect()
+# Bound DuckDB: at sf1 the minhash/dedup oracles otherwise balloon
+# alongside the 48g Spark driver JVM and the host OOM-kills one of
+# them silently (spill-to-disk is the right behavior for an oracle).
+con.execute("SET memory_limit='24GB'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
