@@ -788,11 +788,19 @@ def q125_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("mxv"),
     ).first()
     mnu, mxu, mnv, mxv = b["mnu"], b["mxu"], b["mnv"], b["mxv"]
+    # Float contract: the oracle's denominator is DuckDB's IEEE double
+    # subtraction mxv - mnv; embedding the two literals and letting
+    # Spark subtract would do it in DECIMAL (SQL literals parse as
+    # decimal) and can differ by 1 ulp, flipping floor() on boundary
+    # rows. Subtract HERE in Python doubles — bit-identical to the
+    # oracle — and embed the single difference literal. `value - mnv`
+    # below is double-minus-literal, which Spark evaluates in double.
+    dv = mxv - mnv
     n = ev.select(
         "user_id",
         "value",
-        F.expr(f"((user_id - {mnu}) * 65535) DIV ({mxu} - {mnu})").alias("u16"),
-        F.expr(f"cast(floor(((value - {mnv!r}) * 65535.0) / ({mxv!r} - {mnv!r})) as bigint)").alias("v16"),
+        F.expr(f"((user_id - {mnu}) * 65535) DIV ({mxu - mnu})").alias("u16"),
+        F.expr(f"cast(floor(((value - {mnv!r}) * 65535.0) / {dv!r}) as bigint)").alias("v16"),
     )
     z = n.select(
         "user_id",

@@ -46,6 +46,12 @@ def canon(df, places=6):
 
 
 qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+if only is not None:
+    unknown = only - set(qs)
+    if unknown:
+        # Fail loudly: a typo'd subset would otherwise run nothing and
+        # print a vacuous FAILURES: 0.
+        sys.exit(f"unknown query names: {sorted(unknown)}")
 fail = 0
 for name, fn in qs.items():
     if only is not None and name not in only:
