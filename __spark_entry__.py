@@ -45,6 +45,7 @@ _WINDOW_PRIORITY = [
     "q124_corpus_merge",
     "q125_zorder_layout",
     "q126_funnel",
+    "q127_cohort_retention",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -92,7 +93,6 @@ _WINDOW_PRIORITY = [
     "q11_window_running_sum",
     "q12_sessionize",
     "q13_set_ops",
-    "q14_rollup",
 ]
 
 

@@ -936,3 +936,73 @@ def q126_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.stage", "s.n_users", "s.conv_from_prev", "s.conv_from_entry")
         .orderBy("stage")
     )
+
+
+# --- q127: cohort retention (weekly triangle) -----------------------------
+
+
+@query(
+    "q127_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(cast(date_trunc('week', ts) as date)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS w FROM events
+    ),
+    cells AS (
+      SELECT f.cohort_week,
+             cast(date_diff('day', f.cohort_week, a.w) // 7 as bigint) AS week_offset,
+             cast(count(*) as bigint) AS n_active
+      FROM firsts f JOIN active a ON f.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_offset = 0)
+    SELECT c.cohort_week, c.week_offset, c.n_active,
+           cast(c.n_active as double) / cast(s.cohort_size as double) AS retention
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    ORDER BY c.cohort_week, c.week_offset
+    """,
+    doc="Weekly cohort-retention triangle: users grouped by first-activity week; per (cohort, week-offset) distinct active users and exact int/int retention rate vs the cohort's week-0 size.",
+    tags=("retention", "cohort", "events", "analytics"),
+)
+def q127_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle (product analytics' other staple, next
+    to q126's funnel): cohort = the week of a user's FIRST event;
+    cell (c, k) = distinct cohort-c users active in week c+k;
+    retention = cell / cohort size, an exact int/int division.
+
+    Scale shape: three (user-or-cohort)-keyed narrow aggregations —
+    first-week per user, distinct (user, week) activity (both shuffle
+    8-byte ids + a date), then the (cohort, offset) cell agg whose
+    cardinality is weeks × offsets, tiny by construction. The
+    week-0-size join attaches via the cells table itself (no second
+    scan of events), and nothing ever holds a user's full history in
+    one row. date_trunc('week') is Monday-start in both engines
+    (verified on the fixtures)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("w")).distinct()
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = cells.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
