@@ -959,7 +959,7 @@ def q126_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     sizes AS (SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_offset = 0)
-    SELECT c.cohort_week, c.week_offset, c.n_active,
+    SELECT cast(c.cohort_week as varchar) AS cohort_week, c.week_offset, c.n_active,
            cast(c.n_active as double) / cast(s.cohort_size as double) AS retention
     FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
     ORDER BY c.cohort_week, c.week_offset
@@ -999,7 +999,10 @@ def q127_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cells.join(sizes, "cohort_week")
         .select(
-            "cohort_week",
+            # string, not date: DuckDB's pandas bridge renders DATE as a
+            # midnight datetime64 and the driver canon stringifies it as
+            # '... 00:00:00' — 'yyyy-MM-dd' text is identical on both.
+            F.col("cohort_week").cast("string").alias("cohort_week"),
             "week_offset",
             "n_active",
             (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias("retention"),
