@@ -91,6 +91,12 @@ SF01_QUERIES = [
     "q80_clean_corpus",
     "q118_dup_span",
     "q121_bloom_prune_join",
+    # round-5 additions (q124's DuckDB side embeds the q116 minhash
+    # oracle — minutes at sf0.1, like the entries above)
+    "q124_corpus_merge",
+    "q125_zorder_layout",
+    "q126_funnel",
+    "q127_cohort_retention",
 ]
 
 
