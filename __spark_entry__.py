@@ -46,6 +46,7 @@ _WINDOW_PRIORITY = [
     "q125_zorder_layout",
     "q126_funnel",
     "q127_cohort_retention",
+    "q128_column_stats",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -92,7 +93,6 @@ _WINDOW_PRIORITY = [
     "q10_window_topk_per_group",
     "q11_window_running_sum",
     "q12_sessionize",
-    "q13_set_ops",
 ]
 
 

@@ -1009,3 +1009,85 @@ def q127_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- q128: column statistics (ANALYZE-style profiling) --------------------
+
+STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+HIST_BUCKETS = 8
+
+
+@query(
+    "q128_column_stats",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           cast(count({c}) as bigint) AS n,
+           cast(count(*) - count({c}) as bigint) AS n_null,
+           cast(count(distinct {c}) as bigint) AS ndv,
+           min({c}) AS min_v, max({c}) AS max_v,
+           [{", ".join(
+               f"cast(sum(case when least(cast(floor(({c} - (SELECT min({c}) FROM lineitem)) * {HIST_BUCKETS}.0 / ((SELECT max({c}) FROM lineitem) - (SELECT min({c}) FROM lineitem))) as bigint), {HIST_BUCKETS - 1}) = {i} then 1 else 0 end) as bigint)"
+               for i in range(HIST_BUCKETS)
+           )}] AS hist
+    FROM lineitem"""
+        for c in STATS_COLS
+    )
+    + "\n    ORDER BY col_name",
+    doc=f"ANALYZE-style column statistics over lineitem: per-column row/null/NDV counts, min/max, and an {HIST_BUCKETS}-bucket equi-width histogram — the zonemap/CBO stats a 100 TB warehouse maintains per file/partition; single-pass conditional aggregation per column.",
+    tags=("stats", "profiling", "histogram"),
+)
+def q128_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics-collection operator behind ``ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS`` (public Spark
+    `AnalyzeColumnCommand` semantics): row/null counts, NDV, min/max,
+    and an equi-width histogram per column — what the cost-based
+    optimizer joins/filters are estimated from, and what file-level
+    zonemaps (q125) aggregate to at table grain.
+
+    Scale shape: one bounds pass (6-value driver summary, the
+    k-means-centroids precedent) + ONE full scan per column computing
+    every statistic in a single partial-aggregatable projection — the
+    histogram is {HIST_BUCKETS} conditional sums, not a groupBy, so
+    each column contributes exactly one 1-row aggregate and the three
+    columns' scans share the same cached parquet read. NDV here is
+    exact count_distinct so the DuckDB oracle matches bit-for-bit; at
+    real scale the mergeable-summary path is q64's HLL lane (sparse
+    mode exact below ~12k distinct — same regime argument).
+
+    Float contract (q125's rule): bucket width divisors are computed
+    ONCE in Python doubles and embedded as single literals, matching
+    DuckDB's own IEEE double subtraction; Spark never subtracts two
+    embedded decimal literals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in STATS_COLS],
+        *[F.max(c).alias(f"mx_{c}") for c in STATS_COLS],
+    ).first()
+    parts = []
+    for c in STATS_COLS:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        dv = mx - mn
+        bucket = F.expr(
+            f"least(cast(floor(({c} - {mn!r}) * {HIST_BUCKETS}.0 / {dv!r}) as bigint), {HIST_BUCKETS - 1})"
+        )
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.count(c).alias("n"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("ndv"),
+                F.min(c).alias("min_v"),
+                F.max(c).alias("max_v"),
+                F.array(
+                    *[
+                        F.sum(F.when(bucket == i, 1).otherwise(0)).cast("bigint")
+                        for i in range(HIST_BUCKETS)
+                    ]
+                ).alias("hist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
