@@ -397,3 +397,28 @@ def test_zorder_prunes_better_than_linear(spark):
     lin_scanned = ((linmap["max_value"] >= lo) & (linmap["min_value"] <= hi)).sum()
     assert lin_scanned >= 0.9 * n_buckets, (lin_scanned, n_buckets)  # linear prunes ~nothing
     assert z_scanned <= 0.5 * lin_scanned, (z_scanned, lin_scanned)  # z-order prunes most
+
+
+def test_column_stats_drive_join_cardinality_estimates(spark):
+    """q128's stats exist to feed a cost model; sanity-check they do:
+    the textbook containment estimate |R ⋈ S| ≈ |R|·|S| / max(ndv_R,
+    ndv_S) on the join key must land within 1.5× of the true join
+    size for the fixture's FK joins (exact for a clean FK: every
+    lineitem row matches exactly one order)."""
+    from pyspark.sql import functions as F
+
+    from pandamapreduce_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+
+    def stats(df, col):
+        r = df.agg(F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(col)).alias("ndv")).first()
+        return r["n"], r["ndv"]
+
+    n_l, ndv_l = stats(li, "l_orderkey")
+    n_o, ndv_o = stats(o, "o_orderkey")
+    est = n_l * n_o / max(ndv_l, ndv_o)
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert actual > 0
+    assert est / actual < 1.5 and actual / est < 1.5, (est, actual)
