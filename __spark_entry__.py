@@ -47,6 +47,14 @@ _WINDOW_PRIORITY = [
     "q126_funnel",
     "q127_cohort_retention",
     "q128_column_stats",
+    "q129_pagerank",
+    "q130_scd2_history",
+    "q131_copurchase",
+    "q132_constraint_audit",
+    "q133_robust_outliers",
+    "q134_snapshot_diff",
+    "q135_incremental_agg",
+    "q136_triangle_count",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -83,16 +91,9 @@ _WINDOW_PRIORITY = [
     "q92_boilerplate_blocks",
     "q93_repetition_score",
     "q94_dedup_clusters",
-    # (c) round-3-only greens as regression sentinels (the rest of the
-    # 38-query r3 cohort rotates in round 6)
-    "q02_filter_project",
-    "q04_order_priority",
-    "q07_distinct",
-    "q08_orderby_limit",
-    "q09_group_having",
-    "q10_window_topk_per_group",
-    "q11_window_running_sum",
-    "q12_sessionize",
+    # (the full 38-query r3 cohort rotates in round 6 — the 15 new/
+    # changed entries above plus the 35-query r2-stale rotation fill
+    # the window exactly)
 ]
 
 

@@ -21,5 +21,7 @@ from pandamapreduce_spark.plans import sketches  # noqa: E402,F401
 from pandamapreduce_spark.plans import sql_surface  # noqa: E402,F401
 from pandamapreduce_spark.plans import training  # noqa: E402,F401
 from pandamapreduce_spark.plans import reshape  # noqa: E402,F401
+from pandamapreduce_spark.plans import warehouse  # noqa: E402,F401
+from pandamapreduce_spark.plans import maintenance  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

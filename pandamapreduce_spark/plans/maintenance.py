@@ -1,0 +1,194 @@
+"""Table-maintenance lanes (round 5): snapshot reconciliation diff and
+incremental (partial-state) aggregate maintenance.
+
+These are the operators a 100 TB warehouse runs between queries: "what
+changed between yesterday's and today's snapshot?" and "fold today's
+delta into the standing rollup without recomputing history". Both are
+pure dataflow — fingerprints and partial-aggregate states shuffle,
+never full payloads.
+
+Float contract as everywhere (``plans.numeric``): sums ride exact
+decimal end-to-end (order- and grouping-independent), so the merged
+two-level aggregate is bitwise-identical to a direct recompute — which
+is exactly why the oracle can be the direct recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.plans.numeric import DEC
+from pandamapreduce_spark.plans.registry import query
+
+# --- q134: snapshot diff / reconciliation ---------------------------------
+
+# Deterministic twin snapshots derived from one fixture table:
+# "yesterday" drops every 97th key, "today" drops every 89th key and
+# rewrites the priority of every 13th — so the diff exercises all four
+# outcomes (added / removed / changed / unchanged) with known planted
+# populations.
+BASE_DROP_MOD = 97
+CURR_DROP_MOD = 89
+CHANGE_MOD = 13
+CHANGED_PRIORITY = "9-RECHECK"
+
+#: columns folded into the row fingerprint — ints and strings only, so
+#: the md5 input text is engine-independent (no float/date rendering)
+FP_COLS_SQL = "concat_ws('|', o_orderstatus, o_orderpriority, cast(o_custkey as varchar))"
+
+
+def _fp_col() -> F.Column:
+    return F.md5(
+        F.concat_ws(
+            "|", F.col("o_orderstatus"), F.col("o_orderpriority"), F.col("o_custkey").cast("string")
+        )
+    )
+
+
+@query(
+    "q134_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, md5({FP_COLS_SQL}) AS fp
+      FROM orders WHERE o_orderkey % {BASE_DROP_MOD} <> 0
+    ),
+    curr0 AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey,
+             CASE WHEN o_orderkey % {CHANGE_MOD} = 0 THEN '{CHANGED_PRIORITY}' ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % {CURR_DROP_MOD} <> 0
+    ),
+    curr AS (SELECT o_orderkey AS k, md5({FP_COLS_SQL}) AS fp FROM curr0),
+    d AS (
+      SELECT coalesce(b.k, c.k) AS k,
+             CASE WHEN b.k IS NULL THEN 'added'
+                  WHEN c.k IS NULL THEN 'removed'
+                  WHEN b.fp <> c.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM base b FULL OUTER JOIN curr c ON b.k = c.k
+    )
+    SELECT status, cast(count(*) as bigint) AS n,
+           cast(min(k) as bigint) AS min_key, cast(max(k) as bigint) AS max_key,
+           cast(sum(k) as bigint) AS key_checksum
+    FROM d GROUP BY status ORDER BY status
+    """,
+    doc="Snapshot reconciliation diff: full-outer key join of two table versions compared by md5 row fingerprint (ints/strings only — engine-independent text) → added/removed/changed/unchanged populations with key checksums; only (key, 32-char fingerprint) ever shuffles.",
+    tags=("warehouse", "diff", "reconciliation"),
+)
+def q134_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-reconciliation operator: validate a migration/replication
+    by diffing snapshots WITHOUT shipping row payloads — each side
+    collapses to (key, md5 fingerprint) at the scan, so the full-outer
+    join shuffles 40 bytes/row regardless of table width. Statuses
+    aggregate to a fixed-size report with sum/min/max key checksums
+    (exact integer algebra) so the hash pins membership, not just
+    counts. At 100 TB both scans are parquet-pruned to the fingerprint
+    columns and the join is a plain hash join on the key; AQE handles
+    the skewless balance. Planted populations: every 97th key removed,
+    every 89th added, every 13th surviving key changed."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % BASE_DROP_MOD != 0).select(
+        F.col("o_orderkey").alias("k"), _fp_col().alias("fp")
+    )
+    curr = (
+        o.where(F.col("o_orderkey") % CURR_DROP_MOD != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % CHANGE_MOD == 0, F.lit(CHANGED_PRIORITY)).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .select(F.col("o_orderkey").alias("k"), _fp_col().alias("fp"))
+    )
+    b, c = base.alias("b"), curr.alias("c")
+    d = b.join(c, F.col("b.k") == F.col("c.k"), "full_outer").select(
+        F.coalesce(F.col("b.k"), F.col("c.k")).alias("k"),
+        F.when(F.col("b.k").isNull(), "added")
+        .when(F.col("c.k").isNull(), "removed")
+        .when(F.col("b.fp") != F.col("c.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.max("k").cast("bigint").alias("max_key"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("status")
+    )
+
+
+# --- q135: incremental aggregate maintenance (partial-state merge) --------
+
+SPLIT_TS = "1995-06-01"  # base = shipped before, delta = the new arrivals
+
+
+def _partial_state(df: DataFrame) -> DataFrame:
+    """Mergeable per-group state: count + exact-decimal sums + min/max.
+    Sums stay DECIMAL here — the merge level re-sums decimals, so the
+    fold is associative and bit-exact regardless of how the data was
+    split (the algebraic-aggregate property that makes incremental
+    view maintenance sound)."""
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty_dec"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price_dec"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of partial states into the final rollup."""
+    allst = states[0]
+    for s in states[1:]:
+        allst = allst.unionAll(s)
+    return (
+        allst.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("sum_qty_dec"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("sum_price_dec"), 2).cast("double").alias("sum_price"),
+            F.min("min_ship").cast("date").cast("string").alias("min_ship"),
+            F.max("max_ship").cast("date").cast("string").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q135_incremental_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(count(*) as bigint) AS n,
+           cast(round(sum(cast(l_quantity as {DEC})), 2) as double) AS sum_qty,
+           cast(round(sum(cast(l_extendedprice as {DEC})), 2) as double) AS sum_price,
+           cast(cast(min(l_shipdate) as date) as varchar) AS min_ship,
+           cast(cast(max(l_shipdate) as date) as varchar) AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc=f"Incremental materialized-aggregate maintenance: the rollup is computed as merge(partial_state(base shipped < {SPLIT_TS}), partial_state(delta)) — mergeable (count, decimal-sum, min, max) states — and the oracle is the DIRECT full recompute, which the decimal algebra makes bitwise-identical; the maintenance path never rescans history at refresh time.",
+    tags=("warehouse", "incremental", "materialized-view"),
+)
+def q135_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh without history rescans: fold the
+    daily delta's partial state into the standing state. The query
+    deliberately computes base and delta states as two separate
+    aggregations and merges them (two-level agg), then the oracle
+    recomputes directly over the full table — passing the hash PROVES
+    the merge is lossless, which is the soundness property incremental
+    maintenance rests on. Decimal sums make the fold associative
+    (order/grouping independent); min/max/count are trivially
+    mergeable. At 100 TB the base state is ~|groups| rows read from
+    the last refresh's output — only the delta is scanned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    base = _partial_state(li.where(F.col("l_shipdate") < split))
+    delta = _partial_state(li.where(~(F.col("l_shipdate") < split)))
+    return merge_states(base, delta)

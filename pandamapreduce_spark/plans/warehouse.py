@@ -1,0 +1,667 @@
+"""Warehouse & graph analytics lanes (round 5): iterative PageRank over
+a derived trade graph, SCD Type-2 dimension history, market-basket
+co-purchase affinity, a declarative data-quality constraint audit, and
+robust (median/MAD) time-series outlier detection.
+
+These extend the engine past the reference's §2 inventory into the
+maintenance/analytics operators a 100 TB warehouse actually runs daily:
+graph centrality over joined fact tables, dimension versioning,
+affinity mining, ingest validation, and pipeline-health anomaly flags.
+
+Float contract as everywhere (``plans.numeric``): every compared double
+is either a single correctly-rounded IEEE operation on identical inputs
+(int/int division, product of identical doubles) or an exact-decimal
+sum rounded before the double cast — bitwise-equal vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandamapreduce_spark.caching import scoped_persist
+from pandamapreduce_spark.catalog import load_table
+from pandamapreduce_spark.plans.registry import query
+
+# --- q129: PageRank over the nation trade graph ---------------------------
+
+PR_ITERS = 3  # fixed iteration count → unrolled-SQL oracle (q54's precedent)
+#: decimal wide enough that a rank (≤1) times an edge fraction keeps
+#: 14 exact fractional digits; sums rounded to 12 before the double cast
+PR_DEC = "decimal(28,14)"
+PR_SCALE = 12
+
+
+def _pr_edges_sql() -> str:
+    """Edge CTE shared by the oracle: trade weight customer-nation →
+    supplier-nation, out-weight-normalized fractions as one exact IEEE
+    int/int division per edge."""
+    return """
+    w AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, cast(count(*) as bigint) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT src, dst, w,
+             cast(w as double) / cast(sum(w) OVER (PARTITION BY src) as double) AS frac
+      FROM w
+    )
+    """
+
+
+def _pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    """Unrolled-iteration SQL twin of the Spark loop: every per-edge
+    contribution is the same correctly-rounded double product, every
+    per-node sum goes through exact decimal and is rounded to 12 dp
+    before the double cast, and the scalar combine uses one pinned
+    parenthesization — the whole loop is bit-reproducible."""
+    nn = "(SELECT cast(count(*) as double) FROM nation)"
+    parts = [
+        "WITH " + _pr_edges_sql().strip().rstrip(),
+        "nodes AS (SELECT n_nationkey AS nk, n_name FROM nation)",
+        f"r0 AS (SELECT nk, cast(1 as double) / {nn} AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT coalesce(cast(round(sum(cast(r as {PR_DEC})), {PR_SCALE}) as double), cast(0 as double)) AS dang "
+            f"FROM r{p} WHERE nk NOT IN (SELECT DISTINCT src FROM e))"
+        )
+        parts.append(
+            f"f{i} AS (SELECT e.dst AS nk, "
+            f"cast(round(sum(cast(r.r * e.frac as {PR_DEC})), {PR_SCALE}) as double) AS inflow "
+            f"FROM e JOIN r{p} r ON e.src = r.nk GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.nk, cast(round(cast("
+            f"((cast(0.15 as double) / {nn}) + cast(0.85 as double) * coalesce(f.inflow, cast(0 as double)))"
+            f" + cast(0.85 as double) * (d.dang / {nn})"
+            f" as {PR_DEC}), {PR_SCALE}) as double) AS r "
+            f"FROM nodes n LEFT JOIN f{i} f ON n.nk = f.nk CROSS JOIN d{i} d)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT n.n_name, r.r AS pagerank,
+           coalesce(ow.out_w, 0) AS out_weight, coalesce(iw.in_w, 0) AS in_weight
+    FROM nodes n
+    JOIN r{iters} r ON n.nk = r.nk
+    LEFT JOIN (SELECT src, cast(sum(w) as bigint) AS out_w FROM w GROUP BY src) ow ON n.nk = ow.src
+    LEFT JOIN (SELECT dst, cast(sum(w) as bigint) AS in_w FROM w GROUP BY dst) iw ON n.nk = iw.dst
+    ORDER BY pagerank DESC, n.n_name
+    """
+    )
+
+
+@query(
+    "q129_pagerank",
+    oracle=_pagerank_oracle_sql(),
+    doc=f"PageRank ({PR_ITERS} iterations, d=0.85, dangling mass redistributed) over the customer-nation → supplier-nation trade graph derived from lineitem⋈orders⋈customer⋈supplier; value-hash-oracled via unrolled SQL iterations (q54's precedent).",
+    tags=("graph", "pagerank", "iterative"),
+)
+def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality — the lane q94's connected components
+    opened, now with weighted rank propagation. Reference parity: the
+    reference's iterative_support driver loop (SURVEY §2.2 A7) re-runs
+    a map-reduce per iteration over persisted input; here the loop body
+    is one join + one aggregation per iteration over a persisted edge
+    DataFrame, and Catalyst plans each step.
+
+    Scale shape: the EXPENSIVE part is the one-time edge derivation —
+    a fact-table join against three dimensions aggregated down to the
+    (src, dst) graph; everything after runs on the aggregated graph,
+    whose size is O(nations²), not O(lineitem). Ranks stay a DataFrame
+    throughout (no driver-side vectors — node count is unbounded in
+    general); per-iteration shuffles carry (nk, double) pairs keyed by
+    the SAME dst attribute, and the dangling-mass scalar is a bounded
+    1-row aggregate. Determinism: per-edge contribution r*frac is one
+    correctly-rounded double product on identical inputs; per-node sums
+    go through exact decimal (order-independent) rounded to 12 dp; the
+    scalar combine uses one pinned parenthesization on both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+
+    weights = scoped_persist(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = weights.withColumn(
+        "frac",
+        F.col("w").cast("double")
+        / F.sum("w").over(Window.partitionBy("src")).cast("double"),
+    )
+    srcs = edges.select("src").distinct()
+
+    n_nodes = nodes.count()  # bounded: dimension-table cardinality (a scalar)
+    nn = F.lit(float(n_nodes))
+
+    def dec_sum(col: F.Column) -> F.Column:
+        return F.round(F.sum(col.cast(PR_DEC)), PR_SCALE).cast("double")
+
+    ranks = nodes.select("nk", (F.lit(1).cast("double") / nn).alias("r"))
+    for _ in range(PR_ITERS):
+        dang = (
+            ranks.join(srcs, ranks.nk == srcs.src, "left_anti")
+            .agg(F.coalesce(dec_sum(F.col("r")), F.lit(0).cast("double")).alias("dang"))
+        )
+        inflow = (
+            edges.join(ranks, edges.src == ranks.nk)
+            .groupBy(F.col("dst").alias("nk"))
+            .agg(dec_sum(F.col("r") * F.col("frac")).alias("inflow"))
+        )
+        ranks = (
+            nodes.select("nk")
+            .join(inflow, "nk", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "nk",
+                F.round(
+                    (
+                        (
+                            (F.lit(0.15).cast("double") / nn)
+                            + F.lit(0.85).cast("double")
+                            * F.coalesce(F.col("inflow"), F.lit(0).cast("double"))
+                        )
+                        + F.lit(0.85).cast("double") * (F.col("dang") / nn)
+                    ).cast(PR_DEC),
+                    PR_SCALE,
+                )
+                .cast("double")
+                .alias("r"),
+            )
+        )
+
+    out_w = weights.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
+    in_w = weights.groupBy("dst").agg(F.sum("w").cast("bigint").alias("in_w"))
+    return (
+        nodes.join(ranks, "nk")
+        .join(out_w, nodes.nk == out_w.src, "left")
+        .join(in_w, nodes.nk == in_w.dst, "left")
+        .select(
+            "n_name",
+            F.col("r").alias("pagerank"),
+            F.coalesce(F.col("out_w"), F.lit(0)).cast("bigint").alias("out_weight"),
+            F.coalesce(F.col("in_w"), F.lit(0)).cast("bigint").alias("in_weight"),
+        )
+        .orderBy(F.col("pagerank").desc(), "n_name")
+    )
+
+
+# --- q130: SCD Type-2 dimension history -----------------------------------
+
+SCD_OPEN_END = "9999-12-31"  # classic open-ended effective_to sentinel
+
+
+@query(
+    "q130_scd2_history",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, cast(o_orderdate as date) AS od, o_orderpriority, o_orderkey
+      FROM orders
+    ),
+    m AS (
+      SELECT *, lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS prev
+      FROM o
+    ),
+    c AS (
+      SELECT o_custkey, od, o_orderkey, o_orderpriority FROM m
+      WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           cast(row_number() OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) as bigint) AS version,
+           o_orderpriority AS priority,
+           cast(od as varchar) AS eff_from,
+           coalesce(cast(lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) as varchar), '{SCD_OPEN_END}') AS eff_to,
+           cast(CASE WHEN lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) IS NULL THEN 1 ELSE 0 END as bigint) AS is_current
+    FROM c
+    ORDER BY custkey, version
+    """,
+    doc="SCD Type-2 dimension build: per-customer order-priority change history as versioned (eff_from, eff_to] intervals — consecutive-duplicate collapse via lag, open-ended current row, deterministic (date, orderkey) ordering.",
+    tags=("warehouse", "scd2", "window"),
+)
+def q130_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension-versioning operator every warehouse load runs:
+    collapse a change stream into validity intervals. Gaps-and-islands
+    via lag: a row opens a new version iff its value differs from the
+    previous row in (od, o_orderkey) order; version numbers, interval
+    ends, and the is_current flag come from a second window over the
+    surviving change rows.
+
+    Scale shape: both windows partition by the SAME key (o_custkey), so
+    Catalyst reuses one hash exchange; per-customer state during the
+    sort is the customer's own order history (bounded by entity
+    activity, the standard SCD assumption — a pathological entity would
+    need the q56 salting treatment). Only (custkey, date, priority,
+    orderkey) ever shuffles. Dates are emitted as yyyy-MM-dd TEXT on
+    both sides (DuckDB's pandas bridge renders DATE as midnight
+    datetime64 under the driver canon), and eff_to uses the classic
+    9999-12-31 open-end sentinel instead of NULL so no null-ordering
+    or null-canon question arises."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    changes = (
+        o.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("od").cast("string").alias("eff_from"),
+        F.coalesce(F.lead("od").over(w).cast("string"), F.lit(SCD_OPEN_END)).alias("eff_to"),
+        F.when(F.lead("od").over(w).isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    ).orderBy("custkey", "version")
+
+
+# --- q131: market-basket co-purchase affinity -----------------------------
+
+MAX_BASKET = 20  # orders with more distinct parts are dropped (skew cap)
+MIN_SUPPORT = 2
+AFFINITY_TOPK = 100
+
+
+@query(
+    "q131_copurchase",
+    oracle=f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    n AS (SELECT cast(count(DISTINCT ok) as bigint) AS n_orders FROM items),
+    pc AS (SELECT pk, cast(count(*) as bigint) AS n_pk FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, cast(count(*) as bigint) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab, pa.n_pk AS n_a, pb.n_pk AS n_b,
+           (cast(n_ab as double) * cast(n.n_orders as double))
+             / (cast(pa.n_pk as double) * cast(pb.n_pk as double)) AS lift
+    FROM pairs
+    JOIN pc pa ON pairs.part_a = pa.pk
+    JOIN pc pb ON pairs.part_b = pb.pk
+    CROSS JOIN n
+    WHERE n_ab >= {MIN_SUPPORT}
+    ORDER BY n_ab DESC, lift DESC, part_a, part_b
+    LIMIT {AFFINITY_TOPK}
+    """,
+    doc=f"Market-basket co-purchase affinity: part pairs bought in the same order, support ≥ {MIN_SUPPORT}, scored by lift = P(ab)/(P(a)P(b)) over orders (transcendental-free, q119's discipline); baskets capped at {MAX_BASKET} distinct parts (mirrored in the oracle), top {AFFINITY_TOPK}.",
+    tags=("affinity", "basket", "analytics"),
+)
+def q131_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining — the recommendation/affinity lane. The
+    within-basket self-join is the quadratic hazard: one pathological
+    basket with 10k items would emit 50M pairs from a single shuffle
+    key, so baskets are capped at MAX_BASKET distinct parts BEFORE
+    the join (cap mirrored in the oracle; at the fixture's max of 13
+    the cap is inert, at 100 TB it is the load-bearing guard — the
+    standard mining practice of dropping degenerate baskets). Pair
+    expansion is then ≤ C(cap,2) per order and every shuffle carries
+    only integer ids. Lift follows q119's transcendental-free
+    discipline: exact integer counts, products in double (exact below
+    2^53), one correctly-rounded division on both sides."""
+    items0 = (
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+    ).distinct()
+    items = scoped_persist(
+        items0.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    pc = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_pk"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    pa = pc.select(F.col("pk").alias("part_a"), F.col("n_pk").alias("n_a"))
+    pb = pc.select(F.col("pk").alias("part_b"), F.col("n_pk").alias("n_b"))
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("lift").desc(), "part_a", "part_b")
+        .limit(AFFINITY_TOPK)
+    )
+
+
+# --- q132: declarative data-quality constraint audit ----------------------
+
+ORDERSTATUS_DOMAIN = ("O", "F", "P")
+
+
+@query(
+    "q132_constraint_audit",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'c1_pk_orders_unique' AS constraint_name,
+             cast(count(*) as bigint) AS n_checked,
+             cast(count(*) - count(DISTINCT o_orderkey) as bigint) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'c2_fk_orders_customer', cast(count(*) as bigint),
+             cast(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) as bigint)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'c3_fk_lineitem_orders', cast(count(*) as bigint),
+             cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'c4_notnull_orderdate', cast(count(*) as bigint),
+             cast(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) as bigint)
+      FROM orders
+      UNION ALL
+      SELECT 'c5_domain_orderstatus', cast(count(*) as bigint),
+             cast(sum(CASE WHEN o_orderstatus NOT IN {ORDERSTATUS_DOMAIN!r} THEN 1 ELSE 0 END) as bigint)
+      FROM orders
+      UNION ALL
+      SELECT 'c6_range_discount', cast(count(*) as bigint),
+             cast(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) as bigint)
+      FROM lineitem
+      UNION ALL
+      SELECT 'c7_ship_after_order', cast(count(*) as bigint),
+             cast(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) as bigint)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    ORDER BY constraint_name
+    """,
+    doc="Declarative data-quality audit (Deequ/dbt-test shape): PK uniqueness, two FK referential checks, not-null, value-domain, numeric-range, and a cross-table temporal rule — one row per constraint with checked/violation counts.",
+    tags=("quality", "audit", "validation"),
+)
+def q132_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-validation lane: every production pipeline gates
+    loads on exactly these checks. Each constraint is a single-pass
+    conditional aggregate (q128's discipline); the referential checks
+    are LEFT joins counting unmatched probe rows — at scale Catalyst
+    plans them as broadcast or shuffle hash joins on the key alone
+    (only ids shuffle, never payloads), and the seven 1-row results
+    union into a fixed-size report. No driver-side iteration; the
+    whole audit is one job."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame, viol: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(viol).cast("bigint").alias("n_violations"),
+        )
+
+    c1 = o.agg(
+        F.lit("c1_pk_orders_unique").alias("constraint_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("n_violations"),
+    )
+    c2 = one(
+        "c2_fk_orders_customer",
+        o.join(cust, o.o_custkey == cust.c_custkey, "left"),
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0),
+    )
+    c3 = one(
+        "c3_fk_lineitem_orders",
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left"),
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0),
+    )
+    c4 = one("c4_notnull_orderdate", o, F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+    c5 = one(
+        "c5_domain_orderstatus",
+        o,
+        F.when(~F.col("o_orderstatus").isin(*ORDERSTATUS_DOMAIN), 1).otherwise(0),
+    )
+    c6 = one(
+        "c6_range_discount",
+        li,
+        F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0),
+    )
+    c7 = one(
+        "c7_ship_after_order",
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey),
+        F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0),
+    )
+    return (
+        c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5).unionAll(c6).unionAll(c7)
+        .orderBy("constraint_name")
+    )
+
+
+# --- q133: robust (median/MAD) daily-volume outlier detection -------------
+
+MAD_K = 3.0  # flag days with |count - median| > K * MAD
+
+
+@query(
+    "q133_robust_outliers",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, cast(ts as date) AS d, cast(count(*) as bigint) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT daily.event_type, daily.d, daily.n, med.med,
+             abs(cast(daily.n as double) - med.med) AS dev
+      FROM daily JOIN med ON daily.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
+    ),
+    scored AS (
+      SELECT dev.*, mad.mad,
+             CASE WHEN dev.dev > {MAD_K} * mad.mad THEN 1 ELSE 0 END AS is_out,
+             row_number() OVER (PARTITION BY dev.event_type ORDER BY dev.dev DESC, dev.d) AS rn
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+    )
+    SELECT event_type, cast(count(*) as bigint) AS n_days,
+           min(med) AS med, min(mad) AS mad,
+           cast(sum(is_out) as bigint) AS n_outlier_days,
+           min(CASE WHEN rn = 1 THEN cast(d as varchar) END) AS worst_day,
+           min(CASE WHEN rn = 1 THEN dev END) AS worst_dev
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    doc=f"Robust time-series outlier detection: per-event-type daily volumes scored by median/MAD — days with |n - median| > {MAD_K}·MAD flagged; exact dyadic-rational medians (avg of two integers / halves) make every compared double bitwise-reproducible without any transcendental.",
+    tags=("timeseries", "outlier", "quality"),
+)
+def q133_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health anomaly flagging — the monitoring twin of
+    q132's static audit. Median/MAD instead of mean/stddev on purpose:
+    robust to the very outliers being hunted, AND exactly reproducible
+    (the median of integers is an integer or a .5 half — a dyadic
+    rational whose double is exact; MAD is a median of exact dyadic
+    deviations; the K·MAD threshold product stays exact), where a
+    stddev would drag in order-dependent float sums and sqrt.
+
+    Scale shape: the daily rollup collapses event volume to
+    (type, day) cells first — per-group percentile state is bounded by
+    the calendar span (days per type), not the event count, so the
+    exact-percentile aggregate is safe here (the unbounded-group
+    at-scale path is q28's rank-selection operator). Argmax day via
+    one windowed row_number over those same tiny cells."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    med = daily.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med"))
+    dev = daily.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    w = Window.partitionBy("event_type").orderBy(F.col("dev").desc(), "d")
+    scored = (
+        dev.join(mad, "event_type")
+        .withColumn("is_out", F.when(F.col("dev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum("is_out").cast("bigint").alias("n_outlier_days"),
+            F.min(F.when(F.col("rn") == 1, F.col("d").cast("string"))).alias("worst_day"),
+            F.min(F.when(F.col("rn") == 1, F.col("dev"))).alias("worst_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q136: triangle counting (degree-oriented wedge join) -----------------
+
+
+@query(
+    "q136_triangle_count",
+    oracle=f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, cast(count(*) as bigint) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    oe AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS dd
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    w AS (
+      SELECT e1.dst AS b, e2.dst AS c
+      FROM oe e1 JOIN oe e2
+        ON e1.src = e2.src
+       AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+    ),
+    t AS (SELECT cast(count(*) as bigint) AS tri FROM w JOIN oe ON oe.src = w.b AND oe.dst = w.c)
+    SELECT (SELECT cast(count(*) as bigint) FROM deg) AS n_nodes,
+           (SELECT cast(count(*) as bigint) FROM e) AS n_edges,
+           t.tri AS n_triangles,
+           (SELECT cast(sum(d * (d - 1)) / 2 as bigint) FROM deg) AS n_wedges,
+           CASE WHEN (SELECT sum(d * (d - 1)) FROM deg) = 0 THEN cast(0 as double)
+                ELSE cast(6 * t.tri as double) / cast((SELECT sum(d * (d - 1)) FROM deg) as double)
+           END AS global_cc
+    FROM t
+    """,
+    doc="Triangle counting over the co-purchase part graph via degree-oriented wedge join (each edge directed low-degree → high-degree, total order (deg, id)) — the orientation bounds wedge fan-out by graph degeneracy instead of max degree; plus global clustering coefficient 3·tri/wedges as one exact int/int division.",
+    tags=("graph", "triangles", "analytics"),
+)
+def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third graph primitive (after q94 components, q129 rank):
+    triangle / clustering-coefficient census. The naive wedge join
+    fans out quadratically in the max degree — a celebrity node with
+    degree 1M emits 5·10^11 wedges. Degree orientation is the standard
+    fix: direct every edge toward its higher-(deg,id) endpoint and only
+    join out-edges with out-edges; out-degree is then bounded by the
+    graph's degeneracy (≈√m worst case), not the max degree, and every
+    triangle is counted exactly once from its lowest-ordered corner.
+    Baskets are capped at MAX_BASKET before pair expansion (q131's
+    guard). Everything shuffles as integer id pairs; the census output
+    is one bounded row."""
+    items0 = (
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+    ).distinct()
+    items = (
+        items0.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = scoped_persist(
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = scoped_persist(
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oe = scoped_persist(
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+        )
+    )
+    e1, e2 = oe.alias("e1"), oe.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.dd") < F.col("e2.dd"))
+            | ((F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.dst") < F.col("e2.dst")))
+        ),
+    ).select(F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    tri = wedges.join(oe, (oe.src == wedges.b) & (oe.dst == wedges.c)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tri")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    wd = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"))
+    return (
+        tri.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(wd))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("tri").alias("n_triangles"),
+            (F.col("w2") / 2).cast("bigint").alias("n_wedges"),
+            F.when(F.col("w2") == 0, F.lit(0).cast("double"))
+            .otherwise((F.lit(6) * F.col("tri")).cast("double") / F.col("w2").cast("double"))
+            .alias("global_cc"),
+        )
+    )

@@ -1,0 +1,247 @@
+"""Semantic invariants for the round-5 warehouse/analytics lanes
+(q129-q133) beyond the value-hash oracle parity in test_oracle_parity:
+PageRank is a probability distribution, SCD2 intervals tile each
+customer's history, the basket cap actually bounds pair fan-out, the
+audit is all-zeros on the clean fixture, and MAD flags a planted spike.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandamapreduce_spark.plans import REGISTRY
+from pandamapreduce_spark.plans.warehouse import (
+    MAD_K,
+    MAX_BASKET,
+    MIN_SUPPORT,
+    PR_ITERS,
+    SCD_OPEN_END,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_pagerank_is_distribution_and_mass_flows_to_inflow(spark):
+    rows = REGISTRY["q129_pagerank"].build(spark, SF_DIR).collect()
+    total = sum(r.pagerank for r in rows)
+    # decimal-rounded per-node ranks: distribution up to 12-dp rounding
+    assert abs(total - 1.0) < 1e-9 * len(rows)
+    assert all(r.pagerank > 0 for r in rows)
+    # a node with zero in-weight can hold only teleport + dangling share
+    floor = min(r.pagerank for r in rows)
+    zero_in = [r for r in rows if r.in_weight == 0]
+    assert all(r.pagerank == floor for r in zero_in) or not zero_in
+    # ranks reflect the graph, not the uniform start (some spread exists)
+    assert max(r.pagerank for r in rows) > min(r.pagerank for r in rows)
+    assert PR_ITERS >= 2
+
+
+def test_scd2_intervals_tile_history(spark):
+    df = REGISTRY["q130_scd2_history"].build(spark, SF_DIR)
+    rows = df.collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    assert by_cust, "fixture produced no SCD2 rows"
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r.version)
+        # versions are 1..n dense
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        # exactly one current row, and it is the last
+        assert [v.is_current for v in vs] == [0] * (len(vs) - 1) + [1]
+        assert vs[-1].eff_to == SCD_OPEN_END
+        # intervals chain: each eff_to equals the next eff_from
+        for a, b in zip(vs, vs[1:]):
+            assert a.eff_to == b.eff_from
+        # consecutive versions never repeat a value (collapse worked)
+        for a, b in zip(vs, vs[1:]):
+            assert a.priority != b.priority
+
+
+def test_copurchase_cap_and_support(spark):
+    rows = REGISTRY["q131_copurchase"].build(spark, SF_DIR).collect()
+    assert rows, "no co-purchase pairs at sf0.001"
+    for r in rows:
+        assert r.n_ab >= MIN_SUPPORT
+        assert r.part_a < r.part_b
+        # pair support never exceeds either marginal
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.lift > 0
+    # the cap bounds the quadratic fan-out: with a tiny cap the pair
+    # count cannot exceed orders * C(cap,2) — and shrinking the cap
+    # never yields MORE pairs (monotone basket filter)
+    import pandamapreduce_spark.plans.warehouse as wh
+
+    big = len(rows)
+    orig = wh.MAX_BASKET
+    try:
+        wh.MAX_BASKET = 2
+        small_rows = _rebuild_copurchase(spark)
+        assert len(small_rows) <= big
+        for r in small_rows:
+            assert r.n_ab <= min(r.n_a, r.n_b)
+    finally:
+        wh.MAX_BASKET = orig
+
+
+def _rebuild_copurchase(spark):
+    """Re-run the q131 plan body against the (possibly monkey-patched)
+    module constants — the registry's oracle string is frozen at import
+    so we only exercise the Spark side here."""
+    from pandamapreduce_spark.plans.warehouse import q131_copurchase
+
+    return q131_copurchase(spark, SF_DIR).collect()
+
+
+def test_constraint_audit_clean_fixture(spark):
+    rows = REGISTRY["q132_constraint_audit"].build(spark, SF_DIR).collect()
+    assert len(rows) == 7
+    by_name = {r.constraint_name: r for r in rows}
+    # the synthetic fixture is referentially/structurally clean (c1-c6)
+    # but does NOT enforce the temporal rule — c7 genuinely fires,
+    # proving the audit detects real violations, not just vacuous zeros
+    for name, r in by_name.items():
+        assert r.n_checked > 0, name
+        if name != "c7_ship_after_order":
+            assert r.n_violations == 0, name
+    assert by_name["c7_ship_after_order"].n_violations > 0
+    # and the checked populations are the right tables
+    assert by_name["c1_pk_orders_unique"].n_checked == by_name["c4_notnull_orderdate"].n_checked
+
+
+def test_constraint_audit_detects_planted_violations(spark):
+    """Corrupt a copy of orders in-memory and re-run the same
+    conditional-aggregate shapes to prove the checks actually fire."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(100)
+    bad = o.withColumn(
+        "o_orderstatus", F.when(F.col("o_orderkey") % 10 == 0, F.lit("X")).otherwise(F.col("o_orderstatus"))
+    ).withColumn(
+        "o_orderdate", F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_orderdate"))
+    )
+    viol_domain = bad.where(~F.col("o_orderstatus").isin("O", "F", "P")).count()
+    viol_null = bad.where(F.col("o_orderdate").isNull()).count()
+    assert viol_domain > 0 and viol_null > 0
+
+
+def test_mad_outliers_flag_planted_spike(spark):
+    """A constant series with one huge spike: MAD is 0-robust, the
+    spike day must be the worst day and the only outlier."""
+    import datetime
+
+    base = [(f"t", datetime.datetime(2024, 1, 1 + d, 12, 0), i) for d in range(10) for i in range(5)]
+    spike = [("t", datetime.datetime(2024, 1, 5, 13, 0), 100 + i) for i in range(50)]
+    df = spark.createDataFrame(base + spike, "event_type string, ts timestamp, x long")
+    daily = df.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    med = daily.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med"))
+    dev = daily.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    scored = dev.join(mad, "event_type").withColumn(
+        "is_out", F.when(F.col("dev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+    )
+    rows = scored.collect()
+    outs = [r for r in rows if r.is_out == 1]
+    assert len(outs) == 1 and str(outs[0].d) == "2024-01-05"
+
+
+def test_robust_outliers_output_shape(spark):
+    rows = REGISTRY["q133_robust_outliers"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_outlier_days <= r.n_days
+        assert r.mad >= 0 and r.med > 0
+        assert r.worst_dev >= 0 and r.worst_day is not None
+
+
+def test_snapshot_diff_planted_populations(spark):
+    """q134's planted edits are fully predictable from the key set —
+    recompute every population in plain Python and pin the report."""
+    import duckdb
+
+    from pandamapreduce_spark.plans.maintenance import (
+        BASE_DROP_MOD,
+        CHANGE_MOD,
+        CURR_DROP_MOD,
+    )
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet')"
+        ).fetchall()
+    ]
+    base = {k for k in keys if k % BASE_DROP_MOD != 0}
+    curr = {k for k in keys if k % CURR_DROP_MOD != 0}
+    want = {
+        "added": sorted(curr - base),
+        "removed": sorted(base - curr),
+        "changed": sorted(k for k in base & curr if k % CHANGE_MOD == 0),
+        "unchanged": sorted(k for k in base & curr if k % CHANGE_MOD != 0),
+    }
+    got = {r.status: r for r in REGISTRY["q134_snapshot_diff"].build(spark, SF_DIR).collect()}
+    for status, ks in want.items():
+        if not ks:
+            assert status not in got
+            continue
+        r = got[status]
+        assert (r.n, r.min_key, r.max_key, r.key_checksum) == (
+            len(ks),
+            min(ks),
+            max(ks),
+            sum(ks),
+        ), status
+
+
+def test_incremental_agg_merge_is_lossless_any_split(spark):
+    """The soundness property: merging partial states over ANY
+    partition of the fact table equals the single-shot aggregate."""
+    import pyspark.sql.functions as FF
+
+    from pandamapreduce_spark.plans.maintenance import _partial_state, merge_states
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    direct = merge_states(_partial_state(li)).collect()
+    # 3-way split on an unrelated key (orderkey mod), nothing like the
+    # registered query's date split
+    parts = [_partial_state(li.where(FF.col("l_orderkey") % 3 == i)) for i in range(3)]
+    merged = merge_states(*parts).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Independent check: the oracle mirrors the same oriented-wedge
+    algorithm, so a shared bug would slip the hash — brute-force the
+    triangle census in Python sets from the raw pair list."""
+    import duckdb
+
+    pairs = duckdb.sql(
+        f"""
+        WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM read_parquet('{SF_DIR}/lineitem.parquet')),
+        items AS (
+          SELECT ok, pk FROM (
+            SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+          ) WHERE sz <= {MAX_BASKET}
+        )
+        SELECT DISTINCT a.pk, b.pk FROM items a
+        JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # each triangle is seen once per its 3 edges
+    tri = sum(len(adj[u] & adj[v]) for u, v in pairs) // 3
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    row = REGISTRY["q136_triangle_count"].build(spark, SF_DIR).collect()[0]
+    assert row.n_nodes == len(adj)
+    assert row.n_edges == len(pairs)
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+    if wedges:
+        assert abs(row.global_cc - 3 * tri / wedges) < 1e-12
