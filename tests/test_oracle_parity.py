@@ -97,6 +97,17 @@ SF01_QUERIES = [
     "q125_zorder_layout",
     "q126_funnel",
     "q127_cohort_retention",
+    # round-5 warehouse/graph/maintenance lanes — sf0.1 exercises the
+    # regimes the fixture can shift (basket sizes vs the q131/q136 cap,
+    # q133's calendar span, q129's rank spread)
+    "q129_pagerank",
+    "q130_scd2_history",
+    "q131_copurchase",
+    "q132_constraint_audit",
+    "q133_robust_outliers",
+    "q134_snapshot_diff",
+    "q135_incremental_agg",
+    "q136_triangle_count",
 ]
 
 
