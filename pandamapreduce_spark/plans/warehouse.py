@@ -544,6 +544,129 @@ def q133_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q137: interval-overlap join (binned equi-join) -----------------------
+
+ORG_MOD = 3  # user_id % ORG_MOD = the org an overlap must stay within
+#: time-bin width for the equi-join rewrite; sessions at every shipped
+#: fixture are <= 1.2 h (30-min-gap sessionization), so each interval
+#: lands in at most 3 bins
+BIN_US = 3_600 * 1_000_000
+
+_SESSIONS_SQL = """
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS sid
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, sid, user_id % {org_mod} AS org,
+             epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+      FROM numbered GROUP BY user_id, sid
+    )
+"""
+
+
+@query(
+    "q137_interval_join",
+    oracle=f"""
+    WITH {_SESSIONS_SQL.format(org_mod=ORG_MOD).strip()}
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           a.sid AS session_a, b.sid AS session_b,
+           cast(least(a.e, b.e) - greatest(a.s, b.s) as bigint) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.org = b.org AND a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    ORDER BY user_a, user_b, session_a, session_b
+    """,
+    doc=f"Interval-overlap join: concurrent same-org user sessions (q12's 30-min-gap sessionization → [min_ts, max_ts] intervals, org = user_id % {ORG_MOD}) found via the binned equi-join rewrite — each interval expands to its 1-hour time bins, pairs equi-join on (org, bin) with the exact overlap predicate as a residual filter, DISTINCT collapses multi-bin hits; the oracle is the direct quadratic overlap join, so parity proves the rewrite lossless.",
+    tags=("temporal", "interval-join", "sessionize"),
+)
+def q137_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — the temporal twin of q44's
+    point-in-range join. Spark has no native interval join; the naive
+    formulation (non-equi θ-join) plans as a nested-loop cross product,
+    which is quadratic in the org's session count. The standard rewrite
+    makes it an EQUI-join: quantize time into fixed bins, expand each
+    interval to the bins it touches (≤3 here; bounded by max session
+    length / bin width), join on (org, bin), keep the exact overlap
+    predicate as a residual filter, and DISTINCT away the multi-bin
+    duplicates. Shuffle volume is O(intervals × bins-per-interval) rows
+    of five integers; per-(org, bin) population is the org's session
+    concurrency in that hour — the natural skew bound. The oracle runs
+    the DIRECT quadratic join, so the value hash proves the rewrite
+    exact, not just plausible. Overlap arithmetic is integer epoch
+    micros end-to-end (no float, no timezone)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("ns"),
+        us.alias("us"),
+    )
+    iv = scoped_persist(
+        flagged.select(
+            "user_id", "us", F.sum("ns").over(cum).cast("bigint").alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"))
+        .withColumn("org", F.col("user_id") % ORG_MOD)
+    )
+    binned = iv.withColumn(
+        "bkt",
+        F.explode(F.sequence(F.expr(f"s div {BIN_US}"), F.expr(f"e div {BIN_US}"))),
+    )
+    a = binned.select(
+        F.col("org"),
+        F.col("bkt"),
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("session_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = binned.select(
+        F.col("org"),
+        F.col("bkt"),
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("session_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(b, ["org", "bkt"])
+        .where(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "session_a",
+            "session_b",
+            (F.least("e_a", "e_b") - F.greatest("s_a", "s_b")).cast("bigint").alias("overlap_us"),
+        )
+        .distinct()
+        .orderBy("user_a", "user_b", "session_a", "session_b")
+    )
+
+
 # --- q136: triangle counting (degree-oriented wedge join) -----------------
 
 

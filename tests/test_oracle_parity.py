@@ -108,6 +108,7 @@ SF01_QUERIES = [
     "q134_snapshot_diff",
     "q135_incremental_agg",
     "q136_triangle_count",
+    "q137_interval_join",
 ]
 
 

@@ -499,3 +499,15 @@ def test_triangle_wedge_join_is_equi_no_cartesian(spark):
     closing edge probe equi-joins on (src, dst)."""
     plan = plan_of(spark, "q136_triangle_count")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_join_is_binned_equi_not_nlj(spark):
+    """q137: the overlap join must plan as an equi-join on (org, bin)
+    with the overlap predicate as a residual filter — the naive θ-join
+    formulation would be a BroadcastNestedLoopJoin, quadratic per org."""
+    plan = plan_of(spark, "q137_interval_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan

@@ -245,3 +245,25 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row.n_wedges == wedges
     if wedges:
         assert abs(row.global_cc - 3 * tri / wedges) < 1e-12
+
+
+def test_interval_join_bin_width_invariant_and_sound(spark):
+    """The binned rewrite must be lossless for ANY bin width: rerun the
+    q137 plan body with a 7-minute bin and require identical rows; and
+    every emitted pair must genuinely overlap (non-negative overlap,
+    same org, user_a < user_b)."""
+    import pandamapreduce_spark.plans.warehouse as wh
+
+    rows = REGISTRY["q137_interval_join"].build(spark, SF_DIR).collect()
+    assert rows, "no overlapping same-org sessions at sf0.001"
+    for r in rows:
+        assert r.user_a < r.user_b
+        assert r.user_a % wh.ORG_MOD == r.user_b % wh.ORG_MOD
+        assert r.overlap_us >= 0
+    orig = wh.BIN_US
+    try:
+        wh.BIN_US = 7 * 60 * 1_000_000
+        narrow = wh.q137_interval_join(spark, SF_DIR).collect()
+    finally:
+        wh.BIN_US = orig
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in rows]
