@@ -544,6 +544,72 @@ def q133_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q138: Pareto frontier (skyline) --------------------------------------
+
+SKY_RANGES = 8  # range partitions for the distributed prefix-max
+
+
+@query(
+    "q138_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_size, p.p_partkey
+    """,
+    doc="Pareto frontier (skyline) over part: minimize retail price, maximize size — non-dominated points via the distributed prefix-max (q100's range-partition pattern), no single-partition sort, no quadratic self-join; the oracle is the direct NOT-EXISTS dominance spec, so parity proves the distributed rewrite exact.",
+    tags=("skyline", "pareto", "analytics"),
+)
+def q138_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria optimization census: which parts are undominated
+    on (price ↓, size ↑)? The textbook formulations both fail at scale
+    — NOT EXISTS is a quadratic self-join, and a global sort + running
+    max is a single-partition window. The 2-D skyline decomposes
+    instead: a point is dominated iff (a) some STRICTLY cheaper price
+    level reaches an equal-or-larger size — a prefix max over distinct
+    price levels — or (b) its own price level has a strictly larger
+    size — a per-level max. Both reduce to one groupBy(price) and a
+    distributed prefix max: range-partition the price levels, running
+    max within each range in parallel, one bounded driver collect (a
+    row per range) seeds each range's base offset — q100's exact-rank
+    machinery with max instead of count. The final dominance test
+    joins the annotated price levels back to the part scan on the
+    price key — unhinted (the level table is O(distinct prices), not
+    bounded), so AQE picks broadcast vs shuffle by its actual size.
+    Comparisons only, no float arithmetic — no rounding contract
+    needed."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    levels = scoped_persist(
+        p.groupBy(F.col("p_retailprice").alias("x"))
+        .agg(F.max("p_size").alias("my"))
+        .repartitionByRange(SKY_RANGES, "x")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # bounded collect: one (pid, range-max, range-head) row per range
+    per = sorted(
+        levels.groupBy("pid").agg(F.max("my").alias("mx"), F.min("x").alias("head")).collect(),
+        key=lambda r: r["head"],
+    )
+    base = F.lit(None).cast("int")
+    acc = None
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("int")).otherwise(base)
+        acc = r["mx"] if acc is None else max(acc, r["mx"])
+    w = Window.partitionBy("pid").orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    pm = F.greatest(F.coalesce(F.max("my").over(w), F.lit(-1)), F.coalesce(base, F.lit(-1)))
+    lv = levels.select("x", "my", pm.alias("pm"))
+    return (
+        p.join(lv, p.p_retailprice == lv.x)
+        .where((F.col("pm") < F.col("p_size")) & (F.col("my") <= F.col("p_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )
+
+
 # --- q137: interval-overlap join (binned equi-join) -----------------------
 
 ORG_MOD = 3  # user_id % ORG_MOD = the org an overlap must stay within

@@ -109,6 +109,7 @@ SF01_QUERIES = [
     "q135_incremental_agg",
     "q136_triangle_count",
     "q137_interval_join",
+    "q138_skyline",
 ]
 
 

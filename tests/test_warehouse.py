@@ -267,3 +267,33 @@ def test_interval_join_bin_width_invariant_and_sound(spark):
     finally:
         wh.BIN_US = orig
     assert [tuple(r) for r in narrow] == [tuple(r) for r in rows]
+
+
+def test_skyline_matches_bruteforce_and_is_range_invariant(spark):
+    """q138: quadratic Python dominance check over the raw points (the
+    independent spec), plus the distributed prefix-max must be
+    invariant to the range-partition count."""
+    import duckdb
+
+    import pandamapreduce_spark.plans.warehouse as wh
+
+    pts = duckdb.sql(
+        f"SELECT p_partkey, p_retailprice, p_size FROM read_parquet('{SF_DIR}/part.parquet')"
+    ).fetchall()
+    frontier = {
+        (k, x, y)
+        for k, x, y in pts
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y) for _, qx, qy in pts
+        )
+    }
+    rows = REGISTRY["q138_skyline"].build(spark, SF_DIR).collect()
+    got = {(r.p_partkey, r.p_retailprice, r.p_size) for r in rows}
+    assert got == frontier
+    orig = wh.SKY_RANGES
+    try:
+        wh.SKY_RANGES = 3
+        narrow = wh.q138_skyline(spark, SF_DIR).collect()
+    finally:
+        wh.SKY_RANGES = orig
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in rows]
