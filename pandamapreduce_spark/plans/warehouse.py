@@ -1,12 +1,16 @@
 """Warehouse & graph analytics lanes (round 5): iterative PageRank over
-a derived trade graph, SCD Type-2 dimension history, market-basket
-co-purchase affinity, a declarative data-quality constraint audit, and
-robust (median/MAD) time-series outlier detection.
+a derived trade graph (q129), SCD Type-2 dimension history (q130),
+market-basket co-purchase affinity (q131), a declarative data-quality
+constraint audit (q132), robust (median/MAD) time-series outlier
+detection (q133), degree-oriented triangle counting (q136), an
+interval-overlap join via the binned equi-join rewrite (q137), and a
+Pareto-frontier skyline via distributed prefix-max (q138).
 
 These extend the engine past the reference's §2 inventory into the
-maintenance/analytics operators a 100 TB warehouse actually runs daily:
-graph centrality over joined fact tables, dimension versioning,
-affinity mining, ingest validation, and pipeline-health anomaly flags.
+analytics operators a 100 TB warehouse actually runs daily: graph
+centrality/census over joined fact tables, dimension versioning,
+affinity mining, ingest validation, anomaly flags, temporal joins,
+and multi-criteria frontiers.
 
 Float contract as everywhere (``plans.numeric``): every compared double
 is either a single correctly-rounded IEEE operation on identical inputs
@@ -99,6 +103,7 @@ def _pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
 
 @query(
     "q129_pagerank",
+    bench=True,  # per-round signal for the iterative-graph lane
     oracle=_pagerank_oracle_sql(),
     doc=f"PageRank ({PR_ITERS} iterations, d=0.85, dangling mass redistributed) over the customer-nation → supplier-nation trade graph derived from lineitem⋈orders⋈customer⋈supplier; value-hash-oracled via unrolled SQL iterations (q54's precedent).",
     tags=("graph", "pagerank", "iterative"),
@@ -280,6 +285,7 @@ AFFINITY_TOPK = 100
 
 @query(
     "q131_copurchase",
+    bench=True,  # per-round signal for the basket self-join + cap
     oracle=f"""
     WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     items AS (
@@ -738,6 +744,7 @@ def q137_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q136_triangle_count",
+    bench=True,  # per-round signal for the edge-iterator triangle census
     oracle=f"""
     WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     items AS (
