@@ -1091,3 +1091,91 @@ def q128_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+# --- q139: session transition matrix (event-flow analysis) ----------------
+
+
+@query(
+    "q139_transitions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    hops AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS to_type
+      FROM numbered
+    ),
+    t AS (
+      SELECT from_type, to_type, cast(count(*) as bigint) AS n
+      FROM hops WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           cast(n as double) / cast(sum(n) OVER (PARTITION BY from_type) as double) AS p
+    FROM t
+    ORDER BY from_type, to_type
+    """,
+    doc="Session transition matrix: within-session consecutive event-type hops (q12's 30-min-gap sessionization) counted into a first-order Markov matrix with exact int/int transition probabilities — the event-flow analysis behind 'what do users do next'.",
+    tags=("analytics", "markov", "sessionize"),
+)
+def q139_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flow-analysis twin of q126's fixed funnel: instead of one
+    prescribed stage chain, count EVERY within-session consecutive
+    event-type hop into a transition matrix. All three window passes
+    (gap flag, session number, next-event lead) partition by user_id —
+    one hash exchange serves the whole per-user phase; the aggregate
+    then shuffles only (from, to) type pairs, whose domain is the
+    event-type vocabulary squared, not the event count. Probabilities
+    are one exact int/int double division per row (q119's
+    transcendental-free discipline), so the matrix hash-matches
+    bit-for-bit. The session boundary rule is the sid equality check
+    on the SAME lead window — a hop across a session gap sees a
+    different sid and is dropped, never counted into the matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("ns"),
+    )
+    numbered = flagged.withColumn("sid", F.sum("ns").over(cum))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    hops = numbered.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(ws).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = hops.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type")).cast("double")
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")

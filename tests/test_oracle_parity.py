@@ -110,6 +110,7 @@ SF01_QUERIES = [
     "q136_triangle_count",
     "q137_interval_join",
     "q138_skyline",
+    "q139_transitions",
 ]
 
 

@@ -297,3 +297,54 @@ def test_skyline_matches_bruteforce_and_is_range_invariant(spark):
     finally:
         wh.SKY_RANGES = orig
     assert [tuple(r) for r in narrow] == [tuple(r) for r in rows]
+
+
+def test_transition_matrix_rows_are_distributions_and_respect_sessions(spark):
+    """q139: per-from_type probabilities sum to 1 (exact int/int
+    division of exact counts), and a synthetic two-session user shows
+    the cross-gap hop is never counted."""
+    import datetime
+
+    rows = REGISTRY["q139_transitions"].build(spark, SF_DIR).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        tot = sum(r.n for r in rs)
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-12, ft
+        for r in rs:
+            assert r.p == r.n / tot  # the exact same IEEE division
+
+    # synthetic: A->B within session, then >30min gap, then C->D.
+    # B->C must NOT appear as a transition.
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 10, "A"),
+            (1, t0 + datetime.timedelta(minutes=1), 11, "B"),
+            (1, t0 + datetime.timedelta(minutes=90), 12, "C"),
+            (1, t0 + datetime.timedelta(minutes=91), 13, "D"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.withColumn(
+        "ns",
+        FF.when(
+            FF.lag("ts").over(w).isNull()
+            | (FF.unix_micros(FF.col("ts")) - FF.unix_micros(FF.lag("ts").over(w)) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", FF.sum("ns").over(cum))
+    ws = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    hops = (
+        flagged.select(FF.col("event_type").alias("f"), FF.lead("event_type").over(ws).alias("t"))
+        .where(FF.col("t").isNotNull())
+        .collect()
+    )
+    assert sorted((h.f, h.t) for h in hops) == [("A", "B"), ("C", "D")]
