@@ -58,6 +58,7 @@ _WINDOW_PRIORITY = [
     "q137_interval_join",
     "q138_skyline",
     "q139_transitions",
+    "q140_extended_stats",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -90,16 +91,15 @@ _WINDOW_PRIORITY = [
     "q88_contamination",
     "q89_stratified_sample",
     "q90_sequence_packing",
-    "q91_source_mixture",
-    "q92_boilerplate_blocks",
-    # q92-q94 sit at positions 51-53 — just past the ~50-query driver
-    # window — displaced by the never-driver-checked q137/q138/q139;
-    # all stay covered by test_oracle_parity + this session's sf0.01
+    # q91-q94 sit at positions 51-54 — just past the ~50-query driver
+    # window — displaced by the never-driver-checked q137-q140; all
+    # stay covered by test_oracle_parity + this session's sf0.01
     # emulation and rotate with the r3 cohort in round 6.
+    "q91_source_mixture",
     "q92_boilerplate_blocks",
     "q93_repetition_score",
     "q94_dedup_clusters",
-    # (the full 38-query r3 cohort rotates in round 6 — the 18 new/
+    # (the full 38-query r3 cohort rotates in round 6 — the 19 new/
     # changed entries above plus the r2-stale rotation fill the
     # window)
 ]

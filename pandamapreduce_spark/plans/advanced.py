@@ -1179,3 +1179,119 @@ def q139_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy("from_type")).cast("double")
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# --- q140: extended column statistics (covariance / determination) --------
+
+STAT_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_extendedprice", "l_discount"),
+    ("l_discount", "l_tax"),
+)
+
+
+def _q140_pair_sql(x: str, y: str) -> str:
+    from pandamapreduce_spark.plans.numeric import davg_sql
+
+    # exact integer cents (the fixture columns are 2-dp decimals stored
+    # as nearest-doubles; *100 + round recovers the exact integer in
+    # both engines — no near-tie hazard, unlike rounding arbitrary
+    # full-precision deviations)
+    xc, yc = f"cast(round(({x}) * 100) as decimal(19,0))", f"cast(round(({y}) * 100) as decimal(19,0))"
+    return f"""
+    SELECT col_x, col_y, n, mean_x, mean_y,
+           cast(ncov as double) / ((cast(n as double) * cast(n as double)) * 10000.0) AS cov,
+           cast(nvx as double) / ((cast(n as double) * cast(n as double)) * 10000.0) AS var_x,
+           cast(nvy as double) / ((cast(n as double) * cast(n as double)) * 10000.0) AS var_y,
+           (cast(ncov as double) * cast(ncov as double))
+             / (cast(nvx as double) * cast(nvy as double)) AS r2
+    FROM (
+      SELECT col_x, col_y, n, mean_x, mean_y,
+             cast(n as decimal(19,0)) * sxy - sx * sy AS ncov,
+             cast(n as decimal(19,0)) * sxx - sx * sx AS nvx,
+             cast(n as decimal(19,0)) * syy - sy * sy AS nvy
+      FROM (
+        SELECT '{x}' AS col_x, '{y}' AS col_y,
+               cast(count(*) as bigint) AS n,
+               {davg_sql(x)} AS mean_x, {davg_sql(y)} AS mean_y,
+               sum({xc}) AS sx, sum({yc}) AS sy,
+               sum({xc} * {yc}) AS sxy, sum({xc} * {xc}) AS sxx, sum({yc} * {yc}) AS syy
+        FROM lineitem
+      )
+    )"""
+
+
+@query(
+    "q140_extended_stats",
+    oracle="\n    UNION ALL\n".join(_q140_pair_sql(x, y) for x, y in STAT_PAIRS)
+    + "\n    ORDER BY col_x, col_y",
+    doc="Extended ANALYZE statistics (q128's correlation twin): per-column-pair population covariance and coefficient of determination r2 = cov\u00b2/(var_x\u00b7var_y) — r2 instead of r keeps the lane transcendental-free (no sqrt); single-pass exact integer-cent moment sums (n\u00b7\u03a3xy \u2212 \u03a3x\u03a3y in decimal, exact), then one pinned double division per statistic.",
+    tags=("stats", "profiling", "covariance"),
+)
+def q140_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CBO's join-selectivity signal: column correlation. The
+    float contract is the interesting part — a naive sum(x*y) of
+    doubles is summation-order-dependent and can't hash-match, and
+    rounding full-precision deviations hits engine-specific
+    double->decimal tie behavior (measured: 1e-8 drift at sf0.01).
+    Instead the columns are recovered as EXACT integer cents (the
+    *100-and-round of a 2-dp-decimal-valued double is unambiguous in
+    both engines), all five moment sums are exact decimal integers in
+    one pass, the covariance/variance numerators n*Sxy - Sx*Sy are
+    exact decimal algebra, and each statistic is ONE decimal->double
+    cast and ONE pinned division chain. r2 = cov2/(var_x*var_y) from
+    those doubles keeps the lane sqrt-free. Population (not sample)
+    denominators. Single-pass, 2-column pruned scan per pair, 1-row
+    shuffle."""
+    from pandamapreduce_spark.plans.numeric import davg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d19 = "decimal(19,0)"
+    parts = []
+    for x, y in STAT_PAIRS:
+        xc = F.round(F.col(x) * 100, 0).cast(d19)
+        yc = F.round(F.col(y) * 100, 0).cast(d19)
+        base = li.agg(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            davg(x).alias("mean_x"),
+            davg(y).alias("mean_y"),
+            F.sum(xc).alias("sx"),
+            F.sum(yc).alias("sy"),
+            F.sum(xc * yc).alias("sxy"),
+            F.sum(xc * xc).alias("sxx"),
+            F.sum(yc * yc).alias("syy"),
+        )
+        nd = F.col("n").cast(d19)
+        num = base.select(
+            "col_x",
+            "col_y",
+            "n",
+            "mean_x",
+            "mean_y",
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("ncov"),
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("nvx"),
+            (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("nvy"),
+        )
+        den = (F.col("n").cast("double") * F.col("n").cast("double")) * F.lit(10000.0)
+        parts.append(
+            num.select(
+                "col_x",
+                "col_y",
+                "n",
+                "mean_x",
+                "mean_y",
+                (F.col("ncov").cast("double") / den).alias("cov"),
+                (F.col("nvx").cast("double") / den).alias("var_x"),
+                (F.col("nvy").cast("double") / den).alias("var_y"),
+                (
+                    (F.col("ncov").cast("double") * F.col("ncov").cast("double"))
+                    / (F.col("nvx").cast("double") * F.col("nvy").cast("double"))
+                ).alias("r2"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_x", "col_y")

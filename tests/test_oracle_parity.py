@@ -111,6 +111,7 @@ SF01_QUERIES = [
     "q137_interval_join",
     "q138_skyline",
     "q139_transitions",
+    "q140_extended_stats",
 ]
 
 

@@ -348,3 +348,26 @@ def test_transition_matrix_rows_are_distributions_and_respect_sessions(spark):
         .collect()
     )
     assert sorted((h.f, h.t) for h in hops) == [("A", "B"), ("C", "D")]
+
+
+def test_extended_stats_match_numpy(spark):
+    """q140: independent numeric check — numpy's float covariance on
+    the same columns must agree to ~1e-9 relative (numpy sums doubles,
+    the engine sums exact integer cents, so tiny drift is expected and
+    bounded)."""
+    import duckdb
+    import numpy as np
+
+    rows = REGISTRY["q140_extended_stats"].build(spark, SF_DIR).collect()
+    df = duckdb.sql(
+        f"SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).df()
+    for r in rows:
+        x, y = df[r.col_x].to_numpy(), df[r.col_y].to_numpy()
+        cov = float(np.cov(x, y, bias=True)[0, 1])
+        vx, vy = float(np.var(x)), float(np.var(y))
+        assert abs(r.cov - cov) <= 1e-9 * max(1.0, abs(cov)), (r.col_x, r.col_y)
+        assert abs(r.var_x - vx) <= 1e-9 * max(1.0, vx)
+        assert abs(r.var_y - vy) <= 1e-9 * max(1.0, vy)
+        assert 0.0 <= r.r2 <= 1.0
+        assert abs(r.r2 - cov * cov / (vx * vy)) <= 1e-6
