@@ -59,6 +59,7 @@ _WINDOW_PRIORITY = [
     "q138_skyline",
     "q139_transitions",
     "q140_extended_stats",
+    "q141_pps_sample",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -90,11 +91,11 @@ _WINDOW_PRIORITY = [
     "q87_hybrid_neardup",
     "q88_contamination",
     "q89_stratified_sample",
-    "q90_sequence_packing",
-    # q91-q94 sit at positions 51-54 — just past the ~50-query driver
-    # window — displaced by the never-driver-checked q137-q140; all
+    # q90-q94 sit at positions 51-55 — just past the ~50-query driver
+    # window — displaced by the never-driver-checked q137-q141; all
     # stay covered by test_oracle_parity + this session's sf0.01
     # emulation and rotate with the r3 cohort in round 6.
+    "q90_sequence_packing",
     "q91_source_mixture",
     "q92_boilerplate_blocks",
     "q93_repetition_score",

@@ -1068,3 +1068,79 @@ def q123_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (BLOCK_WORDS * F.col("n_kept") + (F.col("nt") - BLOCK_WORDS * F.col("n_blocks"))).cast("bigint").alias("n_tokens_after"),
         F.md5(F.concat_ws(" ", F.concat(F.col("ks"), F.col("tail")))).alias("scrub_md5"),
     ).orderBy("doc_id")
+
+
+# --- q141: systematic PPS document sampling -------------------------------
+
+PPS_K = 100  # sample size (grid points over the cumulative token axis)
+PPS_RANGES = 8  # range partitions for the distributed prefix sum
+
+
+@query(
+    "q141_pps_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, cast(len({tokens_sql("text")}) as bigint) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM tok
+    ),
+    t AS (SELECT cast(sum(n) as bigint) AS tot FROM tok),
+    m AS (
+      SELECT doc_id, n, s,
+             ((s + n) * {PPS_K} + tot - 1) // tot - (s * {PPS_K} + tot - 1) // tot AS mult
+      FROM c, t
+    )
+    SELECT doc_id, n AS n_tokens, cast(mult as bigint) AS multiplicity
+    FROM m WHERE mult >= 1 ORDER BY doc_id
+    """,
+    doc=f"Systematic probability-proportional-to-size sampling: {PPS_K} evenly-spaced grid points over the cumulative token axis select documents with multiplicity = #grid points inside their token interval — fully deterministic (no RNG, no transcendental), exact integer arithmetic, inclusion probability ∝ token count, Σ multiplicity = {PPS_K} by construction; distributed prefix sum (q90's machinery).",
+    tags=("sampling", "pps", "prefix-sum"),
+)
+def q141_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS sampling is how a 100 TB corpus is subsampled for eval or
+    inspection without under-representing long documents — and the
+    classic implementations draw per-row randoms (u^(1/w) keys),
+    which are irreproducible across engines and need a transcendental.
+    Systematic PPS replaces the RNG with a deterministic grid: lay all
+    T tokens on one axis (exclusive prefix sum of token counts in
+    doc_id order — q90's range-partition + bounded-driver-offsets
+    machinery, no single-partition window), drop K grid points at
+    positions floor(j·T/K), and a document is sampled once per grid
+    point inside its interval: multiplicity =
+    ceil((s+n)·K/T) − ceil(s·K/T), pure bigint arithmetic. Any doc
+    with n ≥ T/K is guaranteed in (its interval must contain a grid
+    point); Σ multiplicity = K exactly. Only (doc_id, n) pairs
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("n"))
+    parts = scoped_persist(
+        tok.repartitionByRange(PPS_RANGES, "doc_id").withColumn("pid", F.spark_partition_id())
+    )
+    per = sorted(
+        parts.groupBy("pid").agg(F.sum("n").alias("s"), F.min("doc_id").alias("lo")).collect(),
+        key=lambda r: r["lo"],
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("bigint")).otherwise(base)
+        acc += r["s"]
+    total = acc
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = parts.select(
+        "doc_id",
+        "n",
+        (F.coalesce(F.sum("n").over(w), F.lit(0)) + base).alias("s"),
+    )
+    mult = F.expr(f"((s + n) * {PPS_K} + {total} - 1) div {total}") - F.expr(
+        f"(s * {PPS_K} + {total} - 1) div {total}"
+    )
+    return (
+        c.withColumn("mult", mult)
+        .where(F.col("mult") >= 1)
+        .select("doc_id", F.col("n").alias("n_tokens"), F.col("mult").cast("bigint").alias("multiplicity"))
+        .orderBy("doc_id")
+    )

@@ -112,6 +112,7 @@ SF01_QUERIES = [
     "q138_skyline",
     "q139_transitions",
     "q140_extended_stats",
+    "q141_pps_sample",
 ]
 
 

@@ -371,3 +371,37 @@ def test_extended_stats_match_numpy(spark):
         assert abs(r.var_y - vy) <= 1e-9 * max(1.0, vy)
         assert 0.0 <= r.r2 <= 1.0
         assert abs(r.r2 - cov * cov / (vx * vy)) <= 1e-6
+
+
+def test_pps_sample_invariants(spark):
+    """q141: Σ multiplicity == K exactly; every doc with n ≥ T/K is
+    sampled; result invariant to the range-partition count."""
+    import duckdb
+
+    import pandamapreduce_spark.plans.training as tr
+
+    rows = REGISTRY["q141_pps_sample"].build(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.multiplicity for r in rows) == tr.PPS_K
+    from pandamapreduce_spark.functions import tokens_sql
+
+    n_expr = f"cast(len({tokens_sql('text')}) as bigint)"
+    total = duckdb.sql(
+        f"SELECT sum({n_expr}) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    sampled = {r.doc_id for r in rows}
+    big = duckdb.sql(
+        f"""SELECT doc_id FROM (
+              SELECT doc_id, {n_expr} AS n
+              FROM read_parquet('{SF_DIR}/documents.parquet'))
+            WHERE n * {tr.PPS_K} >= {total}"""
+    ).fetchall()
+    for (d,) in big:
+        assert d in sampled, f"doc {d} with n >= T/K missed"
+    orig = tr.PPS_RANGES
+    try:
+        tr.PPS_RANGES = 3
+        narrow = tr.q141_pps_sample(spark, SF_DIR).collect()
+    finally:
+        tr.PPS_RANGES = orig
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in rows]
