@@ -1295,3 +1295,101 @@ def q140_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_x", "col_y")
+
+
+# --- q142: per-group OLS trend (grouped exact-moment regression) ----------
+
+
+@query(
+    "q142_group_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT o.o_custkey % 25 AS grp,
+             cast(cast(l.l_shipdate as date) - DATE '1992-01-01' as bigint) AS x,
+             cast(sum(cast(round(l.l_extendedprice * 100) as decimal(19,0))) as decimal(19,0)) AS yc
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT grp, cast(count(*) as bigint) AS n,
+             sum(cast(x as decimal(19,0))) AS sx, sum(yc) AS sy,
+             sum(cast(x as decimal(19,0)) * yc) AS sxy,
+             sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0))) AS sxx,
+             sum(yc * yc) AS syy
+      FROM daily GROUP BY grp
+    ),
+    d AS (
+      SELECT grp, n,
+             cast(n as decimal(19,0)) * sxy - sx * sy AS ncov,
+             cast(n as decimal(19,0)) * sxx - sx * sx AS nvx,
+             cast(n as decimal(19,0)) * syy - sy * sy AS nvy,
+             cast(sx as double) / cast(n as double) AS mx,
+             (cast(sy as double) / cast(n as double)) / 100.0 AS my
+      FROM m
+    )
+    SELECT grp, n AS n_days,
+           (cast(ncov as double) / cast(nvx as double)) / 100.0 AS slope,
+           my - ((cast(ncov as double) / cast(nvx as double)) / 100.0) * mx AS intercept,
+           (cast(ncov as double) * cast(ncov as double))
+             / (cast(nvx as double) * cast(nvy as double)) AS r2
+    FROM d ORDER BY grp
+    """,
+    doc="Per-group OLS trend detection: daily revenue (exact integer cents) per customer cohort regressed on the ship-day number — slope/intercept/r² from exact decimal moment sums (q140's contract, grouped), every emitted double a pinned chain of casts and divisions on exact integers; the revenue-drift monitor a warehouse runs per segment.",
+    tags=("stats", "regression", "trend"),
+)
+def q142_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least squares without mllib and without float drift:
+    the daily rollup is exact (integer cents, integer day numbers),
+    the five moment sums per group are exact decimals, the normal
+    equations run as exact decimal algebra (n·Σxy − ΣxΣy), and only
+    the final slope/intercept/r² emit doubles — each one a pinned
+    sequence of decimal→double casts, one division, one multiply,
+    one subtract, identical in both engines. Scale shape: one
+    (grp, day) partial agg collapses the fact join to ≤ |groups|×|days|
+    cells, then one |groups|-row moment agg — the same two-level
+    shape as q65's rollup; nothing wide ever shuffles. Slope is in
+    dollars/day (the /100 cent rescale is one exact power-of-ten
+    double division... 100.0 is exact, the division one op)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    d19 = "decimal(19,0)"
+    daily = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") % 25).alias("grp"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast(d19)).cast(d19).alias("yc"))
+    )
+    xd = F.col("x").cast(d19)
+    m = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(xd * F.col("yc")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    nd = F.col("n").cast(d19)
+    d = m.select(
+        "grp",
+        "n",
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("ncov"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("nvx"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("nvy"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mx"),
+        ((F.col("sy").cast("double") / F.col("n").cast("double")) / F.lit(100.0)).alias("my"),
+    )
+    slope = (F.col("ncov").cast("double") / F.col("nvx").cast("double")) / F.lit(100.0)
+    return d.select(
+        "grp",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        (F.col("my") - slope * F.col("mx")).alias("intercept"),
+        (
+            (F.col("ncov").cast("double") * F.col("ncov").cast("double"))
+            / (F.col("nvx").cast("double") * F.col("nvy").cast("double"))
+        ).alias("r2"),
+    ).orderBy("grp")

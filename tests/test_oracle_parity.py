@@ -113,6 +113,7 @@ SF01_QUERIES = [
     "q139_transitions",
     "q140_extended_stats",
     "q141_pps_sample",
+    "q142_group_ols",
 ]
 
 

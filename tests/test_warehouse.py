@@ -405,3 +405,33 @@ def test_pps_sample_invariants(spark):
     finally:
         tr.PPS_RANGES = orig
     assert [tuple(r) for r in narrow] == [tuple(r) for r in rows]
+
+
+def test_group_ols_matches_numpy(spark):
+    """q142: numpy's float least-squares on the same daily cells must
+    agree to ~1e-9 relative — the engine's exact-decimal normal
+    equations vs numpy's float ones."""
+    import duckdb
+    import numpy as np
+
+    rows = REGISTRY["q142_group_ols"].build(spark, SF_DIR).collect()
+    assert rows
+    daily = duckdb.sql(
+        f"""
+        SELECT o.o_custkey % 25 AS grp,
+               cast(cast(l.l_shipdate as date) - DATE '1992-01-01' as bigint) AS x,
+               sum(round(l.l_extendedprice * 100)) / 100.0 AS y
+        FROM read_parquet('{SF_DIR}/lineitem.parquet') l
+        JOIN read_parquet('{SF_DIR}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """
+    ).df()
+    for r in rows:
+        cell = daily[daily.grp == r.grp]
+        x, y = cell.x.to_numpy(float), cell.y.to_numpy(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope - slope) <= 1e-9 * max(1.0, abs(slope)), r.grp
+        assert abs(r.intercept - intercept) <= 1e-6 * max(1.0, abs(intercept)), r.grp
+        cc = float(np.corrcoef(x, y)[0, 1])
+        assert abs(r.r2 - cc * cc) <= 1e-9
+        assert r.n_days == len(cell)
