@@ -61,6 +61,7 @@ _WINDOW_PRIORITY = [
     "q140_extended_stats",
     "q141_pps_sample",
     "q142_group_ols",
+    "q143_twap",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -90,18 +91,18 @@ _WINDOW_PRIORITY = [
     "q85_train_split",
     "q86_quality_deciles",
     "q87_hybrid_neardup",
-    "q88_contamination",
-    # q89-q94 sit at positions 51-56 — just past the ~50-query driver
-    # window — displaced by the never-driver-checked q137-q142; all
+    # q88-q94 sit at positions 51-57 — just past the ~50-query driver
+    # window — displaced by the never-driver-checked q137-q143; all
     # stay covered by test_oracle_parity + this session's sf0.01
     # emulation and rotate with the r3 cohort in round 6.
+    "q88_contamination",
     "q89_stratified_sample",
     "q90_sequence_packing",
     "q91_source_mixture",
     "q92_boilerplate_blocks",
     "q93_repetition_score",
     "q94_dedup_clusters",
-    # (the full 38-query r3 cohort rotates in round 6 — the 21 new/
+    # (the full 38-query r3 cohort rotates in round 6 — the 22 new/
     # changed entries above plus the r2-stale rotation fill the
     # window)
 ]

@@ -1393,3 +1393,82 @@ def q142_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nvx").cast("double") * F.col("nvy").cast("double"))
         ).alias("r2"),
     ).orderBy("grp")
+
+
+# --- q143: time-weighted average over irregular observations --------------
+
+
+@query(
+    "q143_twap",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             cast(round(value * 100) as bigint) AS vc,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             cast(count(*) as bigint) AS n_obs,
+             cast(max(t) - min(t) as bigint) AS span_us,
+             sum(CASE WHEN t_next IS NULL THEN cast(0 as decimal(19,0))
+                      ELSE cast(vc as decimal(19,0)) * cast(t_next - t as decimal(19,0)) END) AS wsum,
+             sum(cast(vc as decimal(19,0))) AS vsum
+      FROM obs GROUP BY event_type
+    )
+    SELECT event_type, n_obs, span_us,
+           CASE WHEN span_us = 0 THEN NULL
+                ELSE cast(wsum as double) / (cast(span_us as double) * 100.0) END AS twap,
+           (cast(vsum as double) / cast(n_obs as double)) / 100.0 AS simple_avg
+    FROM agg ORDER BY event_type
+    """,
+    doc="Time-weighted average (TWAP) per event type over irregular observations: each value holds until the next observation (step interpolation), weight = holding interval in exact integer microseconds, value in exact integer cents — the whole weighted sum is exact decimal algebra with one pinned double division at the end; the irregular-sampling-robust mean a metrics pipeline needs where the simple average over-weights bursts.",
+    tags=("timeseries", "twap", "window"),
+)
+def q143_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance/metrics estimator for irregularly sampled series:
+    a plain average over-weights bursty periods (many samples = many
+    equal votes); TWAP weights each observation by how long it was
+    the current value. Float contract: value is exactly 2-dp in the
+    fixture, so cents are exact integers (the q140 lesson — never
+    round arbitrary full-precision doubles through decimal per row;
+    recover exact integers instead); holding intervals are exact
+    epoch-microsecond differences; cents×micros products and their
+    sums are exact decimals; one decimal→double cast and one pinned
+    division chain emit the result. The last observation per type
+    carries zero weight (no holding interval) — pinned identically in
+    the oracle. One event_type exchange serves the lead window and
+    the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d19 = "decimal(19,0)"
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    obs = ev.select(
+        "event_type",
+        t.alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        (F.unix_micros(F.lead("ts").over(w))).alias("t_next"),
+    )
+    agg = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("span_us"),
+        F.sum(
+            F.when(F.col("t_next").isNull(), F.lit(0).cast(d19)).otherwise(
+                F.col("vc").cast(d19) * (F.col("t_next") - F.col("t")).cast(d19)
+            )
+        ).alias("wsum"),
+        F.sum(F.col("vc").cast(d19)).alias("vsum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_obs",
+        "span_us",
+        F.when(F.col("span_us") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("wsum").cast("double") / (F.col("span_us").cast("double") * F.lit(100.0))
+        )
+        .alias("twap"),
+        ((F.col("vsum").cast("double") / F.col("n_obs").cast("double")) / F.lit(100.0)).alias(
+            "simple_avg"
+        ),
+    ).orderBy("event_type")

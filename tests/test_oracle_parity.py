@@ -114,6 +114,7 @@ SF01_QUERIES = [
     "q140_extended_stats",
     "q141_pps_sample",
     "q142_group_ols",
+    "q143_twap",
 ]
 
 

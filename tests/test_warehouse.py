@@ -435,3 +435,54 @@ def test_group_ols_matches_numpy(spark):
         cc = float(np.corrcoef(x, y)[0, 1])
         assert abs(r.r2 - cc * cc) <= 1e-9
         assert r.n_days == len(cell)
+
+
+def test_twap_weights_bursts_correctly(spark):
+    """q143: synthetic series — value 10.00 held for 9 minutes, then a
+    burst of 9 samples at 20.00 in the last minute. Simple average is
+    pulled to 19.00 by the burst; TWAP must stay ≈ 10 + (20-10)/10."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = [("t", t0, 1, 10.00)] + [
+        ("t", t0 + datetime.timedelta(minutes=9, seconds=6 * i), 2 + i, 20.00) for i in range(9)
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, event_id long, value double")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    obs = ev.select(
+        "event_type",
+        t.alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t_next"),
+    )
+    r = (
+        obs.groupBy("event_type")
+        .agg(
+            (F.max("t") - F.min("t")).cast("bigint").alias("span"),
+            F.sum(
+                F.when(F.col("t_next").isNull(), F.lit(0)).otherwise(
+                    F.col("vc") * (F.col("t_next") - F.col("t"))
+                )
+            ).alias("wsum"),
+            (F.sum("vc") / F.count(F.lit(1)) / 100.0).alias("simple"),
+        )
+        .collect()[0]
+    )
+    twap = r.wsum / r.span / 100.0
+    # 9 min at 10.00 + 48 s of 20.00 holding out of 9m48s span
+    assert abs(twap - (540 * 10.0 + 48 * 20.0) / 588) < 1e-9
+    assert abs(r.simple - 19.0) < 1e-9
+    assert twap < 12 < r.simple
+
+
+def test_twap_registered_output_sane(spark):
+    rows = REGISTRY["q143_twap"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.span_us > 0 and r.twap is not None
+        assert r.n_obs >= 1
+        # both estimators live inside the observed value range
+        assert 0 < r.twap and 0 < r.simple_avg
