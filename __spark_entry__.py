@@ -62,6 +62,7 @@ _WINDOW_PRIORITY = [
     "q141_pps_sample",
     "q142_group_ols",
     "q143_twap",
+    "q144_cdc_apply",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -90,11 +91,11 @@ _WINDOW_PRIORITY = [
     "q84_rolling_fingerprint",
     "q85_train_split",
     "q86_quality_deciles",
-    "q87_hybrid_neardup",
-    # q88-q94 sit at positions 51-57 — just past the ~50-query driver
-    # window — displaced by the never-driver-checked q137-q143; all
+    # q87-q94 sit at positions 51-58 — just past the ~50-query driver
+    # window — displaced by the never-driver-checked q137-q144; all
     # stay covered by test_oracle_parity + this session's sf0.01
     # emulation and rotate with the r3 cohort in round 6.
+    "q87_hybrid_neardup",
     "q88_contamination",
     "q89_stratified_sample",
     "q90_sequence_packing",
@@ -102,7 +103,7 @@ _WINDOW_PRIORITY = [
     "q92_boilerplate_blocks",
     "q93_repetition_score",
     "q94_dedup_clusters",
-    # (the full 38-query r3 cohort rotates in round 6 — the 22 new/
+    # (the full 38-query r3 cohort rotates in round 6 — the 23 new/
     # changed entries above plus the r2-stale rotation fill the
     # window)
 ]

@@ -15,7 +15,7 @@ is exactly why the oracle can be the direct recompute.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandamapreduce_spark.catalog import load_table
@@ -192,3 +192,86 @@ def q135_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _partial_state(li.where(F.col("l_shipdate") < split))
     delta = _partial_state(li.where(~(F.col("l_shipdate") < split)))
     return merge_states(base, delta)
+
+
+# --- q144: CDC apply (last-writer-wins change-stream materialization) -----
+
+UPD_MOD = 7  # every 7th key gets a priority-update change
+DEL_MOD = 31  # every 31st key gets a tombstone
+CDC_UPDATED_PRIORITY = "9-UPDATED"
+
+
+@query(
+    "q144_cdc_apply",
+    oracle=f"""
+    WITH stream AS (
+      SELECT o_orderkey AS k, cast(1 as bigint) AS version, 'I' AS op,
+             o_orderpriority AS priority, o_custkey AS custkey
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', '{CDC_UPDATED_PRIORITY}', o_custkey
+      FROM orders WHERE o_orderkey % {UPD_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % {DEL_MOD} = 0
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+      FROM stream
+    )
+    SELECT k, version, priority, custkey
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+    doc=f"CDC apply: materialize the final table state from an insert/update/delete change stream via last-writer-wins per key (row_number over version DESC, tombstones dropped) — the Debezium/'APPLY CHANGES INTO' operator; deterministic planted stream (updates on %{UPD_MOD} keys, tombstones on %{DEL_MOD}); only (key, version, op, changed columns) ever shuffles, and the rank<=1 filter compiles to WindowGroupLimit (partial top-1 per key BEFORE the exchange).",
+    tags=("warehouse", "cdc", "merge"),
+)
+def q144_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-capture materializer: replicas and lakehouse
+    tables are maintained by replaying an ordered change stream and
+    keeping, per key, only the highest-version row — unless it is a
+    tombstone. Differs from q124 (content-addressed corpus merge) and
+    q130 (SCD2 keeps ALL versions as history): CDC apply keeps exactly
+    one current row per surviving key. Scale shape: the stream
+    shuffles once on the key; Spark's WindowGroupLimit pushes the
+    top-1-per-key BEFORE the exchange (plan-asserted), so each map
+    task forwards at most one candidate per key it sees — the shuffle
+    carries survivors, not history. At 100 TB the stream is the day's
+    delta, not the table: the same plan merges delta against the
+    base's current snapshot read as yesterday's materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).cast("bigint").alias("version"),
+        F.lit("I").alias("op"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    upd = (
+        o.where(F.col("o_orderkey") % UPD_MOD == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).cast("bigint").alias("version"),
+            F.lit("U").alias("op"),
+            F.lit(CDC_UPDATED_PRIORITY).alias("priority"),
+            F.col("o_custkey").alias("custkey"),
+        )
+    )
+    dele = (
+        o.where(F.col("o_orderkey") % DEL_MOD == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).cast("bigint").alias("version"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("priority"),
+            F.lit(None).cast("bigint").alias("custkey"),
+        )
+    )
+    stream = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy(F.col("version").desc())
+    return (
+        stream.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "version", "priority", "custkey")
+        .orderBy("k")
+    )

@@ -115,6 +115,7 @@ SF01_QUERIES = [
     "q141_pps_sample",
     "q142_group_ols",
     "q143_twap",
+    "q144_cdc_apply",
 ]
 
 

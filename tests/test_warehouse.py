@@ -486,3 +486,27 @@ def test_twap_registered_output_sane(spark):
         assert r.n_obs >= 1
         # both estimators live inside the observed value range
         assert 0 < r.twap and 0 < r.simple_avg
+
+
+def test_cdc_apply_semantics_and_group_limit(spark):
+    """q144: tombstoned keys absent, updated keys carry the v2 value,
+    untouched keys keep v1; and the rank<=1 filter must compile to
+    WindowGroupLimit (partial per-key top-1 before the exchange)."""
+    from pandamapreduce_spark.plans.maintenance import (
+        CDC_UPDATED_PRIORITY,
+        DEL_MOD,
+        UPD_MOD,
+    )
+
+    df = REGISTRY["q144_cdc_apply"].build(spark, SF_DIR)
+    rows = df.collect()
+    by_k = {r.k: r for r in rows}
+    assert by_k
+    for k, r in by_k.items():
+        assert k % DEL_MOD != 0, "tombstoned key survived"
+        if k % UPD_MOD == 0:
+            assert r.version == 2 and r.priority == CDC_UPDATED_PRIORITY
+        else:
+            assert r.version == 1 and r.priority != CDC_UPDATED_PRIORITY
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:1500]
