@@ -152,14 +152,16 @@ def test_dataset_extension_methods(spark):
 
 
 def test_driver_contract_shape():
-    """Guards the __spark_entry__ driver contract: the verification
-    window is exactly 50 known queries (the driver checks the first
-    ~50 of queries() order), every registered query carries an oracle,
-    and oracle keys are a subset of query keys."""
+    """Guards the __spark_entry__ driver contract: the priority list
+    pins the queries() iteration order — the driver verifies the first
+    ~50, so the list must hold AT LEAST a full window of unique known
+    names (entries past 50 are the explicitly-ordered displaced
+    cohort) — every registered query carries an oracle, and oracle
+    keys are a subset of query keys."""
     import __spark_entry__ as m
 
-    assert len(m._WINDOW_PRIORITY) == 50
-    assert len(set(m._WINDOW_PRIORITY)) == 50
+    assert len(m._WINDOW_PRIORITY) >= 50
+    assert len(set(m._WINDOW_PRIORITY)) == len(m._WINDOW_PRIORITY)
     from pandamapreduce_spark.plans import REGISTRY
 
     missing = [n for n in m._WINDOW_PRIORITY if n not in REGISTRY]
