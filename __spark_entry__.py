@@ -63,6 +63,8 @@ _WINDOW_PRIORITY = [
     "q142_group_ols",
     "q143_twap",
     "q144_cdc_apply",
+    "q145_weighted_percentiles",
+    "q146_ab_test",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -89,12 +91,12 @@ _WINDOW_PRIORITY = [
     "q82_exists_semi",
     "q83_range_frame_window",
     "q84_rolling_fingerprint",
-    "q85_train_split",
-    "q86_quality_deciles",
-    # q87-q94 sit at positions 51-58 — just past the ~50-query driver
-    # window — displaced by the never-driver-checked q137-q144; all
+    # q85-q94 sit at positions 51-60 — just past the ~50-query driver
+    # window — displaced by the never-driver-checked q137-q146; all
     # stay covered by test_oracle_parity + this session's sf0.01
     # emulation and rotate with the r3 cohort in round 6.
+    "q85_train_split",
+    "q86_quality_deciles",
     "q87_hybrid_neardup",
     "q88_contamination",
     "q89_stratified_sample",
@@ -103,7 +105,7 @@ _WINDOW_PRIORITY = [
     "q92_boilerplate_blocks",
     "q93_repetition_score",
     "q94_dedup_clusters",
-    # (the full 38-query r3 cohort rotates in round 6 — the 23 new/
+    # (the full 38-query r3 cohort rotates in round 6 — the 25 new/
     # changed entries above plus the r2-stale rotation fill the
     # window)
 ]

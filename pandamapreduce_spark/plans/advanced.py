@@ -1472,3 +1472,149 @@ def q143_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simple_avg"
         ),
     ).orderBy("event_type")
+
+
+# --- q145: exact weighted percentiles (cumulative-weight selection) -------
+
+WPCTS = (25, 50, 75)  # integer percents → pure-integer threshold compares
+
+
+@query(
+    "q145_weighted_percentiles",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             cast(round(l_quantity) as bigint) AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT g, v, wt,
+             sum(wt) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY g) AS tw
+      FROM base
+    )
+    SELECT g AS returnflag, cast(min(tw) as bigint) AS total_weight,
+           {", ".join(f"min(CASE WHEN cw * 100 >= {p} * tw THEN v END) AS wp{p}" for p in WPCTS)}
+    FROM cum GROUP BY g ORDER BY g
+    """,
+    doc="Exact weighted percentiles (quantity-weighted price quartiles per return flag): smallest value whose cumulative weight reaches p% of the group total — the lower-weighted-quantile convention; thresholds compare as pure integers (cw·100 ≥ p·W), the answer is PICKED not computed, and intra-tie cumulative-sum order cannot change the selected value (a value run occupies a contiguous weight interval) — fully order-independent with zero float arithmetic; q28's spill-safe shuffle-sort shape, no per-group buffering.",
+    tags=("stats", "weighted-percentile", "rank"),
+)
+def q145_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted order statistics — 'the price below which half the
+    UNITS (not half the line items) sold'. Same scale posture as q28's
+    rank selection: the per-group cumulative weight comes from a
+    shuffle SORT window (spills, never buffers a group), the
+    percentile pick is a conditional MIN per threshold (partial-
+    aggregatable), and the groupBy reuses the window's hash exchange.
+    Exactness needs no float contract at all: weights are exact
+    integers, thresholds are integer products, and the output values
+    are selected members of the input column. Intra-tie window order
+    is nondeterministic in Spark, but a tied value's rows occupy a
+    contiguous cumulative-weight interval, so whether the threshold
+    lands mid-run or at its end the SELECTED value is the same —
+    pinned by the oracle hash across engines with different sort
+    implementations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("wt"),
+    )
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy("g")
+    cum = base.select(
+        "g",
+        "v",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wg).alias("tw"),
+    )
+    aggs = [F.min("tw").cast("bigint").alias("total_weight")] + [
+        F.min(F.when(F.col("cw") * 100 >= F.lit(p) * F.col("tw"), F.col("v"))).alias(f"wp{p}")
+        for p in WPCTS
+    ]
+    return cum.groupBy(F.col("g").alias("returnflag")).agg(*aggs).orderBy("returnflag")
+
+
+# --- q146: A/B experiment analysis (sqrt-free chi-square) -----------------
+
+AB_GOAL = "purchase"  # conversion event
+AB_CONV_MIN = 14  # converts = users with >= this many goal events (splits ~half at every fixture)
+
+
+@query(
+    "q146_ab_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN sum(CASE WHEN event_type = '{AB_GOAL}' THEN 1 ELSE 0 END) >= {AB_CONV_MIN}
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT cast(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) as decimal(19,0)) AS a,
+             cast(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) as decimal(19,0)) AS b,
+             cast(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) as decimal(19,0)) AS c,
+             cast(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) as decimal(19,0)) AS d
+      FROM u
+    )
+    SELECT cast(a + b + c + d as bigint) AS n_users,
+           cast(a as bigint) AS conv_t, cast(b as bigint) AS nonconv_t,
+           cast(c as bigint) AS conv_c, cast(d as bigint) AS nonconv_c,
+           cast(a as double) / cast(a + b as double) AS rate_t,
+           cast(c as double) / cast(c + d as double) AS rate_c,
+           (cast(a as double) / cast(a + b as double)) - (cast(c as double) / cast(c + d as double)) AS lift,
+           CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN NULL
+                ELSE cast((a + b + c + d) * (a * d - b * c) * (a * d - b * c) as double)
+                       / cast((a + b) * (c + d) * (a + c) * (b + d) as double) END AS chi2
+    FROM cells
+    """,
+    doc=f"A/B experiment readout: deterministic arm assignment (user_id % 2), conversion = >= {AB_CONV_MIN} '{AB_GOAL}' events, 2x2 chi-square independence statistic computed WITHOUT sqrt — chi² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) in exact decimal integer algebra with one pinned double division, plus exact int/int conversion rates and lift; the experimentation-analysis lane, bit-reproducible.",
+    tags=("analytics", "abtest", "chi-square"),
+)
+def q146_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis the hash-oracle way: the z-test needs a
+    sqrt, so the emitted significance statistic is the equivalent 2×2
+    chi-square (z² = χ² for proportions), whose numerator and
+    denominator are EXACT decimal integer products — one double
+    division at the end, plus exact int/int rates and their
+    difference (three pinned IEEE ops). Scale shape: one per-user
+    aggregate (user_id, flag ints shuffle), then a single-row
+    conditional-sum fold — the 100 TB path is identical because the
+    contingency table is four integers regardless of user count."""
+    ev = load_table(spark, sf_dir, "events")
+    d19 = "decimal(19,0)"
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.when(F.col("event_type") == AB_GOAL, 1).otherwise(0)).alias("np"))
+        .select(
+            "user_id",
+            F.when(F.col("np") >= AB_CONV_MIN, 1).otherwise(0).alias("conv"),
+            (F.col("user_id") % 2).alias("arm"),
+        )
+    )
+    cells = u.agg(
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 1), 1).otherwise(0)).cast(d19).alias("a"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 0), 1).otherwise(0)).cast(d19).alias("b"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1).otherwise(0)).cast(d19).alias("c"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 0), 1).otherwise(0)).cast(d19).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    rate_t = a.cast("double") / (a + b).cast("double")
+    rate_c = c.cast("double") / (c + d).cast("double")
+    return cells.select(
+        (a + b + c + d).cast("bigint").alias("n_users"),
+        a.cast("bigint").alias("conv_t"),
+        b.cast("bigint").alias("nonconv_t"),
+        c.cast("bigint").alias("conv_c"),
+        d.cast("bigint").alias("nonconv_c"),
+        rate_t.alias("rate_t"),
+        rate_c.alias("rate_c"),
+        (rate_t - rate_c).alias("lift"),
+        F.when((a + b) * (c + d) * (a + c) * (b + d) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            ((a + b + c + d) * (a * d - b * c) * (a * d - b * c)).cast("double")
+            / ((a + b) * (c + d) * (a + c) * (b + d)).cast("double")
+        )
+        .alias("chi2"),
+    )

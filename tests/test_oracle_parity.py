@@ -116,6 +116,8 @@ SF01_QUERIES = [
     "q142_group_ols",
     "q143_twap",
     "q144_cdc_apply",
+    "q145_weighted_percentiles",
+    "q146_ab_test",
 ]
 
 

@@ -510,3 +510,52 @@ def test_cdc_apply_semantics_and_group_limit(spark):
             assert r.version == 1 and r.priority != CDC_UPDATED_PRIORITY
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_weighted_percentiles_bruteforce(spark):
+    """q145: brute-force the lower weighted quantile in Python sets —
+    independent of the SQL formulation both engines share."""
+    import duckdb
+
+    rows = REGISTRY["q145_weighted_percentiles"].build(spark, SF_DIR).collect()
+    assert rows
+    data = duckdb.sql(
+        f"""SELECT l_returnflag, l_extendedprice, cast(round(l_quantity) as bigint)
+            FROM read_parquet('{SF_DIR}/lineitem.parquet')"""
+    ).fetchall()
+    by_g = {}
+    for g, v, wt in data:
+        by_g.setdefault(g, []).append((v, wt))
+    for r in rows:
+        items = sorted(by_g[r.returnflag])
+        tw = sum(w for _, w in items)
+        assert r.total_weight == tw
+        for p in (25, 50, 75):
+            cw = 0
+            want = None
+            for v, w in items:
+                cw += w
+                if cw * 100 >= p * tw:
+                    want = v
+                    break
+            assert getattr(r, f"wp{p}") == want, (r.returnflag, p)
+            # the weighted quantile is a member of the group's values
+            assert any(v == want for v, _ in items)
+
+
+def test_ab_test_matches_scipy_free_reference(spark):
+    """q146: recompute the 2x2 chi-square in plain Python from the raw
+    contingency table and pin rates/lift/chi2."""
+    r = REGISTRY["q146_ab_test"].build(spark, SF_DIR).collect()[0]
+    a, b, c, d = r.conv_t, r.nonconv_t, r.conv_c, r.nonconv_c
+    n = a + b + c + d
+    assert r.n_users == n and n > 0
+    assert abs(r.rate_t - a / (a + b)) < 1e-15
+    assert abs(r.rate_c - c / (c + d)) < 1e-15
+    assert abs(r.lift - (a / (a + b) - c / (c + d))) < 1e-15
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    if den:
+        assert abs(r.chi2 - n * (a * d - b * c) ** 2 / den) < 1e-9
+        assert r.chi2 >= 0
+    # both arms and both outcomes populated at every fixture
+    assert min(a, b, c, d) >= 0 and (a + b) > 0 and (c + d) > 0
