@@ -65,6 +65,9 @@ _WINDOW_PRIORITY = [
     "q144_cdc_apply",
     "q145_weighted_percentiles",
     "q146_ab_test",
+    "q147_set_similarity_join",
+    "q148_hybrid_rrf",
+    "q149_ohlc_bars",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",
@@ -91,10 +94,11 @@ _WINDOW_PRIORITY = [
     "q82_exists_semi",
     "q83_range_frame_window",
     "q84_rolling_fingerprint",
-    # q85-q94 sit at positions 51-60 — just past the ~50-query driver
-    # window — displaced by the never-driver-checked q137-q146; all
-    # stay covered by test_oracle_parity + this session's sf0.01
-    # emulation and rotate with the r3 cohort in round 6.
+    # q83 onward sit just past the ~50-query driver window (the 28
+    # new/changed entries above fill slots the r2-stale cohort would
+    # have taken) — all stay covered by test_oracle_parity + this
+    # session's 147/147 sf0.01 emulation and rotate with the r3
+    # cohort in round 6.
     "q85_train_split",
     "q86_quality_deciles",
     "q87_hybrid_neardup",

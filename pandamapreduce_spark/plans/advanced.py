@@ -1618,3 +1618,96 @@ def q146_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("chi2"),
     )
+
+
+# --- q149: OHLC + VWAP bar resampling -------------------------------------
+
+
+@query(
+    "q149_ohlc_bars",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, ts, event_id,
+             cast(round(value * 100) as bigint) AS vc,
+             cast(props->>'$.k' as bigint) AS qty
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bar_hour ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, bar_hour ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM base
+    )
+    SELECT event_type, bar_hour,
+           cast(count(*) as bigint) AS n_events,
+           cast(min(CASE WHEN rn_a = 1 THEN vc END) as double) / 100.0 AS open,
+           cast(max(vc) as double) / 100.0 AS high,
+           cast(min(vc) as double) / 100.0 AS low,
+           cast(min(CASE WHEN rn_d = 1 THEN vc END) as double) / 100.0 AS close,
+           cast(sum(qty) as bigint) AS total_qty,
+           CASE WHEN sum(qty) = 0 THEN NULL
+                ELSE cast(sum(cast(vc as decimal(19,0)) * cast(qty as decimal(19,0))) as double)
+                     / (cast(sum(qty) as double) * 100.0) END AS vwap
+    FROM ranked
+    GROUP BY event_type, bar_hour
+    ORDER BY event_type, bar_hour
+    """,
+    doc="OHLC + VWAP bar resampling (hourly candles per event type): open/close PICKED by deterministic (ts, event_id) row order, high/low exact integer-cent min/max, VWAP = Σ(cents×qty)/Σqty in exact decimal with one pinned double division (qty from the props JSON, parsed map-side by codegen'd get_json_object); the tick→bar compaction every market-data / metrics store runs.",
+    tags=("timeseries", "ohlc", "window"),
+)
+def q149_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar building = pick-first/pick-last + min/max/weighted-sum per
+    (series, bucket). Open/close use the q145 lesson — values are
+    PICKED, not computed: row_number over the deterministic (ts,
+    event_id) order marks the endpoints, min(CASE rn=1) carries them
+    through the aggregate (min_by/arg_min tie semantics differ across
+    engines; an explicit rank pins them identically). Float contract:
+    prices are exact integer cents (q143), qty exact integers from
+    JSON, the VWAP numerator an exact decimal sum; each output double
+    is one pinned division. Scale shape: ONE exchange on (event_type,
+    bar_hour) serves both rank windows AND the aggregate (the groupBy
+    reuses the window's hash partitioning); JSON parse and cent
+    recovery are map-side; output is |series|×|hours| — bounded. The
+    bar stream is replayable at any width by changing the trunc grain."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+    )
+    w = Window.partitionBy("event_type", "bar_hour")
+    d19 = "decimal(19,0)"
+    ranked = base.withColumn(
+        "rn_a", F.row_number().over(w.orderBy("ts", "event_id"))
+    ).withColumn(
+        "rn_d",
+        F.row_number().over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc())),
+    )
+    agg = ranked.groupBy("event_type", "bar_hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(F.when(F.col("rn_a") == 1, F.col("vc"))).alias("open_c"),
+        F.max("vc").alias("high_c"),
+        F.min("vc").alias("low_c"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("vc"))).alias("close_c"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.sum(F.col("vc").cast(d19) * F.col("qty").cast(d19)).alias("wsum"),
+    )
+    return agg.select(
+        "event_type",
+        "bar_hour",
+        "n_events",
+        (F.col("open_c").cast("double") / F.lit(100.0)).alias("open"),
+        (F.col("high_c").cast("double") / F.lit(100.0)).alias("high"),
+        (F.col("low_c").cast("double") / F.lit(100.0)).alias("low"),
+        (F.col("close_c").cast("double") / F.lit(100.0)).alias("close"),
+        "total_qty",
+        F.when(F.col("total_qty") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("wsum").cast("double")
+            / (F.col("total_qty").cast("double") * F.lit(100.0))
+        )
+        .alias("vwap"),
+    ).orderBy("event_type", "bar_hour")

@@ -310,3 +310,239 @@ def q120_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- q147: exact set-similarity join (prefix filtering / AllPairs) --------
+
+#: Jaccard threshold as a rational 3/5 so every comparison is integer:
+#: J(A,B) >= 3/5  <=>  8*|A∩B| >= 3*(|A|+|B|)
+SSJ_NUM, SSJ_DEN = 3, 5
+
+
+@query(
+    "q147_set_similarity_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    ),
+    df AS (SELECT token, cast(count(*) as bigint) AS dfreq FROM toks GROUP BY token),
+    sz AS (SELECT doc_id, cast(count(*) as bigint) AS sz FROM toks GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.token, s.sz,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.token) AS rn
+      FROM toks t JOIN df d ON t.token = d.token JOIN sz s ON t.doc_id = s.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, token FROM ranked
+      WHERE rn <= sz - (({SSJ_NUM} * sz + {SSJ_DEN - 1}) // {SSJ_DEN}) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id
+    ),
+    ov AS (
+      SELECT c.da, c.db, cast(count(*) as bigint) AS ov
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.da
+      JOIN toks tb ON tb.doc_id = c.db AND tb.token = ta.token
+      GROUP BY c.da, c.db
+    )
+    SELECT o.da AS doc_a, o.db AS doc_b, o.ov, sa.sz AS size_a, sb.sz AS size_b,
+           cast(o.ov as double) / cast(sa.sz + sb.sz - o.ov as double) AS jaccard
+    FROM ov o JOIN sz sa ON o.da = sa.doc_id JOIN sz sb ON o.db = sb.doc_id
+    WHERE (
+      {SSJ_NUM} + {SSJ_DEN}) * o.ov >= {SSJ_NUM} * (sa.sz + sb.sz)
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering): word-token-set Jaccard >= {SSJ_NUM}/{SSJ_DEN} with GUARANTEED complete results — candidates must share a token in each other's rarest-first prefix (|s| - ceil(T|s|) + 1 tokens, the provably lossless prefix bound), exact overlap counted on candidates only, threshold compared as pure integers (8·ov >= 3·(|A|+|B|)); the exact-recall counterpart of the MinHash-LSH lanes (q32/q33), Python brute-force-verified complete in pytest.",
+    tags=("dedup", "set-similarity", "prefix-filter"),
+)
+def q147_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-recall dedup join. MinHash-LSH (q32/q33) trades
+    recall for speed; prefix filtering keeps EXACT completeness: if
+    J(A,B) ≥ T then A and B must share at least one token among each
+    set's (|s| − ⌈T·|s|⌉ + 1) RAREST tokens — so equi-joining on
+    prefix tokens loses nothing (the classical AllPairs bound), and
+    rarest-first ordering makes those join keys the LOW-frequency
+    tokens, bounding the candidate blow-up by rare-token df² instead
+    of common-token df². Scale shape: candidate generation shuffles
+    (token, doc) pairs for prefix tokens only; the exact-overlap
+    verify joins token sets for CANDIDATE pairs only; the threshold
+    is an integer compare (8·ov ≥ 3·(sizes)) — the emitted jaccard is
+    one exact int/int division. Reference parity: this is the exact
+    version of the reference's near-dup dedup contract (SURVEY §2.3
+    dedup ext), with recall 1.0 by construction."""
+    from pandamapreduce_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    from pandamapreduce_spark.caching import scoped_persist
+
+    toks = scoped_persist(toks)
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("dfreq"))
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "token")
+    prefix_len = F.col("sz") - F.expr(
+        f"({SSJ_NUM} * sz + {SSJ_DEN - 1}) div {SSJ_DEN}"
+    ) + 1
+    prefix = (
+        toks.join(dfreq, "token")
+        .join(sz, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "token")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("da"), "token")
+    tb = toks.select(F.col("doc_id").alias("db"), "token")
+    ov = (
+        cand.join(ta, "da")
+        .join(tb, ["db", "token"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ov"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("size_a"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("size_b"))
+    return (
+        ov.join(sa, "da")
+        .join(sb, "db")
+        .where(
+            F.lit(SSJ_NUM + SSJ_DEN) * F.col("ov")
+            >= F.lit(SSJ_NUM) * (F.col("size_a") + F.col("size_b"))
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "ov",
+            "size_a",
+            "size_b",
+            (
+                F.col("ov").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("ov")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- q148: hybrid retrieval via reciprocal-rank fusion --------------------
+
+RRF_K = 60        # the standard RRF smoothing constant
+RRF_POOL = 20     # per-retriever candidate-list depth
+RRF_TOPK = 10     # fused result size
+RRF_QUERY_DOC = 0  # the query document (its embedding is the semantic query)
+
+
+def _rrf_oracle() -> str:
+    from pandamapreduce_spark.plans.text import BM25_SCORES_SQL
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+      FROM (SELECT doc_id, bm25 FROM ({BM25_SCORES_SQL})
+            WHERE doc_id <> {RRF_QUERY_DOC}
+            ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL})
+    ),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_sem
+      FROM (SELECT c.vec_id AS doc_id, {cosine_sql('q.embedding', 'c.embedding')} AS cos_sim
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id = {RRF_QUERY_DOC} AND c.vec_id <> {RRF_QUERY_DOC}
+            ORDER BY cos_sim DESC, doc_id LIMIT {RRF_POOL})
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             cast(coalesce(l.rank_lex, 0) as bigint) AS rank_lex,
+             cast(coalesce(s.rank_sem, 0) as bigint) AS rank_sem
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem,
+           cast(round(cast(
+             (CASE WHEN rank_lex > 0 THEN cast(1.0 as double) / ({RRF_K} + rank_lex)
+                   ELSE cast(0.0 as double) END)
+             + (CASE WHEN rank_sem > 0 THEN cast(1.0 as double) / ({RRF_K} + rank_sem)
+                     ELSE cast(0.0 as double) END)
+           as decimal(18,6)), 6) as double) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """
+
+
+@query(
+    "q148_hybrid_rrf",
+    oracle=_rrf_oracle(),
+    doc=f"Hybrid retrieval via reciprocal-rank fusion: BM25 lexical top-{RRF_POOL} (q114's scoring) and embedding-cosine semantic top-{RRF_POOL} (query = doc {RRF_QUERY_DOC}'s vector) fused as sum of 1/({RRF_K}+rank) with rank 0 = absent, top-{RRF_TOPK}; ranks are integers so the fused score is two IEEE double divisions + one add — no transcendentals, deterministic cross-engine.",
+    tags=("similarity", "search", "hybrid"),
+)
+def q148_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard hybrid-search combiner (RRF, Cormack et al. —
+    public method): each retriever contributes 1/(K + rank); documents
+    missing from a list contribute nothing (rank emitted as 0). Scale
+    shape: the lexical side is q114's shared scoring dataflow (postings
+    shuffle only) cut to RRF_POOL by TakeOrderedAndProject; the
+    semantic side broadcasts the single query vector over one corpus
+    scan, cut the same way; ranking windows run AFTER the top-k cut so
+    the single-partition window sees a constant-bounded (POOL-row)
+    input; the fusion join is two 20-row frames. Everything after the
+    two corpus scans is constant-size regardless of corpus scale.
+    Reference parity: composes the reference's lexical contract with
+    the ANN lane (SURVEY §2.3 similarity ext)."""
+    from pandamapreduce_spark.plans.text import bm25_scores
+
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .where(F.col("doc_id") != RRF_QUERY_DOC)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    qv = emb.where(F.col("vec_id") == RRF_QUERY_DOC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem = (
+        emb.where(F.col("vec_id") != RRF_QUERY_DOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn(
+            "rank_sem",
+            F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), "doc_id")),
+        )
+        .select("doc_id", "rank_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_lex", F.lit(0)).cast("bigint").alias("rank_lex"),
+        F.coalesce("rank_sem", F.lit(0)).cast("bigint").alias("rank_sem"),
+    )
+    score = F.when(
+        F.col("rank_lex") > 0, F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex"))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("rank_sem") > 0, F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sem"))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn(
+            "rrf", F.round(score.cast("decimal(18,6)"), 6).cast("double")
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select("doc_id", "rank_lex", "rank_sem", "rrf")
+    )

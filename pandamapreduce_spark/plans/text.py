@@ -418,10 +418,10 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
 
-
-@query(
-    "q114_bm25_search",
-    oracle=f"""
+#: (doc_id, bm25) scores for every document matching BM25_TERMS —
+#: shared between q114 (lexical top-k) and q148 (RRF fusion), so the
+#: two lanes rank the IDENTICAL scoring expression.
+BM25_SCORES_SQL = f"""
     WITH doclen AS (
       SELECT doc_id, len({tokens_sql('text')}) AS dl FROM documents
     ),
@@ -447,25 +447,13 @@ BM25_TOPK = 10
     JOIN doclen USING (doc_id)
     CROSS JOIN stats
     GROUP BY tf.doc_id
-    ORDER BY bm25 DESC, tf.doc_id
-    LIMIT {BM25_TOPK}
-    """,
-    doc=f"BM25 top-{BM25_TOPK} document retrieval for a fixed keyword query {BM25_TERMS}: tf/idf/length-normalized Okapi scoring, the lexical-search counterpart of the ANN queries.",
-    tags=("text", "search"),
-)
-def q114_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (k1=1.2, b=0.75) retrieval as pure dataflow.
+"""
 
-    Scale shape: the corpus is tokenized once; the ``isin`` filter on
-    query terms happens map-side BEFORE any shuffle, so the tf
-    relation is |matching postings|, not the corpus. Document length
-    and the (n_docs, avgdl) scalar pair come from a one-row aggregate
-    that Spark broadcasts (no driver collect); per-term df is a
-    ~|terms|-row aggregate joined back by broadcast. The only
-    corpus-sized shuffle is the tf groupBy on (doc_id, term) — partial
-    counts make it |distinct postings|. Top-k compiles to
-    TakeOrderedAndProject, never a global sort.
-    """
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching a BM25_TERMS term —
+    the scoring dataflow shared by q114 and q148 (see q114 docstring
+    for the scale shape)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = tokens("text")
     doclen = docs.select("doc_id", F.size(toks).alias("dl"))
@@ -508,6 +496,34 @@ def q114_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pattern): JVM vs libm ln differ by 1 ulp, so an unrounded
         # score could flip the order at the LIMIT boundary.
         .agg(F.round(F.sum("s").cast("decimal(18,6)"), 6).cast("double").alias("bm25"))
+    )
+
+
+@query(
+    "q114_bm25_search",
+    oracle=f"""
+    SELECT doc_id, bm25 FROM ({BM25_SCORES_SQL})
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 top-{BM25_TOPK} document retrieval for a fixed keyword query {BM25_TERMS}: tf/idf/length-normalized Okapi scoring, the lexical-search counterpart of the ANN queries.",
+    tags=("text", "search"),
+)
+def q114_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) retrieval as pure dataflow.
+
+    Scale shape: the corpus is tokenized once; the ``isin`` filter on
+    query terms happens map-side BEFORE any shuffle, so the tf
+    relation is |matching postings|, not the corpus. Document length
+    and the (n_docs, avgdl) scalar pair come from a one-row aggregate
+    that Spark broadcasts (no driver collect); per-term df is a
+    ~|terms|-row aggregate joined back by broadcast. The only
+    corpus-sized shuffle is the tf groupBy on (doc_id, term) — partial
+    counts make it |distinct postings|. Top-k compiles to
+    TakeOrderedAndProject, never a global sort.
+    """
+    return (
+        bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )

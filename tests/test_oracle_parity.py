@@ -118,6 +118,9 @@ SF01_QUERIES = [
     "q144_cdc_apply",
     "q145_weighted_percentiles",
     "q146_ab_test",
+    "q147_set_similarity_join",
+    "q148_hybrid_rrf",
+    "q149_ohlc_bars",
 ]
 
 

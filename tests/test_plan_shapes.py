@@ -511,3 +511,35 @@ def test_interval_join_is_binned_equi_not_nlj(spark):
     assert (
         "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_set_similarity_join_is_prefix_equi(spark):
+    """q147: candidate generation must equi-join on the prefix token
+    (never a cross product), and the verify phase joins candidates
+    only — the exact-recall guarantee must not come from an all-pairs
+    plan."""
+    plan = plan_of(spark, "q147_set_similarity_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hybrid_rrf_windows_after_topk_cut(spark):
+    """q148: both per-retriever rank windows must run AFTER the
+    RRF_POOL top-k cut (TakeOrderedAndProject), so the single-partition
+    window input is constant-bounded; no CartesianProduct anywhere (the
+    only NLJ is the documented 1-row query-vector/stats attaches)."""
+    plan = plan_of(spark, "q148_hybrid_rrf")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in final, plan
+    assert "EvalPython" not in final, plan
+
+
+def test_ohlc_single_hash_exchange(spark):
+    """q149: both rank windows and the bar aggregate must share ONE
+    (event_type, bar_hour) hash exchange — the groupBy reuses the
+    window partitioning; JSON parse stays map-side (no Python)."""
+    plan = plan_of(spark, "q149_ohlc_bars")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in final, plan

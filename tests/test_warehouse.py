@@ -559,3 +559,159 @@ def test_ab_test_matches_scipy_free_reference(spark):
         assert r.chi2 >= 0
     # both arms and both outcomes populated at every fixture
     assert min(a, b, c, d) >= 0 and (a + b) > 0 and (c + d) > 0
+
+
+def test_set_similarity_join_is_complete_and_sound(spark):
+    """q147: EXACT completeness is the whole point — brute-force all
+    C(n,2) token-set Jaccards in Python and require the result to be
+    exactly the >= 3/5 pairs (recall 1.0, precision 1.0)."""
+    import duckdb
+
+    from pandamapreduce_spark.functions import tokens_sql
+    from pandamapreduce_spark.plans.similarity import SSJ_DEN, SSJ_NUM
+
+    sets = {
+        d: frozenset(t)
+        for d, t in duckdb.sql(
+            f"SELECT doc_id, {tokens_sql('text')} FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    }
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ov = len(sets[a] & sets[b])
+            if SSJ_DEN * ov >= SSJ_NUM * (len(sets[a] | sets[b])):
+                want.add((a, b))
+    rows = REGISTRY["q147_set_similarity_join"].build(spark, SF_DIR).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert got == want, f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    assert want, "fixture has no exact near-dup pairs at the threshold"
+    for r in rows:
+        assert r.ov == len(sets[r.doc_a] & sets[r.doc_b])
+        assert abs(r.jaccard - r.ov / (r.size_a + r.size_b - r.ov)) < 1e-15
+
+
+def test_hybrid_rrf_matches_python_brute_force(spark):
+    """q148: recompute BOTH retriever rankings and the fusion in plain
+    Python (sequential-order float accumulation to mirror the engines)
+    and require identical fused ranks."""
+    import math
+    import re
+
+    import duckdb
+
+    from pandamapreduce_spark.plans.similarity import (
+        RRF_K,
+        RRF_POOL,
+        RRF_QUERY_DOC,
+        RRF_TOPK,
+    )
+    from pandamapreduce_spark.plans.text import BM25_B, BM25_K1, BM25_TERMS
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    toks = {
+        d: [t for t in re.split("[ \t\n\x0b\f\r]+", txt.strip()) if t]
+        for d, txt in docs
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    dfreq = {w: sum(1 for ts in toks.values() if w in ts) for w in BM25_TERMS}
+    bm25 = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for w in BM25_TERMS:
+            tf = ts.count(w)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            s += (
+                idf
+                * tf
+                * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(ts) / avgdl))
+            )
+        if s and d != RRF_QUERY_DOC:
+            bm25[d] = round(s, 6)
+    lex_pool = sorted(bm25, key=lambda d: (-bm25[d], d))[:RRF_POOL]
+    rank_lex = {d: i + 1 for i, d in enumerate(lex_pool)}
+
+    vecs = {
+        v: list(map(float, e))
+        for v, e in duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchall()
+    }
+
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    q = vecs[RRF_QUERY_DOC]
+    cos = {}
+    for v, e in vecs.items():
+        if v == RRF_QUERY_DOC:
+            continue
+        na, nb = math.sqrt(_dot(q, q)), math.sqrt(_dot(e, e))
+        cos[v] = _dot(q, e) / (na * nb) if na > 0 and nb > 0 else 0.0
+    sem_pool = sorted(cos, key=lambda d: (-cos[d], d))[:RRF_POOL]
+    rank_sem = {d: i + 1 for i, d in enumerate(sem_pool)}
+
+    fused = {}
+    for d in set(rank_lex) | set(rank_sem):
+        s = (1.0 / (RRF_K + rank_lex[d]) if d in rank_lex else 0.0) + (
+            1.0 / (RRF_K + rank_sem[d]) if d in rank_sem else 0.0
+        )
+        fused[d] = round(s, 6)
+    want = sorted(fused, key=lambda d: (-fused[d], d))[:RRF_TOPK]
+
+    rows = REGISTRY["q148_hybrid_rrf"].build(spark, SF_DIR).collect()
+    assert [r.doc_id for r in rows] == want
+    for r in rows:
+        assert r.rank_lex == rank_lex.get(r.doc_id, 0)
+        assert r.rank_sem == rank_sem.get(r.doc_id, 0)
+        assert abs(r.rrf - fused[r.doc_id]) < 1e-9
+    assert rows and len(rows) == min(RRF_TOPK, len(fused))
+
+
+def test_ohlc_bars_match_python_brute_force(spark):
+    """q149: rebuild every hourly bar in plain Python from the raw
+    events (sort by (ts, event_id), first=open/last=close, exact cent
+    min/max, integer VWAP accumulation) and require identical bars."""
+    import json
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT event_id, ts, event_type, value, props FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    bars = {}
+    for eid, ts, etype, value, props in rows:
+        key = (etype, ts.replace(minute=0, second=0, microsecond=0))
+        vc = round(value * 100)
+        qty = int(json.loads(props)["k"])
+        bars.setdefault(key, []).append((ts, eid, vc, qty))
+    got = {
+        (r.event_type, r.bar_hour): r
+        for r in REGISTRY["q149_ohlc_bars"].build(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(bars)
+    for key, ticks in bars.items():
+        ticks.sort(key=lambda t: (t[0], t[1]))
+        r = got[key]
+        assert r.n_events == len(ticks)
+        assert round(r.open * 100) == ticks[0][2]
+        assert round(r.close * 100) == ticks[-1][2]
+        assert round(r.high * 100) == max(t[2] for t in ticks)
+        assert round(r.low * 100) == min(t[2] for t in ticks)
+        tq = sum(t[3] for t in ticks)
+        assert r.total_qty == tq
+        if tq == 0:
+            assert r.vwap is None
+        else:
+            ws = sum(t[2] * t[3] for t in ticks)
+            assert abs(r.vwap - ws / (tq * 100.0)) < 1e-9
