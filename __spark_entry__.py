@@ -68,6 +68,7 @@ _WINDOW_PRIORITY = [
     "q147_set_similarity_join",
     "q148_hybrid_rrf",
     "q149_ohlc_bars",
+    "q150_compaction_plan",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

@@ -275,3 +275,72 @@ def q144_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "version", "priority", "custkey")
         .orderBy("k")
     )
+
+
+# --- q150: small-file compaction planning (OPTIMIZE bin-packing) ----------
+
+#: Target compacted-output size (chars stand in for bytes on the
+#: fixture's file inventory). Real deployments set ~128-1024 MB.
+COMPACT_TARGET = 2048
+
+
+@query(
+    "q150_compaction_plan",
+    oracle=f"""
+    WITH inv AS (
+      SELECT source, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, n_chars,
+             cast(start_off // {COMPACT_TARGET} as bigint) AS bin
+      FROM inv
+    )
+    SELECT source, bin,
+           cast(count(*) as bigint) AS n_files,
+           cast(sum(n_chars) as bigint) AS bin_bytes,
+           min(doc_id) AS first_file,
+           max(doc_id) AS last_file
+    FROM binned
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    doc=f"Small-file compaction planning (the OPTIMIZE/binpack maintenance pass): per table-partition (source), files in stable inventory order are packed into ~{COMPACT_TARGET}-byte output tasks by their exact cumulative START offset (bin = prefix_sum div target) — RNG-free, order-deterministic, and embarrassingly parallel, unlike greedy first-fit-decreasing which is inherently sequential; emits one row per compaction task with file span and exact byte totals.",
+    tags=("maintenance", "compaction", "window"),
+)
+def q150_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner half of Iceberg/Delta OPTIMIZE: group a partition's
+    files into contiguous ~target-size tasks. Sequential fill by exact
+    cumulative start offset (bin = start div T) rather than greedy
+    FFD: FFD's loop is order-sequential and unparallelizable, while
+    the prefix-sum assignment is one window + integer division,
+    identical on any engine, and keeps tasks CONTIGUOUS in inventory
+    order (preserves clustering, e.g. q125's z-order). Every bin
+    overflows its boundary by at most one file — the same guarantee
+    binpack compaction ships. Scale shape: one (source) exchange
+    serves the prefix-sum window and the task aggregate; only (source,
+    doc_id, n_chars) triples shuffle — never file contents; window
+    state is a running sum. Output is |files|/files-per-task rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"div {COMPACT_TARGET}"
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("bin_bytes"),
+            F.min("doc_id").alias("first_file"),
+            F.max("doc_id").alias("last_file"),
+        )
+        .orderBy("source", "bin")
+    )

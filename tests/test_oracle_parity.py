@@ -121,6 +121,7 @@ SF01_QUERIES = [
     "q147_set_similarity_join",
     "q148_hybrid_rrf",
     "q149_ohlc_bars",
+    "q150_compaction_plan",
 ]
 
 

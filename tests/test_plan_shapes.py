@@ -543,3 +543,16 @@ def test_ohlc_single_hash_exchange(spark):
     final = plan.split("== Initial Plan ==", 1)[0]
     assert final.count("Exchange hashpartitioning") == 1, plan
     assert "EvalPython" not in final, plan
+
+
+def test_compaction_plan_single_exchange(spark):
+    """q150: the prefix-sum window and the per-task aggregate must
+    share ONE (source) hash exchange; only inventory triples flow —
+    the text column must never reach an exchange."""
+    plan = plan_of(spark, "q150_compaction_plan")
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    for line in final.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+    assert "EvalPython" not in final, plan

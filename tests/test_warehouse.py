@@ -715,3 +715,45 @@ def test_ohlc_bars_match_python_brute_force(spark):
         else:
             ws = sum(t[2] * t[3] for t in ticks)
             assert abs(r.vwap - ws / (tq * 100.0)) < 1e-9
+
+
+def test_compaction_plan_matches_sequential_fill(spark):
+    """q150: recompute the packing in plain Python (sequential fill by
+    cumulative start offset) and check the binpack contract: identical
+    bins, contiguous file spans, every non-final bin ends at or past
+    its target boundary (overflow bounded by one file)."""
+    import duckdb
+
+    from pandamapreduce_spark.plans.maintenance import COMPACT_TARGET
+
+    inv = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY source, doc_id"
+    ).fetchall()
+    by_src = {}
+    for src, did, n in inv:
+        by_src.setdefault(src, []).append((did, n))
+    want = {}
+    for src, files in by_src.items():
+        off = 0
+        for did, n in files:  # already doc_id-ordered
+            b = off // COMPACT_TARGET
+            key = (src, b)
+            n_f, tot, first, last = want.get(key, (0, 0, did, did))
+            want[key] = (n_f + 1, tot + n, min(first, did), max(last, did))
+            off += n
+    rows = REGISTRY["q150_compaction_plan"].build(spark, SF_DIR).collect()
+    got = {(r.source, r.bin): (r.n_files, r.bin_bytes, r.first_file, r.last_file) for r in rows}
+    assert got == want
+    # contract checks per partition
+    for src, files in by_src.items():
+        bins = sorted(b for s, b in got if s == src)
+        assert bins == list(range(len(bins)))  # dense bin ids
+        spans = [got[(src, b)] for b in bins]
+        for (_, _, _, last), (_, _, nxt_first, _) in zip(spans, spans[1:]):
+            assert last < nxt_first  # contiguous inventory spans
+        # every non-final bin crosses its boundary: cumulative bytes
+        # through bin b >= (b+1) * TARGET
+        cum = 0
+        for b in bins[:-1]:
+            cum += got[(src, b)][1]
+            assert cum >= (b + 1) * COMPACT_TARGET
