@@ -69,6 +69,7 @@ _WINDOW_PRIORITY = [
     "q148_hybrid_rrf",
     "q149_ohlc_bars",
     "q150_compaction_plan",
+    "q151_skew_profile",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

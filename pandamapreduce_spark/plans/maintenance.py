@@ -344,3 +344,108 @@ def q150_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# --- q151: join-key skew profile ------------------------------------------
+
+#: (table, key column) pairs to profile — the pre-flight diagnostic
+#: before shuffling 100 TB on these keys.
+SKEW_PROFILES = (("orders", "o_custkey"), ("lineitem", "l_suppkey"))
+
+
+def _skew_profile_sql(tbl: str, col: str) -> str:
+    return f"""
+    SELECT '{tbl}.{col}' AS profiled, n_keys, total_rows, max_cnt,
+           cast(total_rows as double) / cast(n_keys as double) AS avg_cnt,
+           cast(max_cnt as double) * cast(n_keys as double)
+             / cast(total_rows as double) AS skew_factor,
+           sqrt(cast(n_keys as double) * cast(s2 as double)
+                - cast(total_rows as double) * cast(total_rows as double))
+             / cast(total_rows as double) AS cv,
+           top_key
+    FROM (
+      SELECT cast(count(*) as bigint) AS n_keys,
+             cast(sum(cnt) as bigint) AS total_rows,
+             cast(max(cnt) as bigint) AS max_cnt,
+             cast(sum(cast(cnt as decimal(19,0)) * cast(cnt as decimal(19,0))) as decimal(38,0)) AS s2
+      FROM (SELECT {col} AS k, cast(count(*) as bigint) AS cnt FROM {tbl} GROUP BY {col})
+    ), (
+      SELECT min(k) AS top_key
+      FROM (SELECT {col} AS k, cast(count(*) as bigint) AS cnt FROM {tbl} GROUP BY {col}),
+           (SELECT max(cnt) AS mx FROM (SELECT cast(count(*) as bigint) AS cnt FROM {tbl} GROUP BY {col}))
+      WHERE cnt = mx
+    )
+    """
+
+
+@query(
+    "q151_skew_profile",
+    oracle="\n    UNION ALL\n".join(
+        _skew_profile_sql(t, c) for t, c in SKEW_PROFILES
+    )
+    + "\n    ORDER BY profiled",
+    doc="Join-key skew profile — the pre-shuffle diagnostic: per candidate key, group-size distribution stats (distinct keys, rows, max group, max/avg skew factor, coefficient of variation from exact integer moments, deterministic heaviest key = min key id among max-count ties); decides broadcast vs shuffle vs salting (q56/q75) BEFORE committing a 100 TB exchange.",
+    tags=("maintenance", "skew", "diagnostics"),
+)
+def q151_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What you run before joining at scale: if skew_factor (max
+    group / mean group) is large, the biggest shuffle partition
+    dominates the stage and salting (q56/q75's machinery) or a
+    broadcast is warranted. Float contract: counts and their squares
+    accumulate exactly (bigint / decimal(19,0)² sums — order-
+    independent), doubles appear only in the final pinned expressions
+    (two divisions, one IEEE sqrt — no transcendentals). Tie
+    discipline: the heaviest key is PICKED as min(key) among
+    max-count ties (q145's lesson — arg_max tie semantics differ
+    across engines). Scale shape per profiled key: one partial-agg
+    shuffle on the key (|distinct keys| rows), then constant-size
+    aggregates; the max-count filter re-reads the counts with a
+    broadcast 1-row bound — nothing wider than (key, count) ever
+    shuffles, and the result is one row per profile."""
+    from pandamapreduce_spark.caching import scoped_persist
+
+    parts = []
+    for tbl, col in SKEW_PROFILES:
+        t = load_table(spark, sf_dir, tbl)
+        counts = scoped_persist(
+            t.groupBy(F.col(col).alias("k")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            )
+        )
+        d19 = "decimal(19,0)"
+        stats = counts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("total_rows"),
+            F.max("cnt").cast("bigint").alias("max_cnt"),
+            F.sum(F.col("cnt").cast(d19) * F.col("cnt").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        top1 = (
+            counts.crossJoin(F.broadcast(stats.select(F.col("max_cnt").alias("mx"))))
+            .where(F.col("cnt") == F.col("mx"))
+            .agg(F.min("k").cast("bigint").alias("top_key"))
+        )
+        n_d = F.col("n_keys").cast("double")
+        tot_d = F.col("total_rows").cast("double")
+        parts.append(
+            stats.crossJoin(F.broadcast(top1)).select(
+                F.lit(f"{tbl}.{col}").alias("profiled"),
+                "n_keys",
+                "total_rows",
+                "max_cnt",
+                (tot_d / n_d).alias("avg_cnt"),
+                (F.col("max_cnt").cast("double") * n_d / tot_d).alias("skew_factor"),
+                (
+                    F.sqrt(
+                        n_d * F.col("s2").cast("double") - tot_d * tot_d
+                    )
+                    / tot_d
+                ).alias("cv"),
+                "top_key",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("profiled")

@@ -122,6 +122,7 @@ SF01_QUERIES = [
     "q148_hybrid_rrf",
     "q149_ohlc_bars",
     "q150_compaction_plan",
+    "q151_skew_profile",
 ]
 
 

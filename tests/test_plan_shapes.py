@@ -556,3 +556,22 @@ def test_compaction_plan_single_exchange(spark):
         if "Exchange" in line:
             assert "text#" not in line, line
     assert "EvalPython" not in final, plan
+
+
+def test_skew_profile_one_hash_exchange_per_table(spark):
+    """q151: per profiled key, ONE (key) hash exchange builds the
+    cached counts; everything downstream is single-row aggregates and
+    broadcast attaches — nothing wider than (key, count) shuffles.
+    The tree re-prints each cached build plan (final AND initial AQE
+    copies) at every InMemoryTableScan reference, so exchanges are
+    deduped by their partitioning KEY — re-prints repeat the same key,
+    a rogue extra shuffle would introduce a new one."""
+    plan = plan_of(spark, "q151_skew_profile")
+    keys = set()
+    for line in plan.split("\n"):
+        if "Exchange hashpartitioning(" in line:
+            key = line.split("Exchange hashpartitioning(", 1)[1].split("#", 1)[0]
+            keys.add(key)
+    # exactly one hash shuffle per SKEW_PROFILES entry, on the key
+    assert keys == {"o_custkey", "l_suppkey"}, plan
+    assert "EvalPython" not in plan, plan
