@@ -70,6 +70,7 @@ _WINDOW_PRIORITY = [
     "q149_ohlc_bars",
     "q150_compaction_plan",
     "q151_skew_profile",
+    "q152_ewma",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

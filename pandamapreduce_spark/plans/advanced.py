@@ -1711,3 +1711,106 @@ def q149_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("vwap"),
     ).orderBy("event_type", "bar_hour")
+
+
+# --- q152: exponentially-weighted moving average (integer-exact) ----------
+
+#: EWMA decay alpha = 1/2, truncated at the trailing EWMA_LAGS
+#: observations (the dropped tail weight is < 1e-6 of the total).
+#: With alpha = 1/2 the weights 2^-i are dyadic rationals, so scaling
+#: the whole dot product by 2^(n-1) turns numerator AND denominator
+#: into exact BIGINTs: weight(lag) = 2^(n-1-lag), denominator =
+#: sum of weights = 2^n - 1. No decimals, no float accumulation — the
+#: only double op is the final pinned bigint/bigint division, which
+#: is bit-identical across engines (the strongest form of the repo's
+#: float contract; a decimal(38,20)->double bridge measurably flipped
+#: one 6-dp rounding boundary at sf0.01 between Spark's correctly-
+#: rounded BigDecimal cast and DuckDB's two-step int128/10^s cast).
+EWMA_LAGS = 20
+
+#: _EWMA_P2 = [2^0, 2^1, ..., 2^(EWMA_LAGS-1)] — the scaled weights;
+#: element j (1-based) pairs with the j-th OLDEST observation in the
+#: window (lag n-j  =>  scaled weight 2^(n-1-(n-j)) = 2^(j-1)).
+_EWMA_P2_ARR = "array(" + ", ".join(
+    f"cast({2**i} as bigint)" for i in range(EWMA_LAGS)
+) + ")"
+_EWMA_P2_VALUES = ", ".join(f"({i}, cast({2**i} as bigint))" for i in range(EWMA_LAGS))
+
+
+@query(
+    "q152_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, cast(o_orderdate as date) AS d,
+             cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT prio, d, cents, row_number() OVER (PARTITION BY prio ORDER BY d) AS rn
+      FROM daily
+    ),
+    pow2(e, p) AS (VALUES {_EWMA_P2_VALUES})
+    SELECT a.prio AS prio, strftime(a.d, '%Y-%m-%d') AS day, a.cents AS daily_cents,
+           cast(count(*) as bigint) AS n_window,
+           cast(sum(b.cents * w.p) as double) / (cast(sum(w.p) as double) * 100.0) AS ewma
+    FROM ranked a
+    JOIN ranked b ON b.prio = a.prio AND b.rn BETWEEN a.rn - {EWMA_LAGS - 1} AND a.rn
+    JOIN pow2 w ON w.e = least(a.rn, {EWMA_LAGS}) - 1 - (a.rn - b.rn)
+    GROUP BY a.prio, a.d, a.cents
+    ORDER BY a.prio, day
+    """,
+    doc=f"Exponentially-weighted moving average (alpha=1/2) of daily order revenue per priority, truncated at the trailing {EWMA_LAGS} observations and renormalized — the smoothing operator of every metrics/monitoring pipeline, made exactly reproducible: the 2^(n-1)-scaled dot product has BIGINT weights 2^(n-1-lag) and BIGINT denominator 2^n - 1 (the sum of the joined weights), so the whole estimator is exact integer algebra with ONE pinned bigint/bigint double division — bit-identical across engines.",
+    tags=("timeseries", "ewma", "window", "hof"),
+)
+def q152_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA is normally a recursive float fold (s_t = a·x_t +
+    (1-a)·s_{t-1}) — irreproducible across engines and not
+    parallelizable without a sequential scan. With a = 1/2 the
+    unrolled weights 2^-i are dyadic rationals: multiplying the
+    truncated, renormalized estimator by 2^(n-1)/2^(n-1) makes every
+    term an exact bigint (weight 2^(n-1-lag), denominator 2^n - 1),
+    so ewma = int_dot_product / (int_weight_sum · 100) with one
+    pinned double division and NO other float op (cents ≤ ~1e9 ·
+    2^19 · 20 terms ≈ 1e16 < 2^63 — overflow-safe far beyond sf1000).
+    Observation-indexed (rows-between) like pandas ewm(adjust=True)
+    on the observed series — calendar gaps don't dilute the window.
+    Spark shape: ONE prio exchange serves the ordered window; the dot
+    product is zip_with + aggregate over the frame's collect_list
+    (JVM codegen HOFs, deterministic frame order from the sorted
+    window; lambdas are pure so re-evaluation is harmless) — no 20×
+    band-join row expansion; the oracle IS the band join, so parity
+    proves the HOF rewrite. Per-row state is a ≤{EWMA_LAGS}-element
+    bigint array regardless of scale; series length is bounded by
+    the calendar, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w20 = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(-(EWMA_LAGS - 1), Window.currentRow)
+    )
+    # frame order is oldest→newest: element j (1-based) has lag n-j,
+    # scaled weight 2^(j-1) = _EWMA_P2[j]
+    arr = daily.withColumn("win", F.collect_list("cents").over(w20))
+    num = F.expr(
+        f"aggregate(zip_with(win, slice({_EWMA_P2_ARR}, 1, size(win)),"
+        " (x, w) -> x * w), cast(0 as bigint), (acc, y) -> acc + y)"
+    )
+    den = F.expr("shiftleft(cast(1 as bigint), size(win)) - 1")
+    return (
+        arr.select(
+            "prio",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("cents").alias("daily_cents"),
+            F.size("win").cast("bigint").alias("n_window"),
+            (num.cast("double") / (den.cast("double") * F.lit(100.0))).alias("ewma"),
+        )
+        .orderBy("prio", "day")
+    )

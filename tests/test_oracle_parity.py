@@ -123,6 +123,7 @@ SF01_QUERIES = [
     "q149_ohlc_bars",
     "q150_compaction_plan",
     "q151_skew_profile",
+    "q152_ewma",
 ]
 
 

@@ -575,3 +575,16 @@ def test_skew_profile_one_hash_exchange_per_table(spark):
     # exactly one hash shuffle per SKEW_PROFILES entry, on the key
     assert keys == {"o_custkey", "l_suppkey"}, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ewma_exchanges_carry_daily_cells_only(spark):
+    """q152: the partial agg must compress order rows to daily cells
+    BEFORE any exchange — at scale the fact table never shuffles, only
+    (prio, day, cents) cells (bounded by the calendar); the HOF dot
+    product stays in codegen (no EvalPython)."""
+    plan = plan_of(spark, "q152_ewma")
+    for line in plan.split("\n"):
+        if "Exchange" in line:
+            assert "o_totalprice" not in line, line
+    assert "partial_sum" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -757,3 +757,44 @@ def test_compaction_plan_matches_sequential_fill(spark):
         for b in bins[:-1]:
             cum += got[(src, b)][1]
             assert cum >= (b + 1) * COMPACT_TARGET
+
+
+def test_ewma_matches_integer_brute_force(spark):
+    """q152: recompute the truncated, renormalized EWMA in plain
+    Python INTEGER arithmetic (scaled weights 2^(n-1-lag), denominator
+    2^n - 1) — the double division is then IEEE-identical, so the
+    match is exact, not approximate. Also pins the semantics: newest
+    observation carries the largest weight, constant series is a
+    fixed point."""
+    import duckdb
+
+    from pandamapreduce_spark.plans.advanced import EWMA_LAGS
+
+    daily = duckdb.sql(
+        "SELECT o_orderpriority, cast(o_orderdate as date) AS d,"
+        " cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS cents"
+        f" FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = {}
+    for prio, d, cents in daily:
+        series.setdefault(prio, []).append((str(d), cents))
+    want = {}
+    for prio, obs in series.items():
+        for t in range(len(obs)):
+            lo = max(0, t - (EWMA_LAGS - 1))
+            window = [c for _, c in obs[lo : t + 1]]
+            n = len(window)
+            num = sum(c * (1 << (n - 1 - lag)) for lag, c in enumerate(reversed(window)))
+            den = (1 << n) - 1
+            want[(prio, obs[t][0])] = (n, num / (den * 100.0))
+    rows = REGISTRY["q152_ewma"].build(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, ewma = want[(r.prio, r.day)]
+        assert r.n_window == n
+        assert r.ewma == ewma, (r.prio, r.day, r.ewma, ewma)  # exact, same division
+    # fixed point: a constant series EWMAs to itself (unit sanity on
+    # the weight normalization, independent of the fixture)
+    n = 7
+    num = sum(500 * (1 << (n - 1 - lag)) for lag in range(n))
+    assert num / (((1 << n) - 1) * 100.0) == 5.0
