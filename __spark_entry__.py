@@ -71,6 +71,7 @@ _WINDOW_PRIORITY = [
     "q150_compaction_plan",
     "q151_skew_profile",
     "q152_ewma",
+    "q153_benford_audit",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

@@ -872,3 +872,89 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_cc"),
         )
     )
+
+
+# --- q153: Benford first-digit audit ---------------------------------------
+
+import math as _math
+
+#: Benford expected proportions log10(1 + 1/d), PINNED to 12 dp at
+#: import and injected as identical literals into BOTH engines' plans
+#: — each engine parses the same decimal string to the same nearest
+#: double, so no transcendental is ever evaluated inside a query (the
+#: cross-engine libm 1-ulp hazard documented at plans/ml.py).
+BENFORD_P = {d: round(_math.log10(1.0 + 1.0 / d), 12) for d in range(1, 10)}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN cast({p:.12f} as double)" for d, p in BENFORD_P.items()
+) + " END"
+
+
+@query(
+    "q153_benford_audit",
+    oracle=f"""
+    WITH amounts AS (
+      SELECT cast(round(l_extendedprice * 100) as bigint) AS cents
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    digits AS (
+      SELECT cast(substr(cast(cents as varchar), 1, 1) as bigint) AS digit,
+             cast(count(*) as bigint) AS n
+      FROM amounts GROUP BY 1
+    ),
+    tot AS (SELECT cast(sum(n) as bigint) AS total FROM digits)
+    SELECT digit, n,
+           cast(n as double) / cast(total as double) AS share,
+           {_BENFORD_CASE} AS benford_p,
+           (cast(n as double) / cast(total as double)) / ({_BENFORD_CASE}) AS excess,
+           (cast(n as double) - cast(total as double) * ({_BENFORD_CASE}))
+             * (cast(n as double) - cast(total as double) * ({_BENFORD_CASE}))
+             / (cast(total as double) * ({_BENFORD_CASE})) AS chi2_term
+    FROM digits, tot
+    ORDER BY digit
+    """,
+    doc="Benford first-digit audit over line-item amounts — the classical fraud/data-fabrication screen: observed first-significant-digit counts vs the pinned Benford expectation log10(1+1/d), per-digit share, excess ratio, and chi-square contribution; digit extraction is exact string-of-integer-cents, counts are exact, the expectations are 12-dp literals identical in both engines, and every emitted double is IEEE arithmetic on those exact inputs.",
+    tags=("quality", "audit", "benford"),
+)
+def q153_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality screen a 100 TB ingest pipeline runs on every
+    monetary/measurement column: fabricated or truncated data departs
+    from Benford's log distribution, and the chi-square terms localize
+    WHICH digit bucket is inflated. Determinism: first digit comes
+    from the decimal string of exact integer cents (no log10/floor
+    float path — a value like 999.995 would round differently through
+    a float log); the nine expected proportions are pinned 12-dp
+    literals shared with the oracle, so no transcendental runs in
+    either engine. Scale shape: map-side digit extraction folds into a
+    9-key partial aggregate — the exchange carries ≤ 9 rows per input
+    partition; the 1-row total attaches back by broadcast. Output is
+    fixed at 9 rows regardless of scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = (
+        li.where(F.col("l_extendedprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.expr(_BENFORD_CASE)
+    nd, td = F.col("n").cast("double"), F.col("total").cast("double")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (nd / td).alias("share"),
+            p.alias("benford_p"),
+            ((nd / td) / p).alias("excess"),
+            ((nd - td * p) * (nd - td * p) / (td * p)).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -124,6 +124,7 @@ SF01_QUERIES = [
     "q150_compaction_plan",
     "q151_skew_profile",
     "q152_ewma",
+    "q153_benford_audit",
 ]
 
 

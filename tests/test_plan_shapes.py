@@ -588,3 +588,17 @@ def test_ewma_exchanges_carry_daily_cells_only(spark):
             assert "o_totalprice" not in line, line
     assert "partial_sum" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_benford_audit_single_digit_exchange(spark):
+    """q153: one 9-key hash exchange (map-side partial agg first), the
+    1-row total broadcast back — the fact table's amounts never
+    shuffle, no EvalPython."""
+    plan = plan_of(spark, "q153_benford_audit")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final, final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final, final
+    for line in final.split("\n"):
+        if "Exchange hashpartitioning" in line:
+            assert "digit" in line, line
+    assert "EvalPython" not in final, final

@@ -798,3 +798,43 @@ def test_ewma_matches_integer_brute_force(spark):
     n = 7
     num = sum(500 * (1 << (n - 1 - lag)) for lag in range(n))
     assert num / (((1 << n) - 1) * 100.0) == 5.0
+
+
+def test_benford_audit_matches_python_and_flags_planted_skew(spark):
+    """q153: recompute digit counts in Python from the raw parquet
+    (exact), require identical counts/shares/chi2 terms (same IEEE
+    ops), and sanity-pin the statistic: a synthetic all-one-digit
+    distribution must concentrate its chi-square mass on that digit."""
+    import duckdb
+
+    from pandamapreduce_spark.plans.warehouse import BENFORD_P
+
+    cents = [
+        c
+        for (c,) in duckdb.sql(
+            "SELECT cast(round(l_extendedprice*100) as bigint) FROM "
+            f"read_parquet('{SF_DIR}/lineitem.parquet') WHERE l_extendedprice > 0"
+        ).fetchall()
+    ]
+    counts = {}
+    for c in cents:
+        d = int(str(c)[0])
+        counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    rows = REGISTRY["q153_benford_audit"].build(spark, SF_DIR).collect()
+    assert [r.digit for r in rows] == sorted(counts)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        n = counts[r.digit]
+        p = BENFORD_P[r.digit]
+        assert r.n == n
+        assert r.share == n / total  # identical int/int division
+        assert r.benford_p == p
+        assert r.chi2_term == (n - total * p) ** 2 / (total * p)
+        assert r.chi2_term >= 0
+    # statistic sanity, fixture-independent: all mass on digit 9 makes
+    # digit 9's term dominate every other term
+    n9, tot = 1000, 1000
+    t9 = (n9 - tot * BENFORD_P[9]) ** 2 / (tot * BENFORD_P[9])
+    t1 = (0 - tot * BENFORD_P[1]) ** 2 / (tot * BENFORD_P[1])
+    assert t9 > t1
