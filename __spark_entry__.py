@@ -72,6 +72,7 @@ _WINDOW_PRIORITY = [
     "q151_skew_profile",
     "q152_ewma",
     "q153_benford_audit",
+    "q154_source_drift",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

@@ -1144,3 +1144,131 @@ def q141_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n").alias("n_tokens"), F.col("mult").cast("bigint").alias("multiplicity"))
         .orderBy("doc_id")
     )
+
+
+# --- q154: corpus drift monitor (per-source total-variation distance) -----
+
+
+@query(
+    "q154_source_drift",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, token, cast(count(*) as bigint) AS c
+      FROM (SELECT source, unnest({tokens_sql("text")}) AS token FROM documents)
+      GROUP BY source, token
+    ),
+    gt AS (SELECT token, cast(sum(c) as bigint) AS gc FROM st GROUP BY token),
+    ns AS (SELECT source, cast(sum(c) as bigint) AS n_s,
+                  cast(count(*) as bigint) AS vocab FROM st GROUP BY source),
+    tot AS (SELECT cast(sum(gc) as bigint) AS n FROM gt),
+    dev AS (
+      SELECT st.source, st.token,
+             abs(cast(st.c as decimal(19,0)) * cast(tot.n as decimal(19,0))
+                 - cast(gt.gc as decimal(19,0)) * cast(ns.n_s as decimal(19,0))) AS dv,
+             gt.gc, ns.n_s, tot.n
+      FROM st JOIN gt USING (token) JOIN ns USING (source), tot
+    ),
+    agg AS (
+      SELECT source, cast(sum(dv) as decimal(38,0)) AS sumdev,
+             cast(sum(gc) as bigint) AS covered,
+             min(n_s) AS n_s, min(n) AS n
+      FROM dev GROUP BY source
+    ),
+    top AS (
+      SELECT d.source, min(d.token) AS top_token, min(d.dv) AS top_dv
+      FROM dev d JOIN (SELECT source, max(dv) AS mx FROM dev GROUP BY source) m
+        ON d.source = m.source AND d.dv = m.mx
+      GROUP BY d.source
+    )
+    SELECT a.source AS source, a.n_s AS n_tokens, ns.vocab AS vocab_size,
+           (cast(a.sumdev as double)
+             + cast(a.n_s as double) * (cast(a.n as double) - cast(a.covered as double)))
+             / (2.0 * cast(a.n_s as double) * cast(a.n as double)) AS tv_dist,
+           t.top_token,
+           cast(t.top_dv as double)
+             / (cast(a.n_s as double) * cast(a.n as double)) AS top_share_gap
+    FROM agg a JOIN ns USING (source) JOIN top t ON t.source = a.source
+    ORDER BY a.source
+    """,
+    doc="Corpus drift monitor: per-source token-distribution total-variation distance vs the whole corpus — TV = 1/2 SUM |p_t - q_t| computed as exact integer algebra (|c_st*N - C_t*n_s| decimal products; tokens ABSENT from a source folded in algebraically as n_s*(N - covered), no outer join over the vocabulary), one pinned double division; plus the most-drifted token per source (min token among max-deviation ties). The mixture-shift alarm a training pipeline runs per ingest batch; unlike KL divergence, TV needs no transcendental and is exactly reproducible.",
+    tags=("training", "drift", "quality"),
+)
+def q154_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection per source: if one crawl source's
+    token mixture diverges from the corpus, its TV distance rises and
+    top_share_gap names the most over/under-represented token. Float
+    contract: every |p - q| term is |c_st·N − C_t·n_s| / (n_s·N) —
+    numerators are exact decimal(38,0) integers (bigint counts cross-
+    multiplied; sums exact), the absent-token tail is the closed form
+    n_s·(N − Σ_covered C_t) rather than a vocabulary-wide outer join,
+    and doubles appear only in the final pinned expressions. Tie
+    discipline: top token = min(token) among max-deviation ties
+    (q151's lesson). Scale shape: one (source, token) partial-agg
+    exchange builds the contingency counts; the global margin derives
+    from them (one token-keyed exchange, rows = vocabulary); the
+    deviation join is token-keyed (no skew key wider than a natural
+    token); per-source margins and the 1-row total attach by
+    broadcast; output is one row per source."""
+    d19 = "decimal(19,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    st = scoped_persist(
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    gt = st.groupBy("token").agg(F.sum("c").cast("bigint").alias("gc"))
+    ns = st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    tot = gt.agg(F.sum("gc").cast("bigint").alias("n"))
+    dev = scoped_persist(
+        st.join(gt, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "token",
+            F.abs(
+                F.col("c").cast(d19) * F.col("n").cast(d19)
+                - F.col("gc").cast(d19) * F.col("n_s").cast(d19)
+            ).alias("dv"),
+            "gc",
+            "n_s",
+            "n",
+        )
+    )
+    agg = dev.groupBy("source").agg(
+        F.sum("dv").cast("decimal(38,0)").alias("sumdev"),
+        F.sum("gc").cast("bigint").alias("covered"),
+        F.min("n_s").alias("n_s"),
+        F.min("n").alias("n"),
+    )
+    mx = dev.groupBy("source").agg(F.max("dv").alias("mx"))
+    top = (
+        dev.join(F.broadcast(mx), "source")
+        .where(F.col("dv") == F.col("mx"))
+        .groupBy("source")
+        .agg(F.min("token").alias("top_token"), F.min("dv").alias("top_dv"))
+    )
+    nsd = F.col("n_s").cast("double")
+    nd = F.col("n").cast("double")
+    return (
+        agg.join(ns.select("source", "vocab"), "source")
+        .join(top, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("vocab").alias("vocab_size"),
+            (
+                (
+                    F.col("sumdev").cast("double")
+                    + nsd * (nd - F.col("covered").cast("double"))
+                )
+                / (F.lit(2.0) * nsd * nd)
+            ).alias("tv_dist"),
+            "top_token",
+            (F.col("top_dv").cast("double") / (nsd * nd)).alias("top_share_gap"),
+        )
+        .orderBy("source")
+    )

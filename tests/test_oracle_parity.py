@@ -125,6 +125,7 @@ SF01_QUERIES = [
     "q151_skew_profile",
     "q152_ewma",
     "q153_benford_audit",
+    "q154_source_drift",
 ]
 
 

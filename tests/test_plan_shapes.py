@@ -602,3 +602,15 @@ def test_benford_audit_single_digit_exchange(spark):
         if "Exchange hashpartitioning" in line:
             assert "digit" in line, line
     assert "EvalPython" not in final, final
+
+
+def test_source_drift_no_text_in_exchanges(spark):
+    """q154: the contingency counts compress map-side — document text
+    never crosses an exchange; the deviation join is token-keyed (no
+    cartesian), margins attach by broadcast; no EvalPython."""
+    plan = plan_of(spark, "q154_source_drift")
+    for line in plan.split("\n"):
+        if "Exchange" in line:
+            assert "text#" not in line, line
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

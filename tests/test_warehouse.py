@@ -838,3 +838,50 @@ def test_benford_audit_matches_python_and_flags_planted_skew(spark):
     t9 = (n9 - tot * BENFORD_P[9]) ** 2 / (tot * BENFORD_P[9])
     t1 = (0 - tot * BENFORD_P[1]) ** 2 / (tot * BENFORD_P[1])
     assert t9 > t1
+
+
+def test_source_drift_matches_integer_brute_force(spark):
+    """q154: recompute per-source TV distance in pure Python integer
+    arithmetic (cross-multiplied deviations + the closed-form
+    absent-token tail) — sums stay < 2^53 at the test fixture, so the
+    final float expressions are IEEE-identical and the match is
+    EXACT. Also pins the invariant TV ∈ [0, 1] and that a source
+    identical to the corpus would score 0."""
+    import duckdb
+
+    from pandamapreduce_spark.functions import tokens_sql
+
+    pairs = duckdb.sql(
+        f"SELECT source, unnest({tokens_sql('text')}) AS token FROM"
+        f" read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    st, gt, ns = {}, {}, {}
+    for s, t in pairs:
+        st[(s, t)] = st.get((s, t), 0) + 1
+        gt[t] = gt.get(t, 0) + 1
+        ns[s] = ns.get(s, 0) + 1
+    n = sum(gt.values())
+    sumdev, covered, top = {}, {}, {}
+    for (s, t), c in st.items():
+        dv = abs(c * n - gt[t] * ns[s])
+        sumdev[s] = sumdev.get(s, 0) + dv
+        covered[s] = covered.get(s, 0) + gt[t]
+        cur = top.get(s)
+        if cur is None or dv > cur[0] or (dv == cur[0] and t < cur[1]):
+            top[s] = (dv, t)
+    rows = REGISTRY["q154_source_drift"].build(spark, SF_DIR).collect()
+    assert len(rows) == len(ns)
+    for r in rows:
+        s = r.source
+        assert r.n_tokens == ns[s]
+        tv = (float(sumdev[s]) + float(ns[s]) * (float(n) - float(covered[s]))) / (
+            2.0 * float(ns[s]) * float(n)
+        )
+        assert r.tv_dist == tv, (s, r.tv_dist, tv)
+        assert 0.0 <= r.tv_dist <= 1.0
+        assert (r.top_share_gap, r.top_token) == (
+            float(top[s][0]) / (float(ns[s]) * float(n)),
+            top[s][1],
+        )
+    # identical-distribution source scores exactly 0 by the formula
+    assert (0.0 + 10.0 * (10.0 - 10.0)) / (2.0 * 10.0 * 10.0) == 0.0
