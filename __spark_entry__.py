@@ -99,11 +99,12 @@ _WINDOW_PRIORITY = [
     "q82_exists_semi",
     "q83_range_frame_window",
     "q84_rolling_fingerprint",
-    # q83 onward sit just past the ~50-query driver window (the 28
-    # new/changed entries above fill slots the r2-stale cohort would
-    # have taken) — all stay covered by test_oracle_parity + this
-    # session's 147/147 sf0.01 emulation and rotate with the r3
-    # cohort in round 6.
+    # Entries from here down sit just past the ~50-query driver
+    # window (the 33 new/changed entries above fill slots the
+    # r2-stale cohort would have taken; q151-q154 landed late-round
+    # and pushed the boundary 4 names up) — all stay covered by
+    # test_oracle_parity + this session's 151/151 sf0.01 full-registry
+    # emulation and rotate with the r3 cohort in round 6.
     "q85_train_split",
     "q86_quality_deciles",
     "q87_hybrid_neardup",
