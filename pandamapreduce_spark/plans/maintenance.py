@@ -449,3 +449,97 @@ def q151_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("profiled")
+
+
+# --- q155: join-cardinality pre-flight (exact output forecast) ------------
+
+#: (left table, left key, right table, right key) candidate joins to
+#: forecast — the question asked before committing a 100 TB shuffle.
+JOIN_FORECASTS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def _join_forecast_sql(lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+    SELECT '{lt}.{lk} x {rt}.{rk}' AS candidate,
+           cast(sum(ca) as bigint) AS rows_left,
+           cast(sum(cb) as bigint) AS rows_right,
+           cast(count(*) as bigint) AS matched_keys,
+           cast(sum(cast(ca as decimal(19,0)) * cast(cb as decimal(19,0))) as bigint) AS out_rows,
+           cast(max(cast(ca as decimal(19,0)) * cast(cb as decimal(19,0))) as bigint) AS max_key_out,
+           cast(max(cast(ca as decimal(19,0)) * cast(cb as decimal(19,0))) as double)
+             * cast(count(*) as double)
+             / cast(sum(cast(ca as decimal(19,0)) * cast(cb as decimal(19,0))) as double)
+             AS out_skew
+    FROM (SELECT {lk} AS k, cast(count(*) as bigint) AS ca FROM {lt} GROUP BY {lk})
+    JOIN (SELECT {rk} AS k, cast(count(*) as bigint) AS cb FROM {rt} GROUP BY {rk}) USING (k)
+    """
+
+
+@query(
+    "q155_join_forecast",
+    oracle="\n    UNION ALL\n".join(
+        _join_forecast_sql(*f) for f in JOIN_FORECASTS
+    )
+    + "\n    ORDER BY candidate",
+    doc="Exact join-cardinality pre-flight: for each candidate equi-join, the EXACT output row count SUM(c_A(k)*c_B(k)), matched-key count, per-side matched row totals, the largest single-key output, and the output-skew factor (max*keys/total) — computed from the two sides' key histograms WITHOUT materializing the join (the histograms join is |distinct keys| rows, the join output may be billions); the decision input for broadcast vs shuffle vs salting that q151 profiles per single table.",
+    tags=("maintenance", "diagnostics", "join"),
+)
+def q155_join_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the optimizer's cardinality estimator guesses, computed
+    exactly at histogram cost: joining the per-key COUNT tables (one
+    row per distinct key each side) gives the exact join output size
+    as SUM(c_A*c_B) and its skew as max(c_A*c_B) — the two numbers
+    that decide whether a 100 TB join is safe, needs salting (q75),
+    or should be bloom-pruned (q121). Exactness: counts are bigints,
+    per-key products and their sum accumulate in decimal(19,0)^2 →
+    decimal(38,0) (order-independent), out_skew is the one pinned
+    double expression. Scale shape per candidate: one (key) partial-
+    agg exchange per side (histogram rows only), an equi-join of the
+    two histograms, then a constant-size aggregate — the forecast
+    never shuffles more than (key, count) pairs. Result: one row per
+    candidate join."""
+    d19 = "decimal(19,0)"
+    parts = []
+    for lt, lk, rt, rk in JOIN_FORECASTS:
+        la = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+        )
+        rb = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        )
+        prod = F.col("ca").cast(d19) * F.col("cb").cast(d19)
+        parts.append(
+            la.join(rb, "k")
+            .agg(
+                F.sum("ca").cast("bigint").alias("rows_left"),
+                F.sum("cb").cast("bigint").alias("rows_right"),
+                F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+                F.sum(prod).cast("bigint").alias("out_rows"),
+                F.max(prod).cast("bigint").alias("max_key_out"),
+                (
+                    F.max(prod).cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                    / F.sum(prod).cast("double")
+                ).alias("out_skew"),
+            )
+            .select(
+                F.lit(f"{lt}.{lk} x {rt}.{rk}").alias("candidate"),
+                "rows_left",
+                "rows_right",
+                "matched_keys",
+                "out_rows",
+                "max_key_out",
+                "out_skew",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("candidate")

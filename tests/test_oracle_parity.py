@@ -126,6 +126,7 @@ SF01_QUERIES = [
     "q152_ewma",
     "q153_benford_audit",
     "q154_source_drift",
+    "q155_join_forecast",
 ]
 
 

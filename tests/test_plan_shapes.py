@@ -614,3 +614,18 @@ def test_source_drift_no_text_in_exchanges(spark):
             assert "text#" not in line, line
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_join_forecast_shuffles_histograms_only(spark):
+    """q155: the forecast must never shuffle fact rows — every hash
+    exchange carries a (key, partial count) histogram row; the
+    histogram equi-join is never a cartesian; no EvalPython."""
+    plan = plan_of(spark, "q155_join_forecast")
+    keys = set()
+    for line in plan.split("\n"):
+        if "Exchange hashpartitioning(" in line:
+            keys.add(line.split("Exchange hashpartitioning(", 1)[1].split("#", 1)[0])
+            assert "o_totalprice" not in line and "l_extendedprice" not in line, line
+    assert keys <= {"o_custkey", "c_custkey", "l_suppkey", "s_suppkey", "k"}, keys
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -885,3 +885,26 @@ def test_source_drift_matches_integer_brute_force(spark):
         )
     # identical-distribution source scores exactly 0 by the formula
     assert (0.0 + 10.0 * (10.0 - 10.0)) / (2.0 * 10.0 * 10.0) == 0.0
+
+
+def test_join_forecast_equals_materialized_join(spark):
+    """q155: the histogram forecast must equal the ACTUAL join output
+    exactly — materialize each candidate join at the test fixture and
+    compare counts (the soundness property the pre-flight rests on);
+    max_key_out must likewise match the real heaviest key's output."""
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.maintenance import JOIN_FORECASTS
+
+    rows = {r.candidate: r for r in REGISTRY["q155_join_forecast"].build(spark, SF_DIR).collect()}
+    assert len(rows) == len(JOIN_FORECASTS)
+    for lt, lk, rt, rk in JOIN_FORECASTS:
+        l = load_table(spark, SF_DIR, lt)
+        r = load_table(spark, SF_DIR, rt)
+        joined = l.join(r, l[lk] == r[rk])
+        got = rows[f"{lt}.{lk} x {rt}.{rk}"]
+        assert got.out_rows == joined.count()
+        heaviest = (
+            joined.groupBy(l[lk]).count().agg(F.max("count")).collect()[0][0]
+        )
+        assert got.max_key_out == heaviest
+        assert got.out_skew >= 1.0  # max >= mean by construction
