@@ -74,6 +74,7 @@ _WINDOW_PRIORITY = [
     "q153_benford_audit",
     "q154_source_drift",
     "q155_join_forecast",
+    "q156_anti_entropy",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

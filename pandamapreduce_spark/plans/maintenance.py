@@ -543,3 +543,127 @@ def q155_join_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("candidate")
+
+
+# --- q156: anti-entropy repair (range-checksum replica diff) --------------
+
+AE_BUCKETS = 256  # hash-range buckets compared between replicas
+AE_DROP_MOD = 1997  # replica B is missing these keys (lost writes)
+AE_CORRUPT_MOD = 997  # replica B has these rows content-corrupted
+
+
+def _ae_replica_sql(corrupt: bool) -> str:
+    """Per-bucket (count, xor-of-row-checksums) summary of one replica.
+
+    Replica A is `orders` as shipped; replica B deterministically
+    drops every {AE_DROP_MOD}-th key and corrupts the priority of
+    every {AE_CORRUPT_MOD}-th.
+    """
+    from pandamapreduce_spark.functions import hex16_sql
+
+    prio = (
+        f"CASE WHEN o_orderkey % {AE_CORRUPT_MOD} = 0 THEN 'X-CORRUPT' ELSE o_orderpriority END"
+        if corrupt
+        else "o_orderpriority"
+    )
+    where = f"WHERE o_orderkey % {AE_DROP_MOD} <> 0" if corrupt else ""
+    payload = (
+        f"concat('row:', cast(o_orderkey as varchar), '|', {prio}, '|', "
+        "cast(o_custkey as varchar), '|', cast(cast(round(o_totalprice*100) as bigint) as varchar))"
+    )
+    key_hash = hex16_sql("concat('rb:', cast(o_orderkey as varchar))")
+    bucket = f"{key_hash} % {AE_BUCKETS}"
+    return f"""
+      SELECT {bucket} AS bucket,
+             cast(count(*) as bigint) AS n,
+             bit_xor({hex16_sql(payload)}) AS ck
+      FROM orders {where} GROUP BY 1
+    """
+
+
+@query(
+    "q156_anti_entropy",
+    oracle=f"""
+    WITH a AS ({_ae_replica_sql(False)}),
+         b AS ({_ae_replica_sql(True)})
+    SELECT coalesce(a.bucket, b.bucket) AS bucket,
+           coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+           CASE WHEN coalesce(a.n, 0) <> coalesce(b.n, 0) THEN 'count_drift'
+                ELSE 'content_drift' END AS status
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    WHERE coalesce(a.n, 0) <> coalesce(b.n, 0)
+       OR coalesce(a.ck, 0) <> coalesce(b.ck, 0)
+    ORDER BY bucket
+    """,
+    doc=f"Anti-entropy repair scan (the Cassandra/Dynamo replica-sync primitive): each replica folds every row into {AE_BUCKETS} hash-range bucket summaries — (count, XOR of 60-bit md5 row checksums), order-independent and overflow-free — and only the {AE_BUCKETS}-row summaries are compared, localizing WHICH key ranges need re-sync without shipping or row-diffing either table (q134 diffs rows; this finds ranges at constant exchange cost). Deterministic planted divergence: replica B drops key%{AE_DROP_MOD}=0 (count_drift) and corrupts priority on key%{AE_CORRUPT_MOD}=0 (content_drift).",
+    tags=("maintenance", "replication", "merkle"),
+)
+def q156_anti_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB replica validation cannot row-diff (q134's full-outer
+    join ships every key); the anti-entropy scan ships {AE_BUCKETS}
+    summary rows per replica regardless of table size. Checksum
+    discipline: row checksum = 60-bit md5 prefix of a canonical
+    'row:k|priority|custkey|cents' payload (exact integer cents — no
+    float formatting in the hash input); bucket = md5 of the key mod
+    {AE_BUCKETS} (key-only, so a content change stays IN its bucket
+    and surfaces as content_drift, not count_drift); per-bucket fold
+    is XOR — associative, commutative, overflow-free, so map-side
+    partial aggregation applies and the exchange carries ≤{AE_BUCKETS}
+    rows per task. Divergence classes pinned by construction: dropped
+    keys flip counts, corrupted rows flip only checksums."""
+    from pandamapreduce_spark.functions import hex16
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def replica(corrupt: bool) -> DataFrame:
+        df = o
+        prio = F.col("o_orderpriority")
+        if corrupt:
+            df = df.where(F.col("o_orderkey") % AE_DROP_MOD != 0)
+            prio = F.when(
+                F.col("o_orderkey") % AE_CORRUPT_MOD == 0, F.lit("X-CORRUPT")
+            ).otherwise(prio)
+        payload = F.concat(
+            F.lit("row:"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            prio,
+            F.lit("|"),
+            F.col("o_custkey").cast("string"),
+            F.lit("|"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        )
+        bucket = hex16(F.concat(F.lit("rb:"), F.col("o_orderkey").cast("string"))) % AE_BUCKETS
+        return (
+            df.select(bucket.alias("bucket"), hex16(payload).alias("rh"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.expr("bit_xor(rh)").alias("ck"),
+            )
+        )
+
+    a = replica(False).select(
+        "bucket", F.col("n").alias("n_a"), F.col("ck").alias("ck_a")
+    )
+    b = replica(True).select(
+        "bucket", F.col("n").alias("n_b"), F.col("ck").alias("ck_b")
+    )
+    na = F.coalesce("n_a", F.lit(0)).cast("bigint")
+    nb = F.coalesce("n_b", F.lit(0)).cast("bigint")
+    return (
+        a.join(b, "bucket", "full_outer")
+        .where(
+            (na != nb)
+            | (F.coalesce("ck_a", F.lit(0)) != F.coalesce("ck_b", F.lit(0)))
+        )
+        .select(
+            "bucket",
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            F.when(na != nb, F.lit("count_drift"))
+            .otherwise(F.lit("content_drift"))
+            .alias("status"),
+        )
+        .orderBy("bucket")
+    )

@@ -127,6 +127,7 @@ SF01_QUERIES = [
     "q153_benford_audit",
     "q154_source_drift",
     "q155_join_forecast",
+    "q156_anti_entropy",
 ]
 
 

@@ -629,3 +629,16 @@ def test_join_forecast_shuffles_histograms_only(spark):
     assert keys <= {"o_custkey", "c_custkey", "l_suppkey", "s_suppkey", "k"}, keys
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_anti_entropy_exchanges_carry_summaries_only(spark):
+    """q156: the per-replica fold must partial-aggregate map-side (the
+    exchange carries <= AE_BUCKETS (bucket, count, xor) rows per task,
+    never row payloads) and the replica compare joins two summary
+    relations; no EvalPython."""
+    plan = plan_of(spark, "q156_anti_entropy")
+    assert "partial_bit_xor" in plan or "partial_count" in plan, plan
+    for line in plan.split("\n"):
+        if "Exchange" in line:
+            assert "o_orderpriority" not in line and "o_totalprice" not in line, line
+    assert "EvalPython" not in plan, plan

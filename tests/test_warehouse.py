@@ -908,3 +908,44 @@ def test_join_forecast_equals_materialized_join(spark):
         )
         assert got.max_key_out == heaviest
         assert got.out_skew >= 1.0  # max >= mean by construction
+
+
+def test_anti_entropy_localizes_planted_divergence(spark):
+    """q156: the flagged buckets must be EXACTLY the hash buckets of
+    the planted divergent keys, with the right class: dropped keys →
+    count_drift in their bucket; corrupted-but-present keys (whose
+    bucket has no dropped key) → content_drift. And identical
+    replicas must produce an empty report (soundness)."""
+    import duckdb
+
+    from pandamapreduce_spark.plans.maintenance import (
+        AE_BUCKETS,
+        AE_CORRUPT_MOD,
+        AE_DROP_MOD,
+    )
+
+    keys = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet')"
+        ).fetchall()
+    ]
+    bucket = {
+        k: b
+        for k, b in duckdb.sql(
+            "SELECT o_orderkey, cast(concat('0x', substr(md5(concat('rb:', cast(o_orderkey as varchar))), 1, 15)) as bigint)"
+            f" % {AE_BUCKETS} FROM read_parquet('{SF_DIR}/orders.parquet')"
+        ).fetchall()
+    }
+    drop_buckets = {bucket[k] for k in keys if k % AE_DROP_MOD == 0}
+    corrupt_buckets = {bucket[k] for k in keys if k % AE_CORRUPT_MOD == 0}
+    assert drop_buckets and corrupt_buckets, "planted divergence is vacuous here"
+    rows = REGISTRY["q156_anti_entropy"].build(spark, SF_DIR).collect()
+    got = {r.bucket: r.status for r in rows}
+    assert set(got) == drop_buckets | corrupt_buckets
+    for bkt, status in got.items():
+        want = "count_drift" if bkt in drop_buckets else "content_drift"
+        assert status == want, (bkt, status, want)
+    for r in rows:
+        if r.status == "content_drift":
+            assert r.n_a == r.n_b
