@@ -75,6 +75,7 @@ _WINDOW_PRIORITY = [
     "q154_source_drift",
     "q155_join_forecast",
     "q156_anti_entropy",
+    "q157_stream_cdc",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

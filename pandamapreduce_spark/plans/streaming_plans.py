@@ -402,3 +402,69 @@ def q111_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ev.events_stream(spark, sf_dir)
     out = ev.run_to_completion(ev.sliding_agg(stream), spark)
     return out.orderBy("win_start", "event_type")
+
+
+# --- q157: streaming CDC apply (last-writer-wins materialization) ---------
+
+#: The change-stream interpretation of the events feed: per user, the
+#: latest (ts, event_id)-versioned event is the current row; a latest
+#: event of this type is a tombstone (the account's terminal event)
+#: and drops the key from the materialized state.
+CDC_TOMBSTONE_TYPE = "error"
+
+
+@query(
+    "q157_stream_cdc",
+    oracle=f"""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE_TYPE}'
+    ORDER BY user_id
+    """,
+    doc=f"Streaming CDC apply: last-writer-wins materialization of the change stream as a stateful streaming aggregation — per key the state is ONE struct (the max of (ts, event_id, type, value), lexicographic version order), updated in place each micro-batch; keys whose latest change is the '{CDC_TOMBSTONE_TYPE}' tombstone drop out; the streaming twin of batch q144, oracle = the batch row_number spec (batch/stream parity).",
+    tags=("streaming", "cdc", "stateful"),
+)
+def q157_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replica-maintenance loop as a stream: q144 replays a CDC
+    log in batch; here the same last-writer-wins semantics run as a
+    streaming aggregation whose per-key state is a single struct —
+    max(struct(ts, event_id, type, value)) under lexicographic order
+    IS the newest version, because (ts, event_id) is a total version
+    order (event_id unique). State is bounded by live-key cardinality
+    (one fixed-size struct per key — the minimum any materializer must
+    hold), not by stream length; the tombstone filter runs on the
+    aggregated state, so a key deletes the moment its latest change is
+    terminal and reappears if a newer non-tombstone arrives — exactly
+    CDC apply semantics, impossible with append-mode dedup (q63 keeps
+    FIRST-seen; this keeps LAST, which needs updatable state).
+    Emission: complete mode over the finite source (production: update
+    mode feeding an upsert sink). last_value passes through the struct
+    untouched — no float arithmetic anywhere."""
+    stream = ev.events_stream(spark, sf_dir)
+    latest = (
+        stream.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                )
+            ).alias("cur")
+        )
+        .where(F.col("cur.event_type") != CDC_TOMBSTONE_TYPE)
+        .select(
+            "user_id",
+            F.col("cur.ts").alias("last_ts"),
+            F.col("cur.event_id").alias("last_event_id"),
+            F.col("cur.event_type").alias("last_type"),
+            F.col("cur.value").alias("last_value"),
+        )
+    )
+    out = ev.run_to_completion(latest, spark, mode="complete")
+    return out.orderBy("user_id")

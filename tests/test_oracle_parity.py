@@ -128,6 +128,7 @@ SF01_QUERIES = [
     "q154_source_drift",
     "q155_join_forecast",
     "q156_anti_entropy",
+    "q157_stream_cdc",
 ]
 
 

@@ -201,3 +201,33 @@ def test_rocksdb_state_store_parity(spark):
     canon = lambda rows: sorted((r.hour, r.event_type, r.n, r.total_value) for r in rows)  # noqa: E731
     assert canon(got) == canon(want)
     assert len(got) > 0
+
+
+def test_stream_cdc_tombstones_drop_exactly_latest_error_users(spark):
+    """q157: the materialized state must contain exactly the users
+    whose LATEST (ts, event_id) event is not the tombstone type, and
+    both populations (kept / tombstoned) must be non-empty on the
+    fixture — a vacuous tombstone filter would prove nothing."""
+    import duckdb
+
+    from pandamapreduce_spark.plans import REGISTRY
+    from pandamapreduce_spark.plans.streaming_plans import CDC_TOMBSTONE_TYPE
+    from tests.conftest import SF_DIR
+
+    latest = dict(
+        duckdb.sql(
+            "SELECT user_id, event_type FROM ("
+            "  SELECT user_id, event_type, row_number() OVER ("
+            "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+            f"  FROM read_parquet('{SF_DIR}/events.parquet')"
+            ") WHERE rn = 1"
+        ).fetchall()
+    )
+    keep = {u for u, t in latest.items() if t != CDC_TOMBSTONE_TYPE}
+    dropped = set(latest) - keep
+    assert keep and dropped, "tombstone population is vacuous on this fixture"
+    rows = REGISTRY["q157_stream_cdc"].build(spark, SF_DIR).collect()
+    assert {r.user_id for r in rows} == keep
+    for r in rows:
+        assert r.last_type == latest[r.user_id]
+        assert r.last_type != CDC_TOMBSTONE_TYPE
