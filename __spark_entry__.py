@@ -76,6 +76,7 @@ _WINDOW_PRIORITY = [
     "q155_join_forecast",
     "q156_anti_entropy",
     "q157_stream_cdc",
+    "q158_cumulative_uniques",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

@@ -1814,3 +1814,74 @@ def q152_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "day")
     )
+
+
+# --- q158: cumulative distinct counts (running uniques) -------------------
+
+
+@query(
+    "q158_cumulative_uniques",
+    oracle="""
+    WITH td AS (
+      SELECT DISTINCT event_type, cast(ts as date) AS d FROM events
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           (SELECT cast(count(DISTINCT e.user_id) as bigint) FROM events e
+             WHERE e.event_type = td.event_type AND cast(e.ts as date) <= td.d) AS cum_users,
+           (SELECT cast(count(*) as bigint) FROM events e
+             WHERE e.event_type = td.event_type AND cast(e.ts as date) <= td.d) AS cum_events
+    FROM td ORDER BY event_type, day
+    """,
+    doc="Running distinct-user count per event type by day (cumulative uniques — the DAU/growth primitive): no engine supports COUNT(DISTINCT) OVER a running window, so the Spark side uses the first-occurrence rewrite (a user counts on the day min(day) of their first event per type; running uniques = cumulative sum of per-day first-occurrence counts) while the ORACLE is the direct quadratic spec (correlated COUNT(DISTINCT) per (type, day)) — parity PROVES the rewrite, q137's discipline.",
+    tags=("window", "distinct", "analytics"),
+)
+def q158_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)
+    doesn't exist in Spark, DuckDB, or ANSI engines generally — yet
+    'cumulative unique users' is the single most-asked growth metric.
+    The scalable rewrite: a user contributes to the running count
+    exactly once, on their FIRST day per type — so reduce events to
+    (type, user) → min(day) (one exchange, |type×user| rows), count
+    first-occurrences per (type, day), and take a running sum over the
+    per-type day series (|type×days| rows — calendar-bounded window
+    state, never event-bounded). cum_events is the plain running sum
+    of daily counts off the same day grid. The left join keeps grid
+    days where no NEW user appeared (coalesce 0 before the cumsum).
+    All counts exact integers; no floats anywhere. The oracle is the
+    direct quadratic correlated-subquery spec, so the hash match
+    proves the rewrite lossless — including tie/boundary days."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type", F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    grid = (
+        days.groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_day"))
+    )
+    firsts = (
+        days.groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("first_d"))
+        .groupBy("event_type", F.col("first_d").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(firsts, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            "n_day",
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+            F.sum("n_day").over(w).cast("bigint").alias("cum_events"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -129,6 +129,7 @@ SF01_QUERIES = [
     "q155_join_forecast",
     "q156_anti_entropy",
     "q157_stream_cdc",
+    "q158_cumulative_uniques",
 ]
 
 

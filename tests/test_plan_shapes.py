@@ -642,3 +642,15 @@ def test_anti_entropy_exchanges_carry_summaries_only(spark):
         if "Exchange" in line:
             assert "o_orderpriority" not in line and "o_totalprice" not in line, line
     assert "EvalPython" not in plan, plan
+
+
+def test_cumulative_uniques_shuffles_keys_not_payloads(spark):
+    """q158: the event table reduces to (type,user)/(type,day) pairs
+    before any exchange — props/value payloads never shuffle; the
+    running sum runs over the calendar-bounded day grid; no
+    EvalPython."""
+    plan = plan_of(spark, "q158_cumulative_uniques")
+    for line in plan.split("\n"):
+        if "Exchange" in line:
+            assert "props" not in line and "value#" not in line, line
+    assert "EvalPython" not in plan, plan

@@ -949,3 +949,33 @@ def test_anti_entropy_localizes_planted_divergence(spark):
     for r in rows:
         if r.status == "content_drift":
             assert r.n_a == r.n_b
+
+
+def test_cumulative_uniques_invariants_and_python_check(spark):
+    """q158: per type, cum_users and cum_events must be non-decreasing,
+    the final day's values must equal the type's total distinct users /
+    total events, and every day's pair must match a Python set-fold
+    over the chronologically sorted events (exact integers)."""
+    import duckdb
+
+    evs = duckdb.sql(
+        "SELECT event_type, cast(ts as date) AS d, user_id FROM"
+        f" read_parquet('{SF_DIR}/events.parquet') ORDER BY event_type, d"
+    ).fetchall()
+    want = {}
+    seen, cnt = {}, {}
+    for t, d, u in evs:
+        seen.setdefault(t, set()).add(u)
+        cnt[t] = cnt.get(t, 0) + 1
+        want[(t, str(d))] = (len(seen[t]), cnt[t])
+    rows = REGISTRY["q158_cumulative_uniques"].build(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    prev = {}
+    for r in rows:
+        assert (r.cum_users, r.cum_events) == want[(r.event_type, r.day)]
+        pu, pe = prev.get(r.event_type, (0, 0))
+        assert r.cum_users >= pu and r.cum_events > pe
+        prev[r.event_type] = (r.cum_users, r.cum_events)
+    for t in seen:
+        last = max((r for r in rows if r.event_type == t), key=lambda r: r.day)
+        assert last.cum_users == len(seen[t]) and last.cum_events == cnt[t]
