@@ -77,6 +77,7 @@ _WINDOW_PRIORITY = [
     "q156_anti_entropy",
     "q157_stream_cdc",
     "q158_cumulative_uniques",
+    "q159_independence_audit",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

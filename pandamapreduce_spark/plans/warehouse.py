@@ -958,3 +958,77 @@ def q153_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --- q159: contingency-table independence audit (R x C chi-square) --------
+
+
+@query(
+    "q159_independence_audit",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             cast(count(*) as bigint) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (SELECT prio, cast(sum(n) as bigint) AS rn FROM cells GROUP BY prio),
+    c AS (SELECT status, cast(sum(n) as bigint) AS cn FROM cells GROUP BY status),
+    t AS (SELECT cast(sum(n) as bigint) AS total FROM cells)
+    SELECT prio, status, n,
+           cast(rn as double) * cast(cn as double) / cast(total as double) AS expected,
+           (cast(n as double) - cast(rn as double) * cast(cn as double) / cast(total as double))
+             * (cast(n as double) - cast(rn as double) * cast(cn as double) / cast(total as double))
+             / (cast(rn as double) * cast(cn as double) / cast(total as double)) AS chi2_term,
+           cast(n as double) * cast(total as double)
+             / (cast(rn as double) * cast(cn as double)) AS lift
+    FROM cells JOIN r USING (prio) JOIN c USING (status), t
+    ORDER BY prio, status
+    """,
+    doc="R x C contingency independence audit (priority x status): per cell the observed count, independence-expected count r*c/N, chi-square contribution, and lift (observed/expected) — q146's 2x2 z-test generalized to full cross-tab screening; counts and margins are exact bigints, every emitted double is the SAME IEEE expression DAG on those integers in both engines (bigint->double casts are correctly rounded everywhere); margins and the 1-row total attach by broadcast, the exchange carries only (prio,status,count) cells.",
+    tags=("stats", "chi-square", "audit"),
+)
+def q159_independence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categorical-association screen run across column pairs in
+    data profiling: cells far from independence (high chi2_term, lift
+    far from 1) reveal correlated dimensions — the input to join-order
+    and materialization decisions, and the fraud screen's categorical
+    sibling (q153 covers digits). Float contract: all inputs are exact
+    bigint counts; expected/chi2/lift are pinned double expression
+    DAGs evaluated identically by both engines (no decimal->double
+    bridge anywhere — the q152 lesson). Scale: one (prio,status)
+    partial-agg exchange (cells, not rows), margins derived from the
+    cells and broadcast back; output is |R x C| rows at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = scoped_persist(
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    r = cells.groupBy("prio").agg(F.sum("n").cast("bigint").alias("rn"))
+    c = cells.groupBy("status").agg(F.sum("n").cast("bigint").alias("cn"))
+    t = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    nd = F.col("n").cast("double")
+    expected = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("total").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(r), "prio")
+        .join(F.broadcast(c), "status")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "prio",
+            "status",
+            "n",
+            expected.alias("expected"),
+            ((nd - expected) * (nd - expected) / expected).alias("chi2_term"),
+            (
+                nd
+                * F.col("total").cast("double")
+                / (F.col("rn").cast("double") * F.col("cn").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("prio", "status")
+    )

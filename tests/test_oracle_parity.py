@@ -130,6 +130,7 @@ SF01_QUERIES = [
     "q156_anti_entropy",
     "q157_stream_cdc",
     "q158_cumulative_uniques",
+    "q159_independence_audit",
 ]
 
 

@@ -654,3 +654,14 @@ def test_cumulative_uniques_shuffles_keys_not_payloads(spark):
         if "Exchange" in line:
             assert "props" not in line and "value#" not in line, line
     assert "EvalPython" not in plan, plan
+
+
+def test_independence_audit_exchanges_carry_cells_only(spark):
+    """q159: one (prio,status) cell exchange; margins broadcast back;
+    no payload columns in any exchange; no EvalPython."""
+    plan = plan_of(spark, "q159_independence_audit")
+    for line in plan.split("\n"):
+        if "Exchange" in line:
+            assert "o_totalprice" not in line and "o_custkey" not in line, line
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "EvalPython" not in plan, plan

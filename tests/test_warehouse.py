@@ -979,3 +979,35 @@ def test_cumulative_uniques_invariants_and_python_check(spark):
     for t in seen:
         last = max((r for r in rows if r.event_type == t), key=lambda r: r.day)
         assert last.cum_users == len(seen[t]) and last.cum_events == cnt[t]
+
+
+def test_independence_audit_matches_python_exactly(spark):
+    """q159: recompute the cross-tab in Python — counts are exact ints
+    and the double expressions share the same DAG, so expected /
+    chi2_term / lift must match EXACTLY; also pin the identities
+    sum(expected) == N and sum over each row-margin of expected ==
+    that margin (the algebra the independence model guarantees)."""
+    import duckdb
+
+    cells = {
+        (p, s): n
+        for p, s, n in duckdb.sql(
+            "SELECT o_orderpriority, o_orderstatus, count(*) FROM"
+            f" read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1, 2"
+        ).fetchall()
+    }
+    rn, cn = {}, {}
+    for (p, s), n in cells.items():
+        rn[p] = rn.get(p, 0) + n
+        cn[s] = cn.get(s, 0) + n
+    total = sum(cells.values())
+    rows = REGISTRY["q159_independence_audit"].build(spark, SF_DIR).collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        n = cells[(r.prio, r.status)]
+        exp = float(rn[r.prio]) * float(cn[r.status]) / float(total)
+        assert r.n == n
+        assert r.expected == exp
+        assert r.chi2_term == (float(n) - exp) * (float(n) - exp) / exp
+        assert r.lift == float(n) * float(total) / (float(rn[r.prio]) * float(cn[r.status]))
+    assert abs(sum(r.expected for r in rows) - total) < 1e-6
