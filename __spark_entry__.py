@@ -78,6 +78,7 @@ _WINDOW_PRIORITY = [
     "q157_stream_cdc",
     "q158_cumulative_uniques",
     "q159_independence_audit",
+    "q160_audience_overlap",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

@@ -1032,3 +1032,96 @@ def q159_independence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "status")
     )
+
+
+# --- q160: bitmap-index audience overlap ----------------------------------
+
+
+@query(
+    "q160_audience_overlap",
+    oracle="""
+    WITH seg AS (SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type, cast(count(*) as bigint) AS n FROM seg GROUP BY event_type)
+    SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+           cast(count(*) as bigint) AS overlap_users,
+           min(sa.n) AS users_a, min(sb.n) AS users_b,
+           cast(count(*) as double)
+             / cast(min(sa.n) + min(sb.n) - count(*) as double) AS jaccard
+    FROM seg a
+    JOIN seg b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sz sa ON sa.event_type = a.event_type
+    JOIN sz sb ON sb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY seg_a, seg_b
+    """,
+    doc="Audience-overlap matrix via BITMAP INDEXES: each segment (event type) folds its distinct users into 64-bit bitmap words (word = user div 64, bit_or of 1<<user%64 — fixed 8 bytes per word regardless of how many users land in it), segment pairs intersect word-by-word with bitwise AND + bit_count — the roaring/bitmap-index technique as pure dataflow; the oracle is the DIRECT distinct-user intersection join, so parity proves the bitmap rewrite exact. Jaccard emitted as one pinned int/int-derived double.",
+    tags=("warehouse", "bitmap", "segmentation"),
+)
+def q160_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marketing/segmentation primitive at 100 TB: answering
+    'how many users are in BOTH segments' for every segment pair
+    without re-shuffling user ids per pair. The bitmap fold compresses
+    each segment to |user_domain|/64 words (dense ids; sparse domains
+    would dictionary-encode first — q96's vocab machinery); word-wise
+    AND + POPCNT computes every intersection from the SAME compact
+    relations, and adding a segment pair costs one more word-keyed
+    join, not a pass over the fact table. All counts exact integers
+    (bit_count of AND-ed bigint words summed); jaccard is the one
+    pinned double division. Scale shape: one (type, word) exchange
+    builds the bitmaps (block-aggregated like q53's two-level
+    checksum); the pair join keys on the word index — |domain/64| rows
+    per segment — and the fact table is read once. The oracle is the
+    direct pairwise distinct join; hash parity proves the bitmap
+    algebra (including that no bit collides: div/mod is a bijection
+    on bigint user ids)."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.select("event_type", "user_id").distinct()
+    # integer div, not `/` (double division would lose exactness for
+    # ids beyond 2^53 — the div/mod bijection must hold on all bigints)
+    words = seg.groupBy(
+        "event_type", F.expr("user_id div 64").cast("bigint").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(pmod(user_id, 64) as int)))"
+        ).alias("bits")
+    )
+    from pandamapreduce_spark.caching import scoped_persist
+
+    words = scoped_persist(words)
+    sz = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n")
+    )
+    a = words.select(
+        F.col("event_type").alias("seg_a"), "word", F.col("bits").alias("ba")
+    )
+    b = words.select(
+        F.col("event_type").alias("seg_b"), "word", F.col("bits").alias("bb")
+    )
+    inter = (
+        a.join(b, "word")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("ba & bb"))).cast("bigint").alias("overlap_users")
+        )
+    )
+    sa = sz.select(F.col("event_type").alias("seg_a"), F.col("n").alias("users_a"))
+    sb = sz.select(F.col("event_type").alias("seg_b"), F.col("n").alias("users_b"))
+    return (
+        inter.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "overlap_users",
+            "users_a",
+            "users_b",
+            (
+                F.col("overlap_users").cast("double")
+                / (
+                    F.col("users_a") + F.col("users_b") - F.col("overlap_users")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

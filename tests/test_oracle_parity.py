@@ -131,6 +131,7 @@ SF01_QUERIES = [
     "q157_stream_cdc",
     "q158_cumulative_uniques",
     "q159_independence_audit",
+    "q160_audience_overlap",
 ]
 
 

@@ -665,3 +665,13 @@ def test_independence_audit_exchanges_carry_cells_only(spark):
             assert "o_totalprice" not in line and "o_custkey" not in line, line
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_audience_overlap_joins_words_not_users(spark):
+    """q160: the pair intersection must join the compact (word, bits)
+    bitmap relations — after the bitmap fold no exchange carries
+    user_id; sizes broadcast back; no cartesian, no EvalPython."""
+    plan = plan_of(spark, "q160_audience_overlap")
+    assert "bit_count" in plan and ("bit_or" in plan or "partial_bit_or" in plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

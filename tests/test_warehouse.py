@@ -1011,3 +1011,32 @@ def test_independence_audit_matches_python_exactly(spark):
         assert r.chi2_term == (float(n) - exp) * (float(n) - exp) / exp
         assert r.lift == float(n) * float(total) / (float(rn[r.prio]) * float(cn[r.status]))
     assert abs(sum(r.expected for r in rows) - total) < 1e-6
+
+
+def test_audience_overlap_matches_python_sets(spark):
+    """q160: the bitmap algebra must equal plain Python set
+    intersections exactly — overlap, per-segment sizes, and jaccard
+    (same int/int-derived double); every unordered segment pair must
+    be present exactly once."""
+    import duckdb
+    from itertools import combinations
+
+    segs = {}
+    for t, u in duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall():
+        segs.setdefault(t, set()).add(u)
+    rows = REGISTRY["q160_audience_overlap"].build(spark, SF_DIR).collect()
+    assert {(r.seg_a, r.seg_b) for r in rows} == {
+        (a, b) for a, b in combinations(sorted(segs), 2)
+    }
+    for r in rows:
+        inter = len(segs[r.seg_a] & segs[r.seg_b])
+        assert (r.overlap_users, r.users_a, r.users_b) == (
+            inter,
+            len(segs[r.seg_a]),
+            len(segs[r.seg_b]),
+        )
+        assert r.jaccard == float(inter) / float(
+            len(segs[r.seg_a]) + len(segs[r.seg_b]) - inter
+        )
