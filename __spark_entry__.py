@@ -79,6 +79,7 @@ _WINDOW_PRIORITY = [
     "q158_cumulative_uniques",
     "q159_independence_audit",
     "q160_audience_overlap",
+    "q161_linear_interpolate",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

@@ -1885,3 +1885,123 @@ def q158_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- q161: linear-interpolation gap fill -----------------------------------
+
+
+@query(
+    "q161_linear_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(sum(cast(round(value * 100) as bigint)) as bigint) AS cents
+      FROM events WHERE value > 250 GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans
+    ), joined AS (
+      SELECT g.event_type, g.hour, h.cents,
+             cast(epoch(g.hour) as bigint) // 3600 AS eh
+      FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+    ), ctx AS (
+      SELECT event_type, hour, cents, eh,
+             last_value(CASE WHEN cents IS NOT NULL THEN eh END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN cents IS NOT NULL THEN eh END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+             first_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM joined
+    )
+    SELECT event_type, hour, cents IS NULL AS is_gap,
+           CASE
+             WHEN cents IS NOT NULL THEN cast(cents as double) / 100.0
+             WHEN ph IS NULL OR nh IS NULL THEN NULL
+             ELSE cast(pv * (nh - eh) + nv * (eh - ph) as double)
+                  / (cast(nh - ph as double) * 100.0)
+           END AS value_filled
+    FROM ctx ORDER BY event_type, hour
+    """,
+    doc="Linear-interpolation gap fill (q112's LOCF sibling): densify the hourly series, then fill interior gaps with the straight line between the previous and next observations — computed in the exact weighted-average form (prev*(next_h - h) + next*(h - prev_h)) / (next_h - prev_h): integer cents x integer hour distances, ONE pinned int-derived double division (no p + slope*dt float chain, whose intermediate rounding differs between engines); leading/trailing gaps stay NULL (no extrapolation).",
+    tags=("timeseries", "gapfill", "interpolate"),
+)
+def q161_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The densification pipeline's second fill policy: LOCF (q112)
+    steps, linear interpolation ramps — the right choice for slowly
+    varying measures. Exactness: the interpolated value is the
+    weighted average p·(nh−h) + n·(h−ph) over (nh−ph), all exact
+    bigints (cents × hour counts), so both engines perform ONE
+    identical IEEE division — never p + slope·Δt, whose intermediate
+    products round differently. Edges: a gap before the first or
+    after the last observation has no bracketing pair and stays NULL
+    — interpolation is not extrapolation. Scale shape: the grid is
+    O(keys × span) narrow rows; the bracketing context is two
+    ignorenulls windows over the same (key, hour) sort — one exchange
+    serves both directions (the descending pass reuses the ascending
+    partitioning); no Python anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("value") > 250)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    h = hourly.withColumnRenamed("event_type", "et").withColumnRenamed("hour", "hr")
+    eh = (F.unix_timestamp("hour") / 3600).cast("bigint")
+    base = grid.join(
+        h, (grid.event_type == h.et) & (grid.hour == h.hr), "left"
+    ).select("event_type", "hour", "cents", eh.alias("eh"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_eh = F.when(F.col("cents").isNotNull(), F.col("eh"))
+    ctx = base.select(
+        "event_type",
+        "hour",
+        "cents",
+        "eh",
+        F.last(observed_eh, ignorenulls=True).over(wb).alias("ph"),
+        F.last("cents", ignorenulls=True).over(wb).alias("pv"),
+        F.first(observed_eh, ignorenulls=True).over(wf).alias("nh"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+    )
+    num = F.col("pv") * (F.col("nh") - F.col("eh")) + F.col("nv") * (
+        F.col("eh") - F.col("ph")
+    )
+    den = (F.col("nh") - F.col("ph")).cast("double")
+    return ctx.select(
+        "event_type",
+        "hour",
+        F.col("cents").isNull().alias("is_gap"),
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double") / F.lit(100.0))
+        .when(
+            F.col("ph").isNull() | F.col("nh").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(num.cast("double") / (den * F.lit(100.0)))
+        .alias("value_filled"),
+    ).orderBy("event_type", "hour")

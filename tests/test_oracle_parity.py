@@ -132,6 +132,7 @@ SF01_QUERIES = [
     "q158_cumulative_uniques",
     "q159_independence_audit",
     "q160_audience_overlap",
+    "q161_linear_interpolate",
 ]
 
 

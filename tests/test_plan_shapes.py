@@ -675,3 +675,30 @@ def test_audience_overlap_joins_words_not_users(spark):
     assert "bit_count" in plan and ("bit_or" in plan or "partial_bit_or" in plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_linear_interpolation_single_sort_serves_both_windows(spark):
+    """q161: the forward and backward ignorenulls windows share one
+    (event_type) partitioning + one ascending sort — no second
+    exchange or re-sort for the descending context; no EvalPython."""
+    plan = plan_of(spark, "q161_linear_interpolate")
+    # no persisted subtree in this plan, so the single
+    # "== Initial Plan ==" marker is the AQE echo — everything before
+    # it is the final plan (q151's cached-build caveat doesn't apply)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    import re
+
+    # event_type as the ONLY partition key (the hourly-agg exchange
+    # keys on (event_type, grouping-expr) and must not match)
+    win_ex = [
+        line
+        for line in final.split("\n")
+        if re.search(r"hashpartitioning\(event_type#\d+, \d+\)", line)
+    ]
+    # exactly one event_type exchange feeds the window stage (the
+    # grid/agg exchanges key on (event_type, hour) / grouping exprs)
+    assert len(win_ex) == 1, final
+    # and exactly one Window operator computes all four ignorenulls
+    # contexts off that single sort
+    assert final.count("Window [") == 1, final
+    assert "EvalPython" not in final, final

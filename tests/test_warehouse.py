@@ -1040,3 +1040,45 @@ def test_audience_overlap_matches_python_sets(spark):
         assert r.jaccard == float(inter) / float(
             len(segs[r.seg_a]) + len(segs[r.seg_b]) - inter
         )
+
+
+def test_linear_interpolation_brute_force_and_edge_nulls(spark):
+    """q161: recompute the fill in Python from the sparse series —
+    observed hours keep their exact value, interior gaps get the
+    integer weighted-average line (identical division), and gaps
+    before the first / after the last observation stay NULL. The
+    fixture must actually exercise interior gaps (non-vacuous)."""
+    import duckdb
+
+    obs = {}
+    for t, h, c in duckdb.sql(
+        "SELECT event_type, date_trunc('hour', ts), sum(cast(round(value*100) as bigint))"
+        f" FROM read_parquet('{SF_DIR}/events.parquet') WHERE value > 250 GROUP BY 1, 2"
+    ).fetchall():
+        obs[(t, h)] = int(c)
+    rows = REGISTRY["q161_linear_interpolate"].build(spark, SF_DIR).collect()
+    by_type = {}
+    for (t, h) in obs:
+        by_type.setdefault(t, []).append(h)
+    interior_gaps = 0
+    for r in rows:
+        t, h = r.event_type, r.hour
+        hs = sorted(by_type[t])
+        if (t, h) in obs:
+            assert not r.is_gap
+            assert r.value_filled == obs[(t, h)] / 100.0
+            continue
+        assert r.is_gap
+        prevs = [x for x in hs if x < h]
+        nexts = [x for x in hs if x > h]
+        if not prevs or not nexts:
+            assert r.value_filled is None
+            continue
+        interior_gaps += 1
+        ph, nh = max(prevs), min(nexts)
+        e = lambda ts: int(ts.timestamp()) // 3600
+        num = obs[(t, ph)] * (e(nh) - e(h)) + obs[(t, nh)] * (e(h) - e(ph))
+        assert r.value_filled == num / (float(e(nh) - e(ph)) * 100.0)
+        lo, hi = sorted((obs[(t, ph)], obs[(t, nh)]))
+        assert lo / 100.0 <= r.value_filled <= hi / 100.0  # on the segment
+    assert interior_gaps > 0, "no interior gaps at this fixture — test is vacuous"
