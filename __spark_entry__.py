@@ -80,6 +80,7 @@ _WINDOW_PRIORITY = [
     "q159_independence_audit",
     "q160_audience_overlap",
     "q161_linear_interpolate",
+    "q162_bollinger",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

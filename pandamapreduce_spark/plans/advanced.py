@@ -2005,3 +2005,91 @@ def q161_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / (den * F.lit(100.0)))
         .alias("value_filled"),
     ).orderBy("event_type", "hour")
+
+
+# --- q162: Bollinger bands (rolling moments + exact breakout flag) --------
+
+BOLL_WIN = 20  # trailing observations per band
+BOLL_K = 2     # band half-width in sigmas
+
+
+@query(
+    "q162_bollinger",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             cast(sum(cast(round(value * 100) as bigint)) as bigint) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT event_type, hour, cents,
+             cast(count(*) OVER w as bigint) AS n,
+             cast(sum(cast(cents as decimal(19,0))) OVER w as decimal(38,0)) AS s1,
+             cast(sum(cast(cents as decimal(19,0)) * cast(cents as decimal(19,0))) OVER w as decimal(38,0)) AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour, cast(cents as double) / 100.0 AS value,
+           n AS n_window,
+           cast(s1 as double) / (cast(n as double) * 100.0) AS mean,
+           sqrt(cast(cast(n as decimal(19,0)) * s2 - s1 * s1 as double))
+             / (cast(n as double) * 100.0) AS sigma,
+           (cast(cents as decimal(19,0)) * cast(n as decimal(19,0)) - s1)
+             * (cast(cents as decimal(19,0)) * cast(n as decimal(19,0)) - s1)
+             > {BOLL_K * BOLL_K} * (cast(n as decimal(19,0)) * s2 - s1 * s1) AS is_breakout
+    FROM roll ORDER BY event_type, hour
+    """,
+    doc=f"Bollinger bands over the hourly series: rolling mean and population sigma from EXACT integer moments over the trailing {BOLL_WIN} observations (rolling S1, S2 as decimal window sums — order-independent), mean/sigma emitted as pinned double expressions (one IEEE sqrt); the {BOLL_K}-sigma BREAKOUT FLAG is decided in pure decimal algebra ((c*n - S1)^2 > {BOLL_K * BOLL_K}*(n*S2 - S1^2)) — no float touches the boolean, so the alert itself can never flip on a rounding boundary.",
+    tags=("timeseries", "bollinger", "window"),
+)
+def q162_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring staple (value outside mean ± K·sigma of its
+    trailing window) built so the ALERT is exactly reproducible: the
+    breakout comparison is cross-multiplied into integers —
+    (c·n − S1)² vs K²·(n·S2 − S1²) — entirely exact decimal, while
+    mean/sigma are display-only pinned doubles (one sqrt on exact
+    moments, q151's contract). Squaring makes the test two-sided
+    (|c − mean| > K·sigma) in one comparison. Rolling moments are
+    window SUMS of exact decimals — no incremental float state, no
+    Welford drift, order-independent. Scale shape: one (type, hour)
+    partial agg, then one event_type exchange serves the single
+    rolling window; per-row state is two decimals and a count."""
+    d19 = "decimal(19,0)"
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(BOLL_WIN - 1), Window.currentRow)
+    )
+    c = F.col("cents").cast(d19)
+    roll = hourly.select(
+        "event_type",
+        "hour",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum(c).over(w).cast("decimal(38,0)").alias("s1"),
+        F.sum(c * c).over(w).cast("decimal(38,0)").alias("s2"),
+    )
+    nd = F.col("n").cast(d19)
+    dev = F.col("cents").cast(d19) * nd - F.col("s1")
+    varn2 = nd * F.col("s2") - F.col("s1") * F.col("s1")
+    return roll.select(
+        "event_type",
+        "hour",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
+        F.col("n").alias("n_window"),
+        (F.col("s1").cast("double") / (F.col("n").cast("double") * F.lit(100.0))).alias(
+            "mean"
+        ),
+        (
+            F.sqrt(varn2.cast("double"))
+            / (F.col("n").cast("double") * F.lit(100.0))
+        ).alias("sigma"),
+        (dev * dev > F.lit(BOLL_K * BOLL_K) * varn2).alias("is_breakout"),
+    ).orderBy("event_type", "hour")

@@ -133,6 +133,7 @@ SF01_QUERIES = [
     "q159_independence_audit",
     "q160_audience_overlap",
     "q161_linear_interpolate",
+    "q162_bollinger",
 ]
 
 

@@ -1082,3 +1082,41 @@ def test_linear_interpolation_brute_force_and_edge_nulls(spark):
         lo, hi = sorted((obs[(t, ph)], obs[(t, nh)]))
         assert lo / 100.0 <= r.value_filled <= hi / 100.0  # on the segment
     assert interior_gaps > 0, "no interior gaps at this fixture — test is vacuous"
+
+
+def test_bollinger_breakouts_match_integer_brute_force(spark):
+    """q162: recompute rolling moments and the integer breakout test
+    in Python — flags must match exactly (the alert is pure integer
+    algebra), sigma must match the same sqrt-on-exact-moments double,
+    and the fixture must produce BOTH breakout and quiet rows."""
+    import math
+
+    import duckdb
+
+    series = {}
+    for t, h, c in duckdb.sql(
+        "SELECT event_type, date_trunc('hour', ts), sum(cast(round(value*100) as bigint))"
+        f" FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall():
+        series.setdefault(t, []).append(int(c))
+    from pandamapreduce_spark.plans.advanced import BOLL_K, BOLL_WIN
+
+    want = {}
+    for t, cs in series.items():
+        for i, c in enumerate(cs):
+            win = cs[max(0, i - (BOLL_WIN - 1)) : i + 1]
+            n, s1, s2 = len(win), sum(win), sum(x * x for x in win)
+            flag = (c * n - s1) ** 2 > BOLL_K * BOLL_K * (n * s2 - s1 * s1)
+            sigma = math.sqrt(float(n * s2 - s1 * s1)) / (float(n) * 100.0)
+            want[(t, i)] = (n, flag, sigma)
+    rows = REGISTRY["q162_bollinger"].build(spark, SF_DIR).collect()
+    idx = {}
+    flags = set()
+    for r in rows:
+        i = idx.get(r.event_type, 0)
+        idx[r.event_type] = i + 1
+        n, flag, sigma = want[(r.event_type, i)]
+        assert (r.n_window, r.is_breakout) == (n, flag)
+        assert r.sigma == sigma
+        flags.add(flag)
+    assert flags == {True, False}, "breakout population vacuous on fixture"
