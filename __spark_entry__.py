@@ -81,6 +81,7 @@ _WINDOW_PRIORITY = [
     "q160_audience_overlap",
     "q161_linear_interpolate",
     "q162_bollinger",
+    "q163_quantile_normalize",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

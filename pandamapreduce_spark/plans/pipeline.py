@@ -965,3 +965,103 @@ def q118_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_dup_span_tokens").desc(), "doc_id")
         .limit(100)
     )
+
+
+# --- q163: cross-source quantile normalization ----------------------------
+
+
+@query(
+    "q163_quantile_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS grk,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    )
+    SELECT s.doc_id, s.source, s.n_chars,
+           cast(s.r as double) / cast(s.ns as double) AS src_pct,
+           g.n_chars AS norm_chars
+    FROM s JOIN g
+      ON g.grk = (s.r * (SELECT max(n) FROM g) + s.ns - 1) // s.ns
+    ORDER BY s.doc_id
+    """,
+    doc="Cross-source quantile normalization (the ML-preprocessing distribution aligner): each document's n_chars maps to the GLOBAL value at its within-source percentile — per-source rank r of n_s maps to the global order statistic at nearest-rank position ceil(r*N/n_s), pure integer index algebra (no float quantile interpolation, ties broken (value, doc_id) identically everywhere); the Spark global rank is the engine's distributed-rank pattern (range partition + per-range row_number + bounded driver prefix), while the oracle ranks with a naive global window — parity proves the distributed rank exact.",
+    tags=("pipeline", "quantile", "normalize", "rank"),
+)
+def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization forces every source's value distribution
+    onto the corpus-wide one (batch-effect removal — sources with
+    systematically short/long docs become comparable before quality
+    thresholds apply). Mapping: doc at within-source rank r of n_s →
+    global order statistic #ceil(r·N/n_s) (nearest-rank, exact
+    integers: (r·N + n_s − 1) div n_s; r = n_s gives exactly N).
+    Exactness: no float quantile interpolation anywhere; src_pct is
+    the one pinned int/int division; total order (n_chars, doc_id) is
+    deterministic under ties. Scale shape: the global order statistic
+    relation comes from ONE range exchange + per-range row_number +
+    a RANK_RANGES-row driver prefix (q100's machinery — never a
+    single-partition window); the per-source rank is a per-source
+    window (spill-capable); the final mapping is an integer equi-join
+    of N rows against the N-row order-statistic relation. r·N stays
+    < 2^63 up to ~3e9 docs per source at 1e9 corpus size; beyond that
+    the index algebra lifts to decimal unchanged."""
+    from pyspark.sql import Window
+
+    from pandamapreduce_spark.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    parts = scoped_persist(
+        docs.repartitionByRange(RANK_RANGES, "n_chars", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    head = F.min(
+        F.struct(F.col("n_chars").alias("c"), F.col("doc_id").alias("d"))
+    ).alias("head")
+    per = sorted(
+        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
+        key=lambda r: (r["head"]["c"], r["head"]["d"]),
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("bigint")).otherwise(base)
+        acc += r["n"]
+    total = acc
+    wg = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
+    glob = parts.select(
+        (F.row_number().over(wg).cast("bigint") + base).alias("grk"),
+        F.col("n_chars").alias("norm_chars"),
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("ns"),
+    )
+    g_pos = ((F.col("r") * F.lit(total) + F.col("ns") - 1) / F.col("ns")).cast(
+        "bigint"
+    )
+    # integer ceil-div: (r*N + ns - 1) div ns — keep it in longs
+    g_pos = F.expr(f"(r * {total} + ns - 1) div ns")
+    return (
+        src.withColumn("grk", g_pos)
+        .join(glob, "grk")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("r").cast("double") / F.col("ns").cast("double")).alias("src_pct"),
+            "norm_chars",
+        )
+        .orderBy("doc_id")
+    )

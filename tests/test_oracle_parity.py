@@ -134,6 +134,7 @@ SF01_QUERIES = [
     "q160_audience_overlap",
     "q161_linear_interpolate",
     "q162_bollinger",
+    "q163_quantile_normalize",
 ]
 
 

@@ -702,3 +702,22 @@ def test_linear_interpolation_single_sort_serves_both_windows(spark):
     # contexts off that single sort
     assert final.count("Window [") == 1, final
     assert "EvalPython" not in final, final
+
+
+def test_quantile_normalize_no_single_partition_global_sort(spark):
+    """q163: the global order-statistic relation must come from the
+    distributed-rank pattern — a rangepartitioning exchange over >1
+    partition — never a single-partition window (the q100 guarantee);
+    no EvalPython."""
+    plan = plan_of(spark, "q163_quantile_normalize")
+    assert "rangepartitioning" in plan, plan
+    # no Window spec with an empty partition list over the full corpus:
+    # every windowspecdefinition must name a partition column
+    # (single-partition AGGREGATES are fine; global-sort windows are
+    # the scale bug this guards against)
+    final = plan.split("== Initial Plan ==", 1)[0]
+    for seg in final.split("windowspecdefinition(")[1:]:
+        assert seg.split(",", 1)[0].strip() != "", seg[:80]
+        head = seg.split(" ASC", 1)[0]
+        assert "#" in head, seg[:120]  # partitioned by a real column
+    assert "EvalPython" not in final, final

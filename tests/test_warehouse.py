@@ -1120,3 +1120,42 @@ def test_bollinger_breakouts_match_integer_brute_force(spark):
         assert r.sigma == sigma
         flags.add(flag)
     assert flags == {True, False}, "breakout population vacuous on fixture"
+
+
+def test_quantile_normalize_python_brute_force_and_invariants(spark):
+    """q163: recompute the mapping in Python (global sort + per-source
+    rank + nearest-rank index) — exact match; plus the operator's
+    contract: the max-ranked doc of every source maps to the global
+    max, and normalized values are monotone in within-source rank."""
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    N = len(docs)
+    glob = sorted(docs, key=lambda x: (x[2], x[0]))
+    by_src = {}
+    for d, s, c in docs:
+        by_src.setdefault(s, []).append((c, d))
+    want = {}
+    for s, vals in by_src.items():
+        vals.sort()
+        ns = len(vals)
+        for i, (c, d) in enumerate(vals, start=1):
+            g = (i * N + ns - 1) // ns
+            want[d] = (c, i / ns, glob[g - 1][2])
+    rows = REGISTRY["q163_quantile_normalize"].build(spark, SF_DIR).collect()
+    assert len(rows) == N
+    for r in rows:
+        c, pct, norm = want[r.doc_id]
+        assert (r.n_chars, r.norm_chars) == (c, norm)
+        assert r.src_pct == pct
+    # per source: monotone in rank; top rank hits the global max
+    gmax = glob[-1][2]
+    by = {}
+    for r in rows:
+        by.setdefault(r.source, []).append(r)
+    for s, rs in by.items():
+        rs.sort(key=lambda r: r.src_pct)
+        assert all(a.norm_chars <= b.norm_chars for a, b in zip(rs, rs[1:]))
+        assert rs[-1].norm_chars == gmax
