@@ -82,6 +82,7 @@ _WINDOW_PRIORITY = [
     "q161_linear_interpolate",
     "q162_bollinger",
     "q163_quantile_normalize",
+    "q164_budget_apportion",
     # (b) round-2-stale cohort, full rotation
     "q03_top_orders",
     "q05_revenue_by_nation",

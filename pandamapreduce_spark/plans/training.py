@@ -1272,3 +1272,101 @@ def q154_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q164: largest-remainder budget apportionment --------------------------
+
+#: Global sampling budget (documents) to apportion across sources in
+#: proportion to their token mass. Deliberately coprime-ish with
+#: typical token totals so fractional quotas (and the remainder
+#: distribution) are actually exercised.
+APPORTION_BUDGET = 12347
+
+
+@query(
+    "q164_budget_apportion",
+    oracle=f"""
+    WITH srcs AS (
+      SELECT source, cast(sum(len({tokens_sql("text")})) as bigint) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT cast(sum(toks) as bigint) AS t FROM srcs),
+    quotas AS (
+      SELECT source, toks,
+             ({APPORTION_BUDGET} * toks) // t AS floor_alloc,
+             ({APPORTION_BUDGET} * toks) % t AS rem,
+             t
+      FROM srcs, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             {APPORTION_BUDGET} - sum(floor_alloc) OVER () AS extras
+      FROM quotas
+    )
+    SELECT source, toks, cast(floor_alloc as bigint) AS floor_alloc,
+           cast(rr <= extras as boolean) AS got_extra,
+           cast(floor_alloc + (CASE WHEN rr <= extras THEN 1 ELSE 0 END) as bigint) AS alloc,
+           cast({APPORTION_BUDGET} * toks as double) / cast(t as double) AS exact_quota
+    FROM ranked ORDER BY source
+    """,
+    doc=f"Largest-remainder (Hamilton) apportionment of an exact {APPORTION_BUDGET}-unit sampling budget across sources proportional to token mass — floor quotas are integer div, leftover units go to the largest fractional remainders (budget·toks mod total, compared as exact integers — never float fractions), ties broken by source name; the allocation sums to the budget EXACTLY by construction, which float-rounded rate multiplication (q91/q99's per-row regime) cannot guarantee; the quota-vs-allocation report every mixture rebalance needs.",
+    tags=("training", "mixture", "apportionment"),
+)
+def q164_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning 'sample 12,347 documents proportionally to source token
+    mass' into integers that ADD UP: floor quotas under-allocate by
+    exactly (budget − Σ floors) units, and Hamilton's method hands
+    those to the largest remainders. Everything is exact 128-bit-safe
+    integer algebra (budget·toks ≤ 1e4·1e13 at petabyte scale —
+    decimal if ever needed); remainders compare as integers
+    (budget·toks mod total), never as float fractions whose rounding
+    could reorder near-ties; exact_quota is the one display double.
+    Scale shape: one (source) partial-agg exchange reduces the corpus
+    to |sources| rows; the remainder ranking is a window over that
+    bounded dimension table (sources are a catalog, not data) — the
+    fact table is read once. Invariant Σalloc = budget is pinned in
+    pytest, the property float-rate pipelines (q91's regime) only
+    approximate."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("toks")
+    )
+    tot = srcs.agg(F.sum("toks").cast("bigint").alias("t"))
+    q = srcs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        "t",
+        F.expr(f"({APPORTION_BUDGET} * toks) div t").alias("floor_alloc"),
+        (F.lit(APPORTION_BUDGET) * F.col("toks") % F.col("t")).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    wall = Window.partitionBy()
+    ranked = q.select(
+        "source",
+        "toks",
+        "t",
+        "floor_alloc",
+        F.row_number().over(wr).cast("bigint").alias("rr"),
+        (F.lit(APPORTION_BUDGET) - F.sum("floor_alloc").over(wall))
+        .cast("bigint")
+        .alias("extras"),
+    )
+    return ranked.select(
+        "source",
+        "toks",
+        F.col("floor_alloc").cast("bigint").alias("floor_alloc"),
+        (F.col("rr") <= F.col("extras")).alias("got_extra"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("extras"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc"),
+        # same pinned DAG as the oracle: exact integer product cast to
+        # double, then ONE division (not double*double, which would
+        # diverge once budget*toks exceeds 2^53)
+        (
+            (F.lit(APPORTION_BUDGET) * F.col("toks")).cast("double")
+            / F.col("t").cast("double")
+        ).alias("exact_quota"),
+    ).orderBy("source")

@@ -135,6 +135,7 @@ SF01_QUERIES = [
     "q161_linear_interpolate",
     "q162_bollinger",
     "q163_quantile_normalize",
+    "q164_budget_apportion",
 ]
 
 

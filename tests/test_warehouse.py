@@ -1159,3 +1159,34 @@ def test_quantile_normalize_python_brute_force_and_invariants(spark):
         rs.sort(key=lambda r: r.src_pct)
         assert all(a.norm_chars <= b.norm_chars for a, b in zip(rs, rs[1:]))
         assert rs[-1].norm_chars == gmax
+
+
+def test_budget_apportion_sums_exactly_and_matches_hamilton(spark):
+    """q164: the defining invariant — allocations sum to the budget
+    EXACTLY — plus a full Python Hamilton recompute (floor quotas,
+    integer remainders, deterministic tie-break) and the fairness
+    bound |alloc − exact_quota| < 1 for every source."""
+    import duckdb
+
+    from pandamapreduce_spark.functions import tokens_sql
+    from pandamapreduce_spark.plans.training import APPORTION_BUDGET
+
+    toks = dict(
+        duckdb.sql(
+            f"SELECT source, sum(len({tokens_sql('text')})) FROM"
+            f" read_parquet('{SF_DIR}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    )
+    t = sum(toks.values())
+    floors = {s: (APPORTION_BUDGET * v) // t for s, v in toks.items()}
+    rems = {s: (APPORTION_BUDGET * v) % t for s, v in toks.items()}
+    extras = APPORTION_BUDGET - sum(floors.values())
+    order = sorted(toks, key=lambda s: (-rems[s], s))
+    want = {s: floors[s] + (1 if i < extras else 0) for i, s in enumerate(order)}
+    rows = REGISTRY["q164_budget_apportion"].build(spark, SF_DIR).collect()
+    assert sum(r.alloc for r in rows) == APPORTION_BUDGET
+    assert 0 < extras  # remainder distribution actually exercised
+    for r in rows:
+        assert r.alloc == want[r.source], (r.source, r.alloc, want[r.source])
+        assert r.got_extra == (want[r.source] > floors[r.source])
+        assert abs(r.alloc - r.exact_quota) < 1.0  # Hamilton stays within quota
