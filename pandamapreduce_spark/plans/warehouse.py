@@ -1125,3 +1125,104 @@ def q160_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+# --- q165: functional-dependency / uniqueness profiling --------------------
+
+#: (table, determinant, dependent) candidates to profile. A pair is a
+#: functional dependency iff no determinant value maps to two distinct
+#: dependent values; `dependent = None` profiles key uniqueness.
+FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_nationkey"),   # PK → anything: holds
+    ("orders", "o_custkey", "o_orderpriority"),  # expected to FAIL
+    ("lineitem", "l_orderkey", "l_suppkey"),     # multi-line orders: FAIL
+    ("orders", "o_orderkey", None),              # uniqueness audit
+)
+
+
+def _fd_sql(tbl: str, det: str, dep: str | None) -> str:
+    if dep is None:
+        return f"""
+    SELECT '{tbl}: {det} unique' AS candidate,
+           cast(count(*) as bigint) AS n_det,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) as bigint) AS violating_keys,
+           cast(max(cnt) as bigint) AS worst_fanout,
+           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {det}, cast(count(*) as bigint) AS cnt FROM {tbl} GROUP BY {det})
+    """
+    return f"""
+    SELECT '{tbl}: {det} -> {dep}' AS candidate,
+           cast(count(DISTINCT {det}) as bigint) AS n_det,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) as bigint) AS violating_keys,
+           cast(max(fan) as bigint) AS worst_fanout,
+           sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (
+      SELECT {det}, cast(count(DISTINCT {dep}) as bigint) AS fan
+      FROM {tbl} GROUP BY {det}
+    ) sub({det}, fan)
+    """
+
+
+@query(
+    "q165_fd_discovery",
+    oracle="\n    UNION ALL\n".join(
+        _fd_sql(*c) for c in FD_CANDIDATES
+    )
+    + "\n    ORDER BY candidate",
+    doc="Functional-dependency / uniqueness profiling (schema discovery): per candidate (determinant → dependent), the distinct-determinant count, distinct (det, dep) pair count, number of determinants mapping to >1 dependent value, the worst fan-out, and whether the FD holds — plus PK-uniqueness audits as the dep=NULL degenerate case; the metadata-inference pass (dbt tests / Deequ isUnique / hasUniqueness) run before trusting join keys at 100 TB; exact integer counting only, nothing but (det, dep) pairs ever shuffles.",
+    tags=("quality", "profiling", "fd"),
+)
+def q165_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema semantics you can't read from types: which columns
+    determine which, and which 'keys' are actually unique — wrong
+    assumptions here turn 100 TB joins into fan-out explosions (q155
+    forecasts the size; this explains WHY). Per candidate: group by
+    the determinant counting DISTINCT dependents (fan), then reduce to
+    the violation profile; uniqueness is the dep-less degenerate
+    (fan = row count per key). All exact integer counting; `holds` is
+    an integer comparison. Scale shape per candidate: one (det) or
+    (det, dep) partial-agg exchange — distinct-pair rows, never wider
+    — then a constant-size aggregate; candidates are independent and
+    union into a fixed |candidates|-row report."""
+    parts = []
+    for tbl, det, dep in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        if dep is None:
+            counts = t.groupBy(F.col(det).alias("k")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("fan")
+            )
+            label = f"{tbl}: {det} unique"
+            n_det = F.count(F.lit(1)).cast("bigint")
+            n_pairs = F.count(F.lit(1)).cast("bigint")
+        else:
+            counts = t.groupBy(F.col(det).alias("k")).agg(
+                F.count_distinct(F.col(dep)).cast("bigint").alias("fan")
+            )
+            label = f"{tbl}: {det} -> {dep}"
+            n_det = F.count(F.lit(1)).cast("bigint")
+            n_pairs = F.sum("fan").cast("bigint")
+        viol = F.sum(F.when(F.col("fan") > 1, 1).otherwise(0)).cast("bigint")
+        parts.append(
+            counts.agg(
+                n_det.alias("n_det"),
+                (n_pairs if dep is not None else n_det).alias("n_pairs"),
+                viol.alias("violating_keys"),
+                F.max("fan").cast("bigint").alias("worst_fanout"),
+                (
+                    F.sum(F.when(F.col("fan") > 1, 1).otherwise(0)) == 0
+                ).alias("holds"),
+            ).select(
+                F.lit(label).alias("candidate"),
+                "n_det",
+                "n_pairs",
+                "violating_keys",
+                "worst_fanout",
+                "holds",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("candidate")
