@@ -30,67 +30,22 @@ from pandamapreduce_spark.plans import REGISTRY
 
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
-# Round-5 priority (VERDICT r4 #2 — the 35 round-2-stale cohort):
-# (a) queries changed this round — q66 (GK accuracy raised to 50000 so
-# the exactness regime covers sf0.1), q120 (second blocking pass),
-# plus any query new this round; (b) the 35 greens last windowed in
-# round 2; (c) round-3-only greens as regression sentinels,
-# oldest-first, filling the remaining slots. Entries beyond the window
-# stay covered by tests/test_oracle_parity.py at sf0.001 and this
-# session's full-registry driver emulation at sf0.01.
+# Round-6 priority (VERDICT r5 #3 — complete the stale-green rotation):
+# (a) queries changed or new this round — q165 (oracle n_pairs fixed to
+# sum(fan), the r5 wrong answer), q128 (hist array flattened to
+# hist_0..hist_7 scalar columns so the driver's canonicalizer can hash
+# it), plus round-6 additions; (b) the 29 queries whose driver green is
+# three rounds stale (last windowed r2: q45, q47-q49, q55-q58, q65,
+# q71, q74/q75/q77, q80-q94 incl. q87b) — ALL of them fit this round;
+# (c) the r3 cohort (q02/q04/q07-q14, q95-q104, q43/q43b/q52/q53) as
+# regression sentinels filling the remaining slots. Entries beyond the
+# window stay covered by tests/test_oracle_parity.py at sf0.001 and
+# this session's full-registry driver emulation at sf0.01.
 _WINDOW_PRIORITY = [
     # (a) changed or new this round
-    "q66_approx_quantiles",
-    "q120_fuzzy_join",
-    "q124_corpus_merge",
-    "q125_zorder_layout",
-    "q126_funnel",
-    "q127_cohort_retention",
+    "q165_fd_discovery",
     "q128_column_stats",
-    "q129_pagerank",
-    "q130_scd2_history",
-    "q131_copurchase",
-    "q132_constraint_audit",
-    "q133_robust_outliers",
-    "q134_snapshot_diff",
-    "q135_incremental_agg",
-    "q136_triangle_count",
-    "q137_interval_join",
-    "q138_skyline",
-    "q139_transitions",
-    "q140_extended_stats",
-    "q141_pps_sample",
-    "q142_group_ols",
-    "q143_twap",
-    "q144_cdc_apply",
-    "q145_weighted_percentiles",
-    "q146_ab_test",
-    "q147_set_similarity_join",
-    "q148_hybrid_rrf",
-    "q149_ohlc_bars",
-    "q150_compaction_plan",
-    "q151_skew_profile",
-    "q152_ewma",
-    "q153_benford_audit",
-    "q154_source_drift",
-    "q155_join_forecast",
-    "q156_anti_entropy",
-    "q157_stream_cdc",
-    "q158_cumulative_uniques",
-    "q159_independence_audit",
-    "q160_audience_overlap",
-    "q161_linear_interpolate",
-    "q162_bollinger",
-    "q163_quantile_normalize",
-    "q164_budget_apportion",
-    # (b) round-2-stale cohort, full rotation
-    "q03_top_orders",
-    "q05_revenue_by_nation",
-    "q32_minhash_lsh_candidates",
-    "q33_neardup_verified",
-    "q36_pivot",
-    "q37_grouping_sets",
-    "q44_range_join",
+    # (b) round-2-stale cohort — the full 29, nothing displaced
     "q45_cogroup",
     "q47_kmeans_assign",
     "q48_gemv",
@@ -109,15 +64,10 @@ _WINDOW_PRIORITY = [
     "q82_exists_semi",
     "q83_range_frame_window",
     "q84_rolling_fingerprint",
-    # Entries from here down sit just past the ~50-query driver
-    # window (the 33 new/changed entries above fill slots the
-    # r2-stale cohort would have taken; q151-q154 landed late-round
-    # and pushed the boundary 4 names up) — all stay covered by
-    # test_oracle_parity + this session's 151/151 sf0.01 full-registry
-    # emulation and rotate with the r3 cohort in round 6.
     "q85_train_split",
     "q86_quality_deciles",
     "q87_hybrid_neardup",
+    "q87b_hybrid_neardup_ann",
     "q88_contamination",
     "q89_stratified_sample",
     "q90_sequence_packing",
@@ -125,9 +75,34 @@ _WINDOW_PRIORITY = [
     "q92_boilerplate_blocks",
     "q93_repetition_score",
     "q94_dedup_clusters",
-    # (the full 38-query r3 cohort rotates in round 6 — the 25 new/
-    # changed entries above plus the r2-stale rotation fill the
-    # window)
+    # (c) r3 cohort sentinels, filling the window
+    "q02_filter_project",
+    "q04_order_priority",
+    "q07_distinct",
+    "q08_orderby_limit",
+    "q09_group_having",
+    "q10_window_topk_per_group",
+    "q11_window_running_sum",
+    "q12_sessionize",
+    "q13_set_ops",
+    "q14_rollup",
+    "q43_asof_join",
+    "q43b_asof_forward_tolerance",
+    "q52_terasort",
+    "q53_teravalidate",
+    "q95_unpivot",
+    "q96_vocab_build",
+    "q97_embedding_centroids",
+    "q98_pii_scrub",
+    "q99_temperature_mixture",
+    # Entries from here down sit just past the ~50-query driver
+    # window; they rotate forward in round 7 with the r4/r5 cohorts
+    # (all 49 of which were driver-green in r5's window).
+    "q100_global_quality_deciles",
+    "q101_bigram_nll",
+    "q102_context_chunks",
+    "q103_dedup_keep_best",
+    "q104_cms_heavy_hitters",
 ]
 
 

@@ -25,15 +25,32 @@ from pandamapreduce_spark.session import get_spark
 def _load_bench_record(path: str) -> dict:
     """Parsed payload of one recorded BENCH_r*.json round.
 
-    The driver stores its own parse under ``"parsed"`` — but it
-    captures only the TAIL of stdout, so a round whose result line
-    grew too long (r4: the line carried the disk-calibration prose)
-    has ``"parsed": null`` and the history would silently vanish from
-    the noise guard (VERDICT r4 wrong#1). Fall back to re-parsing the
-    ``tail`` text: the per-query timings dict and the sf field survive
-    truncation because they sit early in the line."""
+    Prefer the repo's OWN sidecar (docs/BENCH_LOCAL_rNN.json, written
+    by this script at the end of every run): the driver record
+    captures only a bounded tail of stdout and has now lost history
+    from BOTH sides (r4: an overlong result line truncated at the end;
+    r5: a post-result StateStore shutdown trace beheaded the line —
+    VERDICT r5 wrong#3). The sidecar is the full payload, immune to
+    capture-window accidents.
+
+    Driver-record fallback chain: the driver's own ``"parsed"`` dict,
+    else re-parse the ``tail`` text (the per-query timings dict
+    survives END-truncation because it sits early in the line)."""
     import re
 
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs",
+        "BENCH_LOCAL_" + os.path.basename(path).split("_", 1)[-1],
+    )
+    if os.path.exists(side):
+        try:
+            with open(side) as fh:
+                rec = json.load(fh)
+            if isinstance(rec, dict) and rec.get("queries"):
+                return rec
+        except Exception:
+            pass
     try:
         with open(path) as fh:
             rec = json.load(fh)
@@ -65,7 +82,13 @@ def _best_bench_value(key: str, sf) -> float | None:
     must not compare against sf0.1 history."""
     here = os.path.dirname(os.path.abspath(__file__))
     vals = []
-    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    # Union of driver records and sidecar-only rounds (a sidecar with
+    # no driver record yet = the current round's own earlier run).
+    rounds = {os.path.basename(f): f for f in glob.glob(os.path.join(here, "BENCH_r*.json"))}
+    for f in glob.glob(os.path.join(here, "docs", "BENCH_LOCAL_r*.json")):
+        name = "BENCH_" + os.path.basename(f).split("_", 2)[-1]
+        rounds.setdefault(name, os.path.join(here, name))
+    for f in rounds.values():
         parsed = _load_bench_record(f)
         if parsed.get("sf") != sf:
             continue
@@ -222,8 +245,37 @@ def main() -> None:
         "hsph_at_sf": hsph,
         "deltas_vs_prev": deltas,
     }
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+
+    # Capture-proofing (VERDICT r5 wrong#3): (a) persist the full
+    # payload to a repo sidecar so no stdout capture window can lose a
+    # round's history again; (b) stop any active streaming query BEFORE
+    # printing so no StateStore maintenance-thread shutdown trace lands
+    # after the result line; (c) print the payload FIRST and LAST —
+    # whatever JVM shutdown noise still appears sits between two
+    # complete copies, so both head- and tail-truncation survive.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_rounds = [
+        int(os.path.basename(f)[7:-5])
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if os.path.basename(f)[7:-5].isdigit()
+    ]
+    this_round = (max(prev_rounds) + 1) if prev_rounds else 1
+    side = os.path.join(here, "docs", f"BENCH_LOCAL_r{this_round:02d}.json")
+    try:
+        with open(side, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except Exception as e:
+        print(f"# sidecar write skipped: {e}", file=sys.stderr)
+    for sq in spark.streams.active:
+        try:
+            sq.stop()
+        except Exception:
+            pass
+    print(line)
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1026,10 +1026,10 @@ HIST_BUCKETS = 8
            cast(count(*) - count({c}) as bigint) AS n_null,
            cast(count(distinct {c}) as bigint) AS ndv,
            min({c}) AS min_v, max({c}) AS max_v,
-           [{", ".join(
-               f"cast(sum(case when least(cast(floor(({c} - (SELECT min({c}) FROM lineitem)) * {HIST_BUCKETS}.0 / ((SELECT max({c}) FROM lineitem) - (SELECT min({c}) FROM lineitem))) as bigint), {HIST_BUCKETS - 1}) = {i} then 1 else 0 end) as bigint)"
+           {", ".join(
+               f"cast(sum(case when least(cast(floor(({c} - (SELECT min({c}) FROM lineitem)) * {HIST_BUCKETS}.0 / ((SELECT max({c}) FROM lineitem) - (SELECT min({c}) FROM lineitem))) as bigint), {HIST_BUCKETS - 1}) = {i} then 1 else 0 end) as bigint) AS hist_{i}"
                for i in range(HIST_BUCKETS)
-           )}] AS hist
+           )}
     FROM lineitem"""
         for c in STATS_COLS
     )
@@ -1079,12 +1079,15 @@ def q128_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count_distinct(F.col(c)).alias("ndv"),
                 F.min(c).alias("min_v"),
                 F.max(c).alias("max_v"),
-                F.array(
-                    *[
-                        F.sum(F.when(bucket == i, 1).otherwise(0)).cast("bigint")
-                        for i in range(HIST_BUCKETS)
-                    ]
-                ).alias("hist"),
+                # one scalar column per bucket (hist_0..hist_7): the
+                # driver's pandas canonicalizer sorts by every column and
+                # cannot hash array cells, so the histogram must stay flat.
+                *[
+                    F.sum(F.when(bucket == i, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"hist_{i}")
+                    for i in range(HIST_BUCKETS)
+                ],
             )
         )
     out = parts[0]

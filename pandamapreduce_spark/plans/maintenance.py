@@ -85,8 +85,9 @@ def q134_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact integer algebra) so the hash pins membership, not just
     counts. At 100 TB both scans are parquet-pruned to the fingerprint
     columns and the join is a plain hash join on the key; AQE handles
-    the skewless balance. Planted populations: every 97th key removed,
-    every 89th added, every 13th surviving key changed."""
+    the skewless balance. Planted populations: every 97th key added (absent from
+    base, present only in curr), every 89th removed (present only in
+    base), every 13th surviving key changed."""
     o = load_table(spark, sf_dir, "orders")
     base = o.where(F.col("o_orderkey") % BASE_DROP_MOD != 0).select(
         F.col("o_orderkey").alias("k"), _fp_col().alias("fp")

@@ -1048,9 +1048,6 @@ def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).cast("bigint").alias("r"),
         F.count(F.lit(1)).over(wn).cast("bigint").alias("ns"),
     )
-    g_pos = ((F.col("r") * F.lit(total) + F.col("ns") - 1) / F.col("ns")).cast(
-        "bigint"
-    )
     # integer ceil-div: (r*N + ns - 1) div ns — keep it in longs
     g_pos = F.expr(f"(r * {total} + ns - 1) div ns")
     return (

@@ -1154,7 +1154,7 @@ def _fd_sql(tbl: str, det: str, dep: str | None) -> str:
     return f"""
     SELECT '{tbl}: {det} -> {dep}' AS candidate,
            cast(count(DISTINCT {det}) as bigint) AS n_det,
-           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(fan) as bigint) AS n_pairs,
            cast(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) as bigint) AS violating_keys,
            cast(max(fan) as bigint) AS worst_fanout,
            sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0 AS holds

@@ -39,10 +39,45 @@ def canon(df, float_places: int = 6):
     return rows
 
 
+def _assert_canon_hashable(name, got):
+    """Driver-canon hazard guard (VERDICT r5 #2/#9): the driver's pandas
+    canonicalizer sorts by every column and hashes values, so (a) no
+    cell may be a list/array (unhashable — q128's original sin), and
+    (b) float columns must not carry NaN/Inf, whose cross-engine
+    representation the hash comparison can't be trusted on."""
+    for col in got.columns:
+        s = got[col]
+        if s.dtype == object and any(
+            isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>")
+            for v in s.head(50)
+        ):
+            raise AssertionError(f"{name}.{col}: non-scalar cells break driver canon")
+        if s.dtype.kind == "f":
+            bad = s[~s.apply(math.isfinite)]
+            assert bad.empty, f"{name}.{col}: NaN/Inf values {bad.head().tolist()}"
+
+
+def test_registry_schemas_scalar_only(spark):
+    """Every registered query's OUTPUT SCHEMA must be atomic-typed —
+    no array/map/struct columns ever reach the driver's canonicalizer
+    (the q128 class, closed for good). Schema-only: builds each plan
+    lazily, executes nothing heavier than the bounded driver summaries
+    some plans compute while building."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, q in REGISTRY.items():
+        for f in q.build(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, oracle, name):
     q = REGISTRY[name]
     got = q.build(spark, SF_DIR).toPandas()
+    _assert_canon_hashable(name, got)
     want = oracle.execute(q.oracle).df()
 
     assert list(sorted(got.columns)) == list(sorted(want.columns)), f"{name}: column names differ"
