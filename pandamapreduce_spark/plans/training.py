@@ -516,6 +516,133 @@ def q93_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20
 
 
+def connected_components(
+    edges: DataFrame, strategy: str = "label_prop", max_iters: int = CC_MAX_ITERS
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected edge list ``(doc_a,
+    doc_b)`` → ``(doc_id, label)`` with label = component minimum,
+    plus the number of iterations actually run.
+
+    Two strategies, same answer:
+
+    - ``label_prop`` — iterative min-label propagation: each round
+      every node takes the min of its own and its neighbors' labels.
+      One join + one partial-agg groupBy per round on (node, label)
+      pairs; converges in O(diameter) rounds. The production default
+      for near-dup graphs, whose clusters are shallow (diameter ≤ 3-4
+      hops), so 2-3 rounds beat the two-phase setup cost.
+
+    - ``two_phase`` — alternating large-star/small-star rewiring
+      (the public MapReduce CC algorithm of Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", also the shape
+      GraphFrames uses): large-star hangs every larger neighbor of u
+      onto min(N(u) ∪ u); small-star hangs the smaller neighbors.
+      Each round shuffles only canonical (hi, lo) node pairs and
+      STRICTLY shrinks path lengths multiplicatively, so convergence
+      is O(log n) rounds on ANY graph — the escalation for
+      adversarial-diameter graphs (long chains, web-graph tendrils)
+      where label_prop's O(diameter) rounds would dominate. At
+      convergence the edge set IS the answer: a star forest with
+      every node attached directly to its component minimum.
+
+    Both converge-check with a count (never a collect). Per-round
+    state is cut over with an EAGER ``localCheckpoint``, not a bare
+    persist: persist truncates re-EXECUTION but not the logical plan,
+    so Catalyst re-analyzes a plan that doubles every round and
+    analysis time itself goes exponential past ~10 iterations
+    (measured: 1.2 s/round at iter 2 → 9.5 s at iter 5 on an 18-row
+    chain). Checkpointing resets the lineage to the materialized
+    result each round — constant per-round cost, which is what an
+    O(log n)-round algorithm needs to actually BE O(log n). On a
+    cluster the same cutover is ``checkpoint()`` to the reliable
+    store; local mode uses the executor-local variant."""
+    if strategy == "two_phase":
+        # canonical (hi, lo) pairs, hi > lo — the only shuffled shape
+        e = scoped_persist(
+            edges.select(
+                F.greatest("doc_a", "doc_b").alias("hi"),
+                F.least("doc_a", "doc_b").alias("lo"),
+            )
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        iters = 0
+        for _ in range(max_iters):
+            iters += 1
+            # large-star over the symmetric view: per node u, attach
+            # every neighbor v > u to m = min(N(u) ∪ {u})
+            sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+                e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            )
+            mn = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+            m = F.least(F.col("u"), F.col("nbr_min"))
+            large = (
+                sym.join(mn, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("hi"), m.alias("lo"))
+                .where(F.col("hi") != F.col("lo"))
+                .distinct()
+            )
+            # small-star over canonical pairs: per hub, rewire every
+            # smaller neighbor (and the hub) onto the minimum
+            mn2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+            j = large.join(mn2, "hi")
+            new_e = (
+                j.where(F.col("lo") != F.col("m"))
+                .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+                .union(mn2.select(F.col("hi"), F.col("m").alias("lo")))
+                .where(F.col("hi") != F.col("lo"))
+                .distinct()
+                .localCheckpoint()
+            )
+            # fixpoint = identical edge sets; both sides canonical +
+            # distinct, so equal counts + empty difference suffice —
+            # and the difference short-circuits on count alone almost
+            # every converged round
+            changed = new_e.count() != e.count() or new_e.exceptAll(e).count() > 0
+            e = new_e
+            if not changed:
+                break
+        labels = e.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label")).union(
+            e.select(F.col("lo").alias("doc_id"), F.col("lo").alias("label"))
+        )
+        return labels.groupBy("doc_id").agg(F.min("label").alias("label")), iters
+
+    sym = edges.select(F.col("doc_a"), F.col("doc_b")).union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    e = scoped_persist(sym.where(F.col("doc_a") != F.col("doc_b")).distinct())
+    labels = scoped_persist(
+        e.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    )
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        neigh = (
+            e.join(labels, e["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels, iters
+
+
 @query(
     "q94_dedup_clusters",
     oracle="""
@@ -539,20 +666,21 @@ CC_MAX_ITERS = 20
     doc="Near-dup cluster resolution: connected components over verified LSH pairs (iterative min-label propagation); canonical root + size per member.",
     tags=("training", "dedup", "iterative"),
 )
-def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q94_dedup_clusters(
+    spark: SparkSession, sf_dir: str, strategy: str = "label_prop"
+) -> DataFrame:
     """Production dedup keeps ONE doc per near-dup cluster, not per
     pair: q33's verified pairs are edges; connected components give
     each member its cluster root (the minimum doc_id — the canonical
     survivor) and cluster size.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; stops
-    when a round changes nothing (≤ graph diameter rounds; near-dup
-    clusters are shallow). Each round is one join + one partial-agg
-    groupBy on (node, label) pairs only; convergence is checked with a
-    count, not a collect. For adversarially deep graphs the same loop
-    body accepts the large-star/small-star rewiring, which converges
-    in O(log n) rounds.
+    Both :func:`connected_components` strategies return the identical
+    frame here (pytest-pinned): ``label_prop`` (the default — near-dup
+    clusters are shallow, so O(diameter) rounds means 2-3) and the
+    ``two_phase`` large-star/small-star rewiring whose O(log n) rounds
+    are the escalation for adversarial-diameter graphs (the planted
+    17-node-path pytest pins it to ≤7 rounds where label_prop needs
+    the full 17 diameter-bound rounds).
 
     This is the one iterative operator WITH a full value-hash oracle:
     DuckDB computes the same components via a recursive CTE.
@@ -560,30 +688,7 @@ def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandamapreduce_spark.plans.dedup import q33_neardup_verified
 
     pairs = q33_neardup_verified(spark, sf_dir).select("doc_a", "doc_b")
-    edges = scoped_persist(pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))))
-    labels = scoped_persist(edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id")))
-    for _ in range(CC_MAX_ITERS):
-        neigh = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # scoped: the winning iteration's labels feed the returned plan
-        # (superseded iterations are unpersisted eagerly below)
-        new_labels = scoped_persist(
-            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
-            .select("doc_id", F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    labels, _ = connected_components(pairs, strategy=strategy)
     w = Window.partitionBy("cluster_root")
     return (
         labels.select("doc_id", F.col("label").alias("cluster_root"))
