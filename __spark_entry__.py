@@ -45,6 +45,10 @@ _WINDOW_PRIORITY = [
     # (a) changed or new this round
     "q165_fd_discovery",
     "q128_column_stats",
+    "q166_mutual_knn",
+    "q167_attribution",
+    "q168_scd2_pit_join",
+    "q94_dedup_clusters",  # CC internals gained the two_phase strategy
     # (b) round-2-stale cohort — the full 29, nothing displaced
     "q45_cogroup",
     "q47_kmeans_assign",
@@ -74,7 +78,7 @@ _WINDOW_PRIORITY = [
     "q91_source_mixture",
     "q92_boilerplate_blocks",
     "q93_repetition_score",
-    "q94_dedup_clusters",
+    # (q94 is listed in section (a): changed this round)
     # (c) r3 cohort sentinels, filling the window
     "q02_filter_project",
     "q04_order_priority",

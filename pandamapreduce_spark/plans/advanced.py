@@ -2096,3 +2096,64 @@ def q162_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sigma"),
         (dev * dev > F.lit(BOLL_K * BOLL_K) * varn2).alias("is_breakout"),
     ).orderBy("event_type", "hour")
+
+
+# --- q167: last-touch attribution -----------------------------------------
+
+
+@query(
+    "q167_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           cast(count(*) as bigint) AS n_purchases,
+           cast(count(DISTINCT user_id) as bigint) AS n_buyers,
+           cast(round(sum(cast(value as decimal(18,6))), 2) as double) AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+    doc="Last-touch attribution: each purchase's value credits the user's most recent preceding non-purchase event type ('direct' when none) — one per-user window exchange, then a |event-type|-row report; exact-decimal value sums.",
+    tags=("events", "attribution", "window"),
+)
+def q167_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marketing/warehouse attribution operator (the GA4 /
+    'last non-direct click' model): scan the event stream per user in
+    (ts, event_id) order, carry the most recent NON-purchase event
+    type forward, and credit each purchase's value to it — purchases
+    with no prior touch are 'direct'. Sibling of q126 (fixed funnel) /
+    q139 (transition matrix): those count flows, this allocates value.
+
+    Scale shape: ONE hash exchange on user_id serves the single
+    last(ignorenulls) window (per-user state = one string); the
+    aggregate then shuffles only (channel) keys — the report is
+    bounded by the event-type vocabulary. Value sums ride the
+    established exact-decimal bridge (decimal(18,6) sum, one round →
+    double), so engine-side summation order cannot move the hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_buyers"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -574,3 +574,85 @@ def q148_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_TOPK)
         .select("doc_id", "rank_lex", "rank_sem", "rrf")
     )
+
+
+# --- q166: mutual k-NN graph ----------------------------------------------
+
+MUTUAL_K = 5
+
+
+@query(
+    "q166_mutual_knn",
+    oracle=f"""
+    WITH knn AS (
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {cosine_sql("a.embedding", "b.embedding")} AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cosine_sql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= {MUTUAL_K}
+    )
+    SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
+           f.rank AS rank_ab, r.rank AS rank_ba, f.cos_sim
+    FROM knn f JOIN knn r
+      ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+    WHERE f.query_id < f.neighbor_id
+    ORDER BY vec_a, vec_b
+    """,
+    doc=f"Mutual k-NN graph over the embedding corpus: cosine top-{MUTUAL_K} per vector, keep only RECIPROCATED pairs (each inside the other's top-{MUTUAL_K}) — the symmetrized neighborhood graph density-based clustering and embedding near-dup build on; exact brute-force contract, bucketed (q41) / IVF (q55) candidate generation is the documented scale path.",
+    tags=("similarity", "knn", "graph"),
+)
+def q166_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph SYMMETRIZATION: a directed cosine top-k edge is kept
+    only if reciprocated — mutual edges are robust to hubness (a hub
+    appears in everyone's top-k but reciprocates only its true
+    neighbors), which is why mutual-kNN is the standard input to
+    density clustering (DBSCAN-family), manifold methods, and
+    embedding-space near-dup mining on top of the q94 components.
+
+    Scale shape: the exact contract is the all-pairs rank (the fixture
+    corpus is small; the window partitions by query so parallelism =
+    corpus splits), and the answer-defining step — the RECIPROCITY
+    join — runs on the top-k edge list, n·k rows of 4 scalars, an
+    equi-join on the (a,b)=(b,a) key pair. At billion-vector scale the
+    directed edge list comes from q41's sign-LSH buckets or q55's IVF
+    probes instead (candidate generation swaps, reciprocity layer is
+    UNCHANGED), which is exactly how FAISS/ScaNN pipelines build
+    mutual graphs. cos_sim is one fused JVM-side dot/norm expression
+    per pair (identical IEEE sequence to the oracle's
+    list_dot_product form, q40's proven contract)."""
+    from pandamapreduce_spark.caching import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    a = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    knn = (
+        a.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("a_emb"), F.col("b_emb")).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MUTUAL_K)
+    )
+    knn = scoped_persist(knn)  # both sides of the reciprocity join read it
+    rev = knn.select(
+        F.col("query_id").alias("r_query"),
+        F.col("neighbor_id").alias("r_neighbor"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        knn.join(
+            rev,
+            (F.col("query_id") == F.col("r_neighbor"))
+            & (F.col("neighbor_id") == F.col("r_query")),
+        )
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            F.col("rank").alias("rank_ab"),
+            "rank_ba",
+            "cos_sim",
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -209,10 +209,9 @@ def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD_OPEN_END = "9999-12-31"  # classic open-ended effective_to sentinel
 
-
-@query(
-    "q130_scd2_history",
-    oracle=f"""
+#: q130's history relation, shared verbatim with q168's oracle (the
+#: point-in-time join must read the SAME dimension the build emits)
+SCD2_HISTORY_SQL = f"""
     WITH o AS (
       SELECT o_custkey, cast(o_orderdate as date) AS od, o_orderpriority, o_orderkey
       FROM orders
@@ -232,8 +231,12 @@ SCD_OPEN_END = "9999-12-31"  # classic open-ended effective_to sentinel
            coalesce(cast(lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) as varchar), '{SCD_OPEN_END}') AS eff_to,
            cast(CASE WHEN lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) IS NULL THEN 1 ELSE 0 END as bigint) AS is_current
     FROM c
-    ORDER BY custkey, version
-    """,
+"""
+
+
+@query(
+    "q130_scd2_history",
+    oracle=SCD2_HISTORY_SQL + "    ORDER BY custkey, version",
     doc="SCD Type-2 dimension build: per-customer order-priority change history as versioned (eff_from, eff_to] intervals — consecutive-duplicate collapse via lag, open-ended current row, deterministic (date, orderkey) ordering.",
     tags=("warehouse", "scd2", "window"),
 )
@@ -1226,3 +1229,81 @@ def q165_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("candidate")
+
+
+# --- q168: SCD2 point-in-time (temporal) join -----------------------------
+
+
+@query(
+    "q168_scd2_pit_join",
+    oracle=f"""
+    WITH hist AS ({SCD2_HISTORY_SQL}),
+    f AS (
+      SELECT o_custkey AS custkey, cast(cast(l_shipdate as date) as varchar) AS sd,
+             l_extendedprice, l_discount
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT coalesce(h.priority, '(none)') AS priority_at_ship,
+           cast(count(*) as bigint) AS n_items,
+           cast(count(DISTINCT f.custkey) as bigint) AS n_customers,
+           cast(round(sum(cast(l_extendedprice as decimal(18,6)) * cast((1 - l_discount) as decimal(18,6))), 2) as double) AS revenue
+    FROM f LEFT JOIN hist h
+      ON f.custkey = h.custkey AND h.eff_from <= f.sd AND f.sd < h.eff_to
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="SCD2 point-in-time join: each lineitem LEFT-joins the q130 dimension version valid AT its ship date ([eff_from, eff_to) membership — at most one version per fact; the fixture's planted ship-before-order rows land in an explicit '(none)' bucket, so the fact count is preserved), then revenue rolls up by the priority the customer had WHEN the item shipped; the feature-store leakage guard (a join against is_current would read the future).",
+    tags=("warehouse", "scd2", "temporal-join"),
+)
+def q168_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal companion of q130's dimension build: facts must
+    join the dimension AS OF their own event time, never the current
+    row — the point-in-time correctness rule every ML feature store
+    enforces against label leakage, and what `FOR SYSTEM_TIME AS OF`
+    does in temporal SQL. [eff_from, eff_to) intervals partition each
+    customer's timeline from their first order date, so interval
+    membership matches AT MOST ONE version per fact (no post-rank
+    needed); facts dated BEFORE the dimension existed — the fixture's
+    planted ship-before-order rows, the ones q132's c7 audit fires on
+    — get an explicit '(none)' bucket via the left join rather than
+    silently dropping, so the fact count is provably preserved
+    (pytest-pinned).
+
+    Scale shape: one equi-join on custkey with the interval predicates
+    as join residuals — fan-out before filtering is the customer's
+    version count (bounded by entity activity, the q130 SCD
+    assumption), so no wedge blow-up; the rollup then shuffles only
+    the 5-value priority domain. Dates compare as yyyy-MM-dd TEXT
+    (lexicographic = chronological) on both engines; revenue rides the
+    exact-decimal product/sum bridge. At 100 TB the same plan holds:
+    dimension history is millions of rows against billions of facts —
+    AQE broadcasts it when it fits, and the custkey hash join
+    co-locates otherwise."""
+    from pandamapreduce_spark.plans.numeric import dmul, dsum
+
+    hist = q130_scd2_history(spark, sf_dir).select(
+        F.col("custkey").alias("h_custkey"), "priority", "eff_from", "eff_to"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").cast("string").alias("sd"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    facts = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return (
+        facts.join(
+            hist,
+            (F.col("o_custkey") == F.col("h_custkey"))
+            & (F.col("eff_from") <= F.col("sd"))
+            & (F.col("sd") < F.col("eff_to")),
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("priority"), F.lit("(none)")).alias("priority_at_ship"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.count_distinct(F.col("o_custkey")).cast("bigint").alias("n_customers"),
+            dsum(dmul("l_extendedprice", F.lit(1) - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("priority_at_ship")
+    )

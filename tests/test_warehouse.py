@@ -1190,3 +1190,121 @@ def test_budget_apportion_sums_exactly_and_matches_hamilton(spark):
         assert r.alloc == want[r.source], (r.source, r.alloc, want[r.source])
         assert r.got_extra == (want[r.source] > floors[r.source])
         assert abs(r.alloc - r.exact_quota) < 1.0  # Hamilton stays within quota
+
+
+# --- round-6 lanes: q166 mutual kNN, q167 attribution, q168 PIT join ------
+
+
+def test_mutual_knn_matches_numpy_bruteforce(spark):
+    """q166 vs an independent numpy all-pairs recompute at sf0.001:
+    identical pair set, identical ranks, cosine within float-noise."""
+    import numpy as np
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.similarity import MUTUAL_K
+
+    got = REGISTRY["q166_mutual_knn"].build(spark, SF_DIR).toPandas()
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(norms, norms)
+    order = np.argsort(ids)
+    topk: dict[int, dict[int, int]] = {}
+    for i in range(len(ids)):
+        cands = sorted(
+            ((-cos[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:MUTUAL_K]
+        topk[ids[i]] = {vid: r + 1 for r, (_, vid) in enumerate(cands)}
+    want = sorted(
+        (a, b, topk[a][b], topk[b][a])
+        for a in topk
+        for b in topk[a]
+        if a < b and a in topk[b]
+    )
+    assert [tuple(r) for r in got[["vec_a", "vec_b", "rank_ab", "rank_ba"]].to_numpy()] == want
+    # cosine values: engine computes in double off float32 inputs, so
+    # compare against the float64 recompute loosely
+    idx = {ids[k]: k for k in range(len(ids))}
+    for r in got.itertuples(index=False):
+        assert abs(r.cos_sim - cos[idx[r.vec_a], idx[r.vec_b]]) < 1e-5
+    assert len(got) > 0
+
+
+def test_attribution_matches_pandas_bruteforce(spark):
+    """q167 vs a literal per-user event-walk in pandas at sf0.001."""
+    from pandamapreduce_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+    )
+    got = REGISTRY["q167_attribution"].build(spark, SF_DIR).toPandas()
+
+    agg: dict[str, list] = {}
+    for _, g in ev.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        touch = None
+        for r in g.itertuples(index=False):
+            if r.event_type == "purchase":
+                ch = touch or "direct"
+                agg.setdefault(ch, []).append((r.user_id, r.value))
+            else:
+                touch = r.event_type
+    assert sorted(got["channel"]) == sorted(agg)
+    for row in got.itertuples(index=False):
+        purchases = agg[row.channel]
+        assert row.n_purchases == len(purchases)
+        assert row.n_buyers == len({u for u, _ in purchases})
+        assert abs(row.attributed_value - round(sum(v for _, v in purchases), 2)) < 1e-6
+    # non-vacuous: both attributed and direct purchases exist
+    assert "direct" in agg and len(agg) > 1
+
+
+def test_scd2_pit_join_preserves_facts_and_totals(spark):
+    """q168: every lineitem lands in exactly one bucket — a dimension
+    version or the explicit '(none)' pre-history bucket (the fixture's
+    planted ship-before-order rows) — and revenue partitions the
+    ungrouped total."""
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.numeric import dmul, dsum
+
+    got = REGISTRY["q168_scd2_pit_join"].build(spark, SF_DIR).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_facts = li.count()
+    assert int(got["n_items"].sum()) == n_facts
+    total = li.agg(
+        dsum(dmul("l_extendedprice", F.lit(1) - F.col("l_discount"))).alias("rev")
+    ).first()["rev"]
+    # per-group decimal sums were rounded to cents before the double
+    # cast, so the regrouped total differs by at most half a cent per group
+    assert abs(got["revenue"].sum() - total) < 0.005 * len(got) + 1e-9
+    assert len(got) > 2  # priorities vary at ship time
+    # the planted ship-before-order rows make the pre-history bucket
+    # non-vacuous — the left join is load-bearing, not defensive
+    assert "(none)" in set(got["priority_at_ship"])
+
+
+def test_scd2_pit_join_matches_pandas_bruteforce(spark):
+    """q168's per-fact version pick vs a literal pandas interval scan."""
+    import pandas as pd
+
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.warehouse import q130_scd2_history
+
+    hist = q130_scd2_history(spark, SF_DIR).toPandas()
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate").toPandas()
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey").toPandas()
+    facts = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    facts["sd"] = pd.to_datetime(facts["l_shipdate"]).dt.strftime("%Y-%m-%d")
+    by_cust = {k: g for k, g in hist.groupby("custkey")}
+    counts: dict[str, int] = {}
+    for r in facts.itertuples(index=False):
+        h = by_cust[r.o_custkey]
+        m = h[(h["eff_from"] <= r.sd) & (r.sd < h["eff_to"])]
+        assert len(m) <= 1, (r.o_custkey, r.sd)
+        ch = m.iloc[0]["priority"] if len(m) == 1 else "(none)"
+        counts[ch] = counts.get(ch, 0) + 1
+    got = REGISTRY["q168_scd2_pit_join"].build(spark, SF_DIR).toPandas()
+    assert {r.priority_at_ship: r.n_items for r in got.itertuples(index=False)} == counts
