@@ -1475,3 +1475,114 @@ def q164_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("t").cast("double")
         ).alias("exact_quota"),
     ).orderBy("source")
+
+
+# --- q170: two-sample Kolmogorov-Smirnov drift ------------------------------
+
+
+@query(
+    "q170_ks_drift",
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, cast(count(*) as bigint) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    grid AS (
+      SELECT s.source, g.v
+      FROM (SELECT DISTINCT source FROM c) s CROSS JOIN (SELECT DISTINCT v FROM c) g
+    ),
+    cum AS (
+      SELECT grid.source, grid.v,
+             sum(coalesce(c.c, 0)) OVER (
+               PARTITION BY grid.source ORDER BY grid.v) AS cum_a
+      FROM grid LEFT JOIN c ON grid.source = c.source AND grid.v = c.v
+    ),
+    g AS (SELECT v, sum(cum_a) AS cum_g FROM cum GROUP BY v),
+    n AS (SELECT source, max(cum_a) AS n_a FROM cum GROUP BY source),
+    tot AS (SELECT sum(n_a) AS n FROM n),
+    dev AS (
+      SELECT cum.source,
+             abs(cum_a * (tot.n - n.n_a) - (g.cum_g - cum_a) * n.n_a) AS dv
+      FROM cum JOIN g USING (v) JOIN n ON cum.source = n.source, tot
+    )
+    SELECT dev.source AS source,
+           cast(n.n_a as bigint) AS n_docs,
+           cast(max(dev.dv) as double)
+             / (cast(n.n_a as double) * cast((tot.n - n.n_a) as double)) AS ks_d
+    FROM dev JOIN n ON dev.source = n.source, tot
+    GROUP BY dev.source, n.n_a, tot.n ORDER BY source
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift per source: exact sup-distance between each source's doc-length ECDF and the rest-of-corpus ECDF, evaluated on the pooled distinct-value grid; integer cross-multiplied deviations (exact), ONE final IEEE division per source.",
+    tags=("training", "drift", "stats"),
+)
+def q170_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic distribution-drift test, exactly: for each crawl
+    source, D = sup_x |ECDF_source(x) - ECDF_rest(x)| over document
+    length — the KS statistic a data-quality monitor thresholds to
+    catch a feed whose length profile shifted (truncation bugs,
+    boilerplate floods). Complements q154's token-mixture TV distance:
+    that watches WHAT the text says, this watches its SHAPE.
+
+    Exactness: the sup runs over the pooled distinct-value grid (the
+    ECDF difference only changes at sample points), and each deviation
+    is the integer cross-multiplication |cumA*nB - cumB*nA| — exact in
+    int64 (and below 2^53 for the final numerator) up to ~10^7 docs
+    per side; ONE IEEE division per source produces the double, so the
+    hash cannot move between engines.
+
+    Scale shape: counts collapse to (source, length) cells first —
+    the only row-count-sized shuffle is that partial agg; the grid is
+    |sources| x |distinct lengths| (domain-bounded: lengths are
+    integers, sources an enum), cumulative sums run in windows
+    PARTITIONED BY source (no global-order single-partition window),
+    and the pooled cum is a groupBy over the grid. At 100 TB with a
+    continuous metric, the same lane runs on a fixed binning of x —
+    the grid stays bounded; the statistic becomes the binned KS every
+    monitoring system actually deploys."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c = scoped_persist(c)
+    grid = c.select("source").distinct().crossJoin(c.select("v").distinct())
+    cum = (
+        grid.join(c, ["source", "v"], "left")
+        .withColumn(
+            "cum_a",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(
+                Window.partitionBy("source").orderBy("v")
+            ),
+        )
+        .drop("c")
+    )
+    cum = scoped_persist(cum)
+    g = cum.groupBy("v").agg(F.sum("cum_a").alias("cum_g"))
+    n = cum.groupBy("source").agg(F.max("cum_a").alias("n_a"))
+    tot = n.agg(F.sum("n_a").alias("n"))
+    dev = (
+        cum.join(g, "v")
+        .join(F.broadcast(n), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_a",
+            "n",
+            F.abs(
+                F.col("cum_a") * (F.col("n") - F.col("n_a"))
+                - (F.col("cum_g") - F.col("cum_a")) * F.col("n_a")
+            ).alias("dv"),
+        )
+    )
+    return (
+        dev.groupBy("source", "n_a", "n")
+        .agg(F.max("dv").alias("mx"))
+        .select(
+            "source",
+            F.col("n_a").cast("bigint").alias("n_docs"),
+            (
+                F.col("mx").cast("double")
+                / (F.col("n_a").cast("double") * (F.col("n") - F.col("n_a")).cast("double"))
+            ).alias("ks_d"),
+        )
+        .orderBy("source")
+    )

@@ -1308,3 +1308,68 @@ def test_scd2_pit_join_matches_pandas_bruteforce(spark):
         counts[ch] = counts.get(ch, 0) + 1
     got = REGISTRY["q168_scd2_pit_join"].build(spark, SF_DIR).toPandas()
     assert {r.priority_at_ship: r.n_items for r in got.itertuples(index=False)} == counts
+
+
+# --- round-6 lanes: q169 k-hop BFS, q170 KS drift --------------------------
+
+
+def test_khop_matches_python_bfs(spark):
+    """q169 vs a literal set-based BFS in Python at sf0.001."""
+    import collections
+
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.warehouse import KHOP_MAX, KHOP_SUPPORT, MAX_BASKET
+
+    got = REGISTRY["q169_khop_reach"].build(spark, SF_DIR).toPandas()
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_partkey", "p_brand"]]
+    items = li.drop_duplicates()
+    sizes = items.groupby("l_orderkey")["l_partkey"].transform("size")
+    items = items[sizes <= MAX_BASKET]
+    co = collections.Counter()
+    for _, grp in items.groupby("l_orderkey"):
+        pks = sorted(grp["l_partkey"])
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                co[(pks[i], pks[j])] += 1
+    adj = collections.defaultdict(set)
+    for (a, b), n in co.items():
+        if n >= KHOP_SUPPORT:
+            adj[a].add(b)
+            adj[b].add(a)
+    sb = part["p_brand"].min()
+    frontier = set(part.loc[part["p_brand"] == sb, "p_partkey"])
+    want = {pk: 0 for pk in frontier}
+    for h in range(1, KHOP_MAX + 1):
+        frontier = {b for a in frontier for b in adj[a]} - want.keys()
+        want.update({pk: h for pk in frontier})
+    assert dict(zip(got["p_partkey"], got["hops"])) == want
+    # the fixture exercises every hop level and leaves some parts unreached
+    assert set(got["hops"]) == set(range(KHOP_MAX + 1)) or len(want) == len(part)
+
+
+def test_ks_drift_matches_numpy_ecdf(spark):
+    """q170 vs a direct numpy ECDF sup-distance at sf0.001 — both the
+    exact integer formula (bitwise) and the naive float ECDF (1e-12)."""
+    import numpy as np
+    import pandas as pd
+
+    got = REGISTRY["q170_ks_drift"].build(spark, SF_DIR).toPandas()
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["source", "n_chars"]]
+    grid = np.sort(docs["n_chars"].unique())
+    n = len(docs)
+    for r in got.itertuples(index=False):
+        a = docs.loc[docs["source"] == r.source, "n_chars"].to_numpy()
+        b = docs.loc[docs["source"] != r.source, "n_chars"].to_numpy()
+        assert r.n_docs == len(a)
+        cum_a = np.searchsorted(np.sort(a), grid, side="right")
+        cum_b = np.searchsorted(np.sort(b), grid, side="right")
+        num = np.abs(cum_a.astype(object) * len(b) - cum_b.astype(object) * len(a)).max()
+        assert r.ks_d == float(num) / (float(len(a)) * float(len(b)))
+        naive = np.abs(cum_a / len(a) - cum_b / len(b)).max()
+        assert abs(r.ks_d - naive) < 1e-12
+    assert len(got) == docs["source"].nunique()
+    assert (got["ks_d"] > 0).all() and (got["ks_d"] < 1).all()
