@@ -24,4 +24,7 @@ from pandamapreduce_spark.plans import reshape  # noqa: E402,F401
 from pandamapreduce_spark.plans import warehouse  # noqa: E402,F401
 from pandamapreduce_spark.plans import maintenance  # noqa: E402,F401
 
+# Cross-module composed oracles, installed once every lane is registered.
+REGISTRY["q171_ann_recall"].oracle = similarity._recall_oracle()
+
 __all__ = ["REGISTRY", "Query", "query"]

@@ -656,3 +656,100 @@ def q166_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- q171: ANN recall@k evaluation -----------------------------------------
+
+
+def _recall_oracle() -> str:
+    """Composes the already-registered q40/q42/q74 oracle texts as CTEs —
+    the ground truth and both approximate methods are THE shipped lanes,
+    not re-derivations, so this lane measures exactly what users run."""
+    from pandamapreduce_spark.plans.registry import REGISTRY
+
+    exact = REGISTRY["q40_knn_bruteforce"].oracle
+    lsh = REGISTRY["q42_lsh_knn"].oracle
+    mp = REGISTRY["q74_multiprobe_lsh_knn"].oracle
+    ivf1 = REGISTRY["q55_ivf_knn"].oracle
+    ivf2 = REGISTRY["q77_ivf_nprobe"].oracle
+    return f"""
+    WITH exact AS ({exact}), lsh AS ({lsh}), mp AS ({mp}),
+    ivf1 AS ({ivf1}), ivf2 AS ({ivf2}),
+    ex AS (SELECT query_id, neighbor_id FROM exact),
+    base AS (SELECT cast(count(*) as bigint) AS n_exact,
+                    cast(count(DISTINCT query_id) as bigint) AS nq FROM ex),
+    h AS (
+      SELECT 'lsh_bucket' AS method, cast(count(*) as bigint) AS hits
+      FROM ex JOIN (SELECT query_id, neighbor_id FROM lsh) USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh_multiprobe', cast(count(*) as bigint)
+      FROM ex JOIN (SELECT query_id, neighbor_id FROM mp) USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'ivf_1probe', cast(count(*) as bigint)
+      FROM ex JOIN (SELECT query_id, neighbor_id FROM ivf1) USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'ivf_2probe', cast(count(*) as bigint)
+      FROM ex JOIN (SELECT query_id, neighbor_id FROM ivf2) USING (query_id, neighbor_id)
+    )
+    SELECT h.method AS method, base.nq AS n_queries, base.n_exact AS n_exact,
+           h.hits AS hits,
+           cast(h.hits as double) / cast(base.n_exact as double) AS recall
+    FROM h, base ORDER BY method
+    """
+
+
+@query(
+    "q171_ann_recall",
+    doc=f"ANN quality evaluation: recall@{TOP_K} of all four approximate searches — single-bucket sign-LSH (q42), 9-probe LSH (q74), IVF nprobe=1 (q55), IVF nprobe=2 (q77) — against the exact brute-force top-{TOP_K} (q40); hits = ground-truth pairs the method returned; exact integer counts, one IEEE division per method row.",
+    oracle=None,  # installed below: composes the q40/q42/q74 oracles
+    tags=("similarity", "knn", "evaluation"),
+)
+def q171_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation harness every ANN deployment needs: approximate
+    search is only shippable WITH a measured recall against exact
+    ground truth on a sample. Composes the three shipped lanes —
+    q40 (exact), q42 (single bucket: ~1/256 of the corpus probed),
+    q74 (multi-probe: ~9/256) — and reports recall@{TOP_K} per method,
+    so the probe-count/recall trade-off is one query away.
+
+    Scale shape: ground truth is computed on the (small, broadcast)
+    query sample only — the standard practice; the recall join keys on
+    (query_id, neighbor_id) integer pairs, n_queries x k rows per
+    side. Recall = hits / n_exact via one exact int/int IEEE division
+    per method row; the report is 2 rows."""
+    exact = q40_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact.persist()
+    base = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+    )
+    from pandamapreduce_spark.plans.ml import q55_ivf_knn, q77_ivf_nprobe
+
+    methods = (
+        ("lsh_bucket", q42_lsh_knn),
+        ("lsh_multiprobe", q74_multiprobe_lsh_knn),
+        ("ivf_1probe", q55_ivf_knn),
+        ("ivf_2probe", q77_ivf_nprobe),
+    )
+    h = None
+    for method, fn in methods:
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        ).withColumn("method", F.lit(method))
+        h = hits if h is None else h.union(hits)
+    return (
+        h.crossJoin(F.broadcast(base))
+        .select(
+            "method",
+            "n_queries",
+            "n_exact",
+            "hits",
+            (F.col("hits").cast("double") / F.col("n_exact").cast("double")).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
+# q171's oracle composes q55/q77 (ml.py, imported after this module),
+# so plans/__init__.py installs it once every lane is registered.

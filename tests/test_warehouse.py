@@ -1373,3 +1373,48 @@ def test_ks_drift_matches_numpy_ecdf(spark):
         assert abs(r.ks_d - naive) < 1e-12
     assert len(got) == docs["source"].nunique()
     assert (got["ks_d"] > 0).all() and (got["ks_d"] < 1).all()
+
+
+def test_ann_recall_matches_numpy_and_is_monotone_in_probes(spark):
+    """q171 vs a numpy recompute of recall for the single-bucket LSH
+    method at sf0.001, plus the candidate-superset monotonicity
+    guarantees (an exact-top-k member among the candidates always
+    survives into the approximate top-k, so recall is monotone in the
+    candidate set: multiprobe >= bucket, ivf2 >= ivf1)."""
+    import numpy as np
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.similarity import (
+        HYPERPLANES,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    got = (
+        REGISTRY["q171_ann_recall"]
+        .build(spark, SF_DIR)
+        .toPandas()
+        .set_index("method")
+    )
+    assert got.loc["lsh_multiprobe", "hits"] >= got.loc["lsh_bucket", "hits"]
+    assert got.loc["ivf_2probe", "hits"] >= got.loc["ivf_1probe", "hits"]
+    assert ((got["recall"] >= 0) & (got["recall"] <= 1)).all()
+    assert (got["recall"] == got["hits"] / got["n_exact"]).all()
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(norms, norms)
+    H = np.array(HYPERPLANES)
+    buckets = ((M @ H.T) >= 0).astype(int) @ (1 << np.arange(len(HYPERPLANES)))
+    hits = 0
+    n_exact = 0
+    for i in np.where(ids < N_QUERIES)[0]:
+        order = sorted((-cos[i, j], ids[j]) for j in range(len(ids)) if j != i)
+        exact = {vid for _, vid in order[:TOP_K]}
+        n_exact += len(exact)
+        cand = {ids[j] for j in range(len(ids)) if j != i and buckets[j] == buckets[i]}
+        hits += len(exact & cand)
+    assert got.loc["lsh_bucket", "hits"] == hits
+    assert got.loc["lsh_bucket", "n_exact"] == n_exact
