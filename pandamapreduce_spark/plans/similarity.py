@@ -753,3 +753,84 @@ def q171_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # q171's oracle composes q55/q77 (ml.py, imported after this module),
 # so plans/__init__.py installs it once every lane is registered.
+
+
+# --- q172: entity resolution (fuzzy match -> components -> canonical) ------
+
+
+def _entity_oracle() -> str:
+    """Composes q120's fuzzy-pair oracle with q94's recursive-CTE
+    component pattern, then picks each entity's canonical record
+    (longest text, ties to the smallest doc_id)."""
+    from pandamapreduce_spark.plans.registry import REGISTRY
+
+    fuzzy = REGISTRY["q120_fuzzy_join"].oracle
+    return f"""
+    WITH RECURSIVE matched AS ({fuzzy}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM matched
+      UNION ALL
+      SELECT doc_b, doc_a FROM matched
+    ),
+    nodes AS (SELECT DISTINCT a FROM edges),
+    reach(src, node) AS (
+      SELECT a, a FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    roots AS (SELECT src AS doc_id, min(node) AS entity_id FROM reach GROUP BY src),
+    ranked AS (
+      SELECT r.entity_id, r.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY r.entity_id
+               ORDER BY d.n_chars DESC, r.doc_id) AS rn
+      FROM roots r JOIN documents d ON r.doc_id = d.doc_id
+    )
+    SELECT entity_id,
+           cast(count(*) as bigint) AS n_members,
+           cast(min(CASE WHEN rn = 1 THEN doc_id END) as bigint) AS canonical_doc,
+           cast(min(CASE WHEN rn = 1 THEN n_chars END) as bigint) AS canonical_len
+    FROM ranked GROUP BY entity_id ORDER BY entity_id
+    """
+
+
+@query(
+    "q172_entity_resolution",
+    doc="Entity resolution end-to-end: q120's blocked fuzzy-match pairs become edges, connected components merge transitive matches into entities, and each entity elects a canonical record (longest text, ties to smallest doc_id); per-entity report (root id, member count, canonical doc + length).",
+    oracle=None,  # installed in plans/__init__ (composes q120's oracle)
+    tags=("similarity", "entity-resolution", "iterative"),
+)
+def q172_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The master-data-management composite: records that refer to the
+    same real-world entity rarely match pairwise-transitively, so
+    resolution is match -> cluster -> survive. Matching is q120's
+    multi-pass blocked fuzzy join (sub-quadratic, skew-capped);
+    clustering is the shared ``connected_components`` operator (q94's
+    min-label propagation, two_phase escalation available); the
+    survivorship rule elects the longest record (most information),
+    ties to the smallest doc_id — all deterministic.
+
+    Scale shape: every stage is a shipped scale-audited lane — the
+    match shuffles 40-char prefixes, components shuffle (node, label)
+    pairs, and the survivorship is one window over members-per-entity
+    (bounded by entity size, not corpus size). Output is one row per
+    multi-record entity."""
+    from pandamapreduce_spark.plans.training import connected_components
+
+    pairs = q120_fuzzy_join(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("entity_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = (
+        labels.select("doc_id", F.col("label").alias("entity_id"))
+        .join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("bigint").alias("canonical_doc"),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("bigint").alias("canonical_len"),
+        )
+        .orderBy("entity_id")
+    )

@@ -1418,3 +1418,43 @@ def test_ann_recall_matches_numpy_and_is_monotone_in_probes(spark):
         hits += len(exact & cand)
     assert got.loc["lsh_bucket", "hits"] == hits
     assert got.loc["lsh_bucket", "n_exact"] == n_exact
+
+
+def test_entity_resolution_matches_python_unionfind(spark):
+    """q172's clustering + survivorship vs a Python union-find over the
+    q120 pair set (itself an oracle-verified lane) at sf0.001."""
+    import pandas as pd
+
+    pairs = REGISTRY["q120_fuzzy_join"].build(spark, SF_DIR).toPandas()
+    got = REGISTRY["q172_entity_resolution"].build(spark, SF_DIR).toPandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+
+    nc = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")["n_chars"]
+    # (entity_id, n_members, canonical_doc, canonical_len)
+    want = sorted(
+        (
+            root,
+            len(ms),
+            min(ms, key=lambda m: (-nc[m], m)),
+            int(nc[min(ms, key=lambda m: (-nc[m], m))]),
+        )
+        for root, ms in members.items()
+    )
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert (got["n_members"] >= 2).all()  # singletons never reported
+    assert len(got) > 0
