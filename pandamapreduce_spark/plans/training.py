@@ -1586,3 +1586,124 @@ def q170_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q173: Jensen-Shannon mixture drift -------------------------------------
+
+#: ln(2) pinned as a literal double on BOTH engines (never libm at
+#: runtime) — the JSD upper bound and the bits conversion factor.
+LN2 = 0.6931471805599453
+
+
+@query(
+    "q173_jsd_drift",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, token, cast(count(*) as bigint) AS c
+      FROM (SELECT source, unnest({tokens_sql("text")}) AS token FROM documents)
+      GROUP BY source, token
+    ),
+    gt AS (SELECT token, cast(sum(c) as bigint) AS gc FROM st GROUP BY token),
+    ns AS (SELECT source, cast(sum(c) as bigint) AS n_s,
+                  cast(count(*) as bigint) AS vocab FROM st GROUP BY source),
+    tot AS (SELECT cast(sum(gc) as bigint) AS n FROM gt),
+    terms AS (
+      SELECT st.source,
+             cast(round(
+               (cast(st.c as double) / cast(ns.n_s as double))
+                 * ln(2.0 * (cast(st.c as double) / cast(ns.n_s as double))
+                      / ((cast(st.c as double) / cast(ns.n_s as double))
+                         + (cast(gt.gc - st.c as double) / cast(tot.n - ns.n_s as double))))
+               + CASE WHEN gt.gc - st.c > 0 THEN
+                   (cast(gt.gc - st.c as double) / cast(tot.n - ns.n_s as double))
+                     * ln(2.0 * (cast(gt.gc - st.c as double) / cast(tot.n - ns.n_s as double))
+                          / ((cast(st.c as double) / cast(ns.n_s as double))
+                             + (cast(gt.gc - st.c as double) / cast(tot.n - ns.n_s as double))))
+                 ELSE 0.0 END, 9) as decimal(18,9)) AS term,
+             gt.gc - st.c AS r
+      FROM st JOIN gt USING (token) JOIN ns USING (source), tot
+    ),
+    agg AS (
+      SELECT terms.source, sum(term) AS sum_terms,
+             cast(sum(r) as bigint) AS covered_r
+      FROM terms GROUP BY terms.source
+    )
+    SELECT agg.source AS source, ns.n_s AS n_tokens, ns.vocab AS vocab_size,
+           cast(agg.sum_terms
+                + cast(round({LN2!r} * (cast((tot.n - ns.n_s) - agg.covered_r as double)
+                                        / cast(tot.n - ns.n_s as double)), 9)
+                       as decimal(18,9))
+                as double) * 0.5 AS jsd
+    FROM agg JOIN ns USING (source), tot ORDER BY source
+    """,
+    doc="Jensen-Shannon mixture drift per source: JSD between the source's token unigram distribution and the rest-of-corpus distribution — per-token terms only where the source HAS the token (the absent-token mass is the closed-form ln2 tail), each term rounded to 9 decimals and summed exactly as decimal(18,9); ln(2) pinned as a literal.",
+    tags=("training", "drift", "stats"),
+)
+def q173_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The information-theoretic companion of q154 (TV distance) and
+    q170 (KS on length): JSD is symmetric, bounded by ln 2, and the
+    standard corpus-mixture monitor (is source X drifting away from
+    the blend we trained on?). Source distribution P vs rest-of-corpus
+    Q; JSD = (KL(P||M) + KL(Q||M))/2 with M = (P+Q)/2.
+
+    The vocabulary-wide outer join is avoided exactly as in q154: a
+    token ABSENT from the source contributes q/2 * ln 2 to the Q-side
+    KL, so the whole absent tail collapses to the closed form
+    ln2/2 * (n_r - covered_r)/n_r — only (source, token) cells with
+    c > 0 ever materialize. Float contract: p and q are single exact
+    int/int IEEE divisions; each per-token term rounds to 9 decimals
+    and sums exactly as decimal(18,9) (q101's discipline — libm ulp
+    differences between JVM and DuckDB vanish at 1e-9); ln(2) is a
+    PINNED literal, never a runtime libm call; the final *0.5 scales
+    an exactly-representable decimal-cast double.
+
+    Scale shape: identical to q154 — one (source, token) partial-agg
+    exchange, a token-keyed join against the global margin, broadcast
+    per-source margins, |sources| output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = scoped_persist(
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    gt = st.groupBy("token").agg(F.sum("c").cast("bigint").alias("gc"))
+    ns = st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    tot = gt.agg(F.sum("gc").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n_s").cast("double")
+    qv = (F.col("gc") - F.col("c")).cast("double") / (F.col("n") - F.col("n_s")).cast("double")
+    term = p * F.log(F.lit(2.0) * p / (p + qv)) + F.when(
+        F.col("gc") - F.col("c") > 0, qv * F.log(F.lit(2.0) * qv / (p + qv))
+    ).otherwise(F.lit(0.0))
+    terms = (
+        st.join(gt, "token")
+        .join(F.broadcast(ns.select("source", "n_s")), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(term, 9).cast("decimal(18,9)").alias("term"),
+            (F.col("gc") - F.col("c")).alias("r"),
+            "n_s",
+            "n",
+        )
+    )
+    agg = terms.groupBy("source", "n_s", "n").agg(
+        F.sum("term").alias("sum_terms"),
+        F.sum("r").cast("bigint").alias("covered_r"),
+    )
+    n_r = F.col("n") - F.col("n_s")
+    tail = F.round(
+        F.lit(LN2) * ((n_r - F.col("covered_r")).cast("double") / n_r.cast("double")), 9
+    ).cast("decimal(18,9)")
+    return (
+        agg.join(ns.select("source", "vocab"), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("vocab").alias("vocab_size"),
+            ((F.col("sum_terms") + tail).cast("double") * F.lit(0.5)).alias("jsd"),
+        )
+        .orderBy("source")
+    )

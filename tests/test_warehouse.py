@@ -1458,3 +1458,45 @@ def test_entity_resolution_matches_python_unionfind(spark):
     assert [tuple(r) for r in got.to_numpy()] == want
     assert (got["n_members"] >= 2).all()  # singletons never reported
     assert len(got) > 0
+
+
+def test_jsd_drift_matches_python_bruteforce(spark):
+    """q173 vs a literal Python JSD (full vocabulary loop, no tail
+    shortcut) at sf0.001 — within the 9-decimal rounding tolerance —
+    plus the JSD bounds 0 <= jsd <= ln 2."""
+    import collections
+    import math
+    import re
+
+    import pandas as pd
+
+    got = REGISTRY["q173_jsd_drift"].build(spark, SF_DIR).toPandas()
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["source", "text"]]
+    per_src: dict[str, collections.Counter] = collections.defaultdict(collections.Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        per_src[src].update(t for t in ws.split(text.strip(" \t\n\x0b\f\r")) if t)
+    glob = collections.Counter()
+    for cnt in per_src.values():
+        glob.update(cnt)
+    n = sum(glob.values())
+    for r in got.itertuples(index=False):
+        cnt = per_src[r.source]
+        n_s = sum(cnt.values())
+        assert r.n_tokens == n_s and r.vocab_size == len(cnt)
+        n_r = n - n_s
+        jsd = 0.0
+        for t, gc in glob.items():
+            p = cnt.get(t, 0) / n_s
+            q = (gc - cnt.get(t, 0)) / n_r
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log(q / m)
+        # impl rounds each covered-token term + the tail to 9 decimals;
+        # with |vocab| terms the worst-case drift is vocab * 5e-10
+        assert abs(r.jsd - jsd) < 5e-10 * (len(cnt) + 1) + 1e-12, (r.source, r.jsd, jsd)
+        assert 0.0 <= r.jsd <= 0.6931471805599453
+    assert len(got) == len(per_src)
