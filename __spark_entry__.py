@@ -48,6 +48,12 @@ _WINDOW_PRIORITY = [
     "q166_mutual_knn",
     "q167_attribution",
     "q168_scd2_pit_join",
+    "q169_khop_reach",
+    "q170_ks_drift",
+    "q171_ann_recall",
+    "q172_entity_resolution",
+    "q173_jsd_drift",
+    "q174_dsir_weights",
     "q94_dedup_clusters",  # CC internals gained the two_phase strategy
     # (b) round-2-stale cohort — the full 29, nothing displaced
     "q45_cogroup",
@@ -90,6 +96,10 @@ _WINDOW_PRIORITY = [
     "q12_sessionize",
     "q13_set_ops",
     "q14_rollup",
+    # Entries from here down sit just past the ~50-query driver
+    # window (the six r6 lanes q169-q174 displaced them); they
+    # rotate forward in round 7 with the r4/r5 cohorts (all 49 of
+    # which were driver-green in r5's window).
     "q43_asof_join",
     "q43b_asof_forward_tolerance",
     "q52_terasort",
@@ -99,9 +109,6 @@ _WINDOW_PRIORITY = [
     "q97_embedding_centroids",
     "q98_pii_scrub",
     "q99_temperature_mixture",
-    # Entries from here down sit just past the ~50-query driver
-    # window; they rotate forward in round 7 with the r4/r5 cohorts
-    # (all 49 of which were driver-green in r5's window).
     "q100_global_quality_deciles",
     "q101_bigram_nll",
     "q102_context_chunks",

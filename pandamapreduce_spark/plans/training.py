@@ -1707,3 +1707,134 @@ def q173_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q174: DSIR importance weights (hashed-ngram log-likelihood ratio) ------
+
+DSIR_BUCKETS = 256  # hashed-bigram feature space (fixed, broadcastable)
+DSIR_TARGET_LANG = "en"  # the quality-proxy target distribution
+
+
+@query(
+    "q174_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t,
+             {tokens_sql("text")} AS toks FROM documents
+      WHERE len({tokens_sql("text")}) >= 2
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, is_t,
+             cast(concat('0x', substr(md5(w1 || ' ' || w2), 1, 15)) as bigint)
+               % {DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, is_t,
+               unnest([struct_pack(w1 := toks[i+1], w2 := toks[i+2])
+                       for i in range(0, cast(len(toks) - 1 as int))],
+                      recursive := true)
+        FROM t
+      )
+    ),
+    bc AS (
+      SELECT bucket,
+             cast(sum(CASE WHEN is_t THEN 1 ELSE 0 END) as bigint) AS ct,
+             cast(sum(CASE WHEN is_t THEN 0 ELSE 1 END) as bigint) AS cs
+      FROM bg GROUP BY bucket
+    ),
+    n AS (SELECT cast(sum(ct) as bigint) AS n_t, cast(sum(cs) as bigint) AS n_s FROM bc),
+    lr AS (
+      SELECT bucket,
+             cast(round(ln((cast(ct + 1 as double) * cast(n.n_s + {DSIR_BUCKETS} as double))
+                           / (cast(cs + 1 as double) * cast(n.n_t + {DSIR_BUCKETS} as double))), 9)
+                  as decimal(18,9)) AS lr
+      FROM bc, n
+    )
+    SELECT bg.doc_id,
+           cast(max(CASE WHEN bg.is_t THEN 1 ELSE 0 END) as int) AS is_target,
+           cast(count(*) as bigint) AS n_grams,
+           cast(sum(lr.lr) as double) / cast(count(*) as double) AS avg_log_ratio
+    FROM bg JOIN lr USING (bucket)
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    doc=f"DSIR importance weights: per-doc mean log-likelihood ratio of hashed word-bigram features under the target ('{DSIR_TARGET_LANG}' docs) vs source (rest) unigram-of-feature models, add-one smoothed over {DSIR_BUCKETS} buckets — the public hashed-ngram data-selection estimator; md5 bucket hash shared bit-for-bit with the oracle, 9-decimal term rounding + exact decimal sums.",
+    tags=("training", "selection", "quality"),
+)
+def q174_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data SELECTION, not just filtering: DSIR (Xie et al. 2023)
+    scores every raw document by how much more likely its features are
+    under a target distribution (here the 'en' subset standing in
+    for 'formal text') than under the raw-source distribution, then
+    samples by the importance weight. This lane computes the weights —
+    the expensive distributed part; q141's PPS machinery is the
+    sampling step.
+
+    Estimator: features are word bigrams hashed to {DSIR_BUCKETS}
+    buckets (hex16 md5, the engine's portable-hash bridge, bit-equal
+    in DuckDB); each bucket's log ratio is
+    ln((ct+1)(n_s+B) / ((cs+1)(n_t+B))) — add-one smoothing on both
+    models so unseen buckets stay finite; a document's weight is the
+    MEAN ratio over its gram instances.
+
+    Float contract: bucket ratios are one exact-int-product division
+    + one libm ln, rounded to 9 decimals into decimal(18,9) (q101's
+    discipline); per-doc sums are exact decimal; ONE final IEEE
+    division by the gram count.
+
+    Scale shape: gram instances collapse to {DSIR_BUCKETS} cells in
+    one partial-agg exchange (the model fit); scoring joins exploded
+    grams against the BROADCAST 256-row ratio table — document text
+    never shuffles, and the per-doc agg shuffles (doc_id, decimal)
+    pairs. At 100 TB this is DSIR's own architecture: fixed-size
+    hashed feature models, one pass to fit, one to score."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
+        toks.alias("toks"),
+    ).where(F.size("toks") >= 2)
+    gram = F.concat(F.col("toks")[F.col("i")], F.lit(" "), F.col("toks")[F.col("i") + 1])
+    bg = scoped_persist(
+        t.select(
+            "doc_id",
+            "is_t",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - 2)).alias("i"),
+            "toks",
+        ).select(
+            "doc_id",
+            "is_t",
+            (hex16(gram) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    bc = bg.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("cs"),
+    )
+    n = bc.agg(
+        F.sum("ct").cast("bigint").alias("n_t"), F.sum("cs").cast("bigint").alias("n_s")
+    )
+    B = F.lit(float(DSIR_BUCKETS))
+    lr = bc.crossJoin(F.broadcast(n)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1).cast("double") * (F.col("n_s").cast("double") + B))
+                / ((F.col("cs") + 1).cast("double") * (F.col("n_t").cast("double") + B))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr"),
+    )
+    return (
+        bg.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("is_t"), 1).otherwise(0)).cast("int").alias("is_target"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            (F.sum("lr").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_log_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

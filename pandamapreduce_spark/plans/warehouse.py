@@ -1321,25 +1321,30 @@ def _khop_oracle_sql() -> str:
     KHOP_SUPPORT over MAX_BASKET-capped baskets (both caps shared with
     q131 so the two lanes profile the same graph)."""
     return f"""
+    -- MATERIALIZED: DuckDB otherwise inlines each CTE once per
+    -- reference; edges (the self-join agg) is referenced three times
+    -- and the visited sets twice each, so the un-hinted plan
+    -- re-evaluates the expensive join tree exponentially and spills
+    -- past the host's disk at sf1.
     WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    items AS (
+    items AS MATERIALIZED (
       SELECT ok, pk FROM (
         SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
       ) WHERE sz <= {MAX_BASKET}
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.pk AS a, b.pk AS b
       FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
     ),
-    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
     seed_brand AS (SELECT min(p_brand) AS sb FROM part),
-    d0 AS (SELECT p_partkey AS pk FROM part, seed_brand WHERE p_brand = sb),
-    r1 AS (SELECT DISTINCT e.b AS pk FROM edges e JOIN d0 ON e.a = d0.pk),
-    v1 AS (SELECT pk FROM d0 UNION SELECT pk FROM r1),
-    r2 AS (SELECT DISTINCT e.b AS pk FROM edges e JOIN v1 ON e.a = v1.pk),
-    v2 AS (SELECT pk FROM v1 UNION SELECT pk FROM r2),
-    r3 AS (SELECT DISTINCT e.b AS pk FROM edges e JOIN v2 ON e.a = v2.pk),
+    d0 AS MATERIALIZED (SELECT p_partkey AS pk FROM part, seed_brand WHERE p_brand = sb),
+    r1 AS MATERIALIZED (SELECT DISTINCT e.b AS pk FROM edges e JOIN d0 ON e.a = d0.pk),
+    v1 AS MATERIALIZED (SELECT pk FROM d0 UNION SELECT pk FROM r1),
+    r2 AS MATERIALIZED (SELECT DISTINCT e.b AS pk FROM edges e JOIN v1 ON e.a = v1.pk),
+    v2 AS MATERIALIZED (SELECT pk FROM v1 UNION SELECT pk FROM r2),
+    r3 AS MATERIALIZED (SELECT DISTINCT e.b AS pk FROM edges e JOIN v2 ON e.a = v2.pk),
     hops AS (
       SELECT pk, 0 AS hops FROM d0
       UNION ALL

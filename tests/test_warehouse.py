@@ -1500,3 +1500,53 @@ def test_jsd_drift_matches_python_bruteforce(spark):
         assert abs(r.jsd - jsd) < 5e-10 * (len(cnt) + 1) + 1e-12, (r.source, r.jsd, jsd)
         assert 0.0 <= r.jsd <= 0.6931471805599453
     assert len(got) == len(per_src)
+
+
+def test_dsir_weights_match_python_bruteforce(spark):
+    """q174 vs a literal Python DSIR recompute at sf0.001: same md5
+    bucket hash, add-one smoothing, per-bucket 9-decimal rounding."""
+    import collections
+    import hashlib
+    import math
+    import re
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.training import DSIR_BUCKETS, DSIR_TARGET_LANG
+
+    got = REGISTRY["q174_dsir_weights"].build(spark, SF_DIR).toPandas()
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "lang", "text"]]
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    per_doc: dict[int, tuple[bool, list[int]]] = {}
+    ct: collections.Counter = collections.Counter()
+    cs: collections.Counter = collections.Counter()
+    for doc_id, lang, text in docs.itertuples(index=False):
+        toks = [t for t in ws.split(text.strip(" \t\n\x0b\f\r")) if t]
+        if len(toks) < 2:
+            continue
+        is_t = lang == DSIR_TARGET_LANG
+        bks = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        per_doc[doc_id] = (is_t, bks)
+        (ct if is_t else cs).update(bks)
+    n_t, n_s = sum(ct.values()), sum(cs.values())
+    lr = {
+        b: Decimal(
+            f"{round(math.log((ct[b] + 1) * (n_s + DSIR_BUCKETS) / ((cs[b] + 1) * (n_t + DSIR_BUCKETS))), 9):.9f}"
+        )
+        for b in set(ct) | set(cs)
+    }
+    assert len(got) == len(per_doc)
+    for r in got.itertuples(index=False):
+        is_t, bks = per_doc[r.doc_id]
+        assert r.is_target == int(is_t) and r.n_grams == len(bks)
+        want = float(sum(lr[b] for b in bks)) / len(bks)
+        assert abs(r.avg_log_ratio - want) < 1e-12, (r.doc_id, r.avg_log_ratio, want)
+    # the target model actually separates: target docs average higher
+    g = got.groupby("is_target")["avg_log_ratio"].mean()
+    assert g[1] > g[0]
