@@ -2255,3 +2255,117 @@ def q175_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --- q176: session journey (path) analysis ---------------------------------
+
+JOURNEY_MAX_EVENTS = 20  # per-session path cap (skew guard, mirrored)
+JOURNEY_TOP = 100
+
+
+@query(
+    "q176_journeys",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM flagged
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT user_id, session_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                 ORDER BY ts, event_id) AS rn
+        FROM sessions
+      ) WHERE rn <= {JOURNEY_MAX_EVENTS}
+    ),
+    j AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+      FROM capped GROUP BY user_id, session_id
+    )
+    SELECT journey,
+           cast(count(*) as bigint) AS n_sessions,
+           cast(count(DISTINCT user_id) as bigint) AS n_users
+    FROM j GROUP BY journey
+    ORDER BY n_sessions DESC, journey
+    LIMIT {JOURNEY_TOP}
+    """,
+    doc=f"Session journey (path) analysis: each 30-min-gap session (q12's definition) becomes its ordered event-type path (capped at {JOURNEY_MAX_EVENTS} events, cap mirrored); top {JOURNEY_TOP} journeys by session count with distinct-user reach — exact strings and integers, no float anywhere.",
+    tags=("events", "journeys", "analytics"),
+)
+def q176_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics 'top user flows' report (GA4 path
+    exploration / Amplitude Journeys): sessionize, serialize each
+    session's ordered event types into a path string, rank paths by
+    frequency. Completes the event-analytics family: q126 checks ONE
+    fixed funnel, q139 aggregates single transitions, q167 allocates
+    value — this surfaces which full sequences actually happen.
+
+    Determinism: paths are exact strings (event order pinned by
+    (ts, event_id), the engine's total event order) and counts exact
+    integers; the top-{JOURNEY_TOP} cut orders by (n_sessions DESC,
+    journey) — a total order, so the LIMIT boundary cannot wobble.
+
+    Scale shape: one user_id exchange serves the session window; the
+    path build shuffles (user, session, type) triplets once more —
+    never props/values — with the per-session row_number cap bounding
+    every collected array at {JOURNEY_MAX_EVENTS} (a runaway bot
+    session cannot blow up a reduce key); journey strings are ≤
+    {JOURNEY_MAX_EVENTS} short tokens, and the final agg is keyed by
+    those bounded strings. sort_array(collect_list(struct)) keeps the
+    serialization inside codegen — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(cum).cast("bigint").alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    capped = sessions.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= JOURNEY_MAX_EVENTS
+    )
+    j = (
+        capped.groupBy("user_id", "session_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("evs"), lambda e: e["event_type"]), ">"
+            ).alias("journey"),
+        )
+    )
+    return (
+        j.groupBy("journey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "journey")
+        .limit(JOURNEY_TOP)
+    )

@@ -1582,3 +1582,46 @@ def test_theilsen_matches_python_bruteforce(spark):
         assert r.n_pairs == len(slopes)
         assert r.slope_cents == statistics.median(slopes) / 100.0, r.grp
     assert len(got) == 25
+
+
+def test_journeys_match_pandas_bruteforce(spark):
+    """q176 vs a literal pandas session walk at sf0.001."""
+    import collections
+
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.advanced import JOURNEY_MAX_EVENTS, JOURNEY_TOP
+
+    got = REGISTRY["q176_journeys"].build(spark, SF_DIR).toPandas()
+
+    from pandamapreduce_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    journeys: list[tuple[int, str]] = []
+    for uid, grp in ev.groupby("user_id"):
+        cur: list[str] = []
+        prev_ts = None
+        for r in grp.itertuples(index=False):
+            if prev_ts is None or (r.ts - prev_ts).total_seconds() > 1800:
+                if cur:
+                    journeys.append((uid, ">".join(cur[:JOURNEY_MAX_EVENTS])))
+                cur = []
+            cur.append(r.event_type)
+            prev_ts = r.ts
+        if cur:
+            journeys.append((uid, ">".join(cur[:JOURNEY_MAX_EVENTS])))
+    cnt = collections.Counter(j for _, j in journeys)
+    users = collections.defaultdict(set)
+    for uid, j in journeys:
+        users[j].add(uid)
+    want = sorted(((j, n, len(users[j])) for j, n in cnt.items()), key=lambda t: (-t[1], t[0]))[
+        :JOURNEY_TOP
+    ]
+    assert [tuple(r) for r in got.to_numpy()] == want
+    # the cap and multi-event paths are actually exercised
+    assert any(">" in j for j, _, _ in want)
