@@ -56,6 +56,7 @@ _WINDOW_PRIORITY = [
     "q174_dsir_weights",
     "q175_theilsen",
     "q176_journeys",
+    "q177_rfm_segments",
     "q94_dedup_clusters",  # CC internals gained the two_phase strategy
     # (b) round-2-stale cohort — the full 29, nothing displaced
     "q45_cogroup",
@@ -95,11 +96,11 @@ _WINDOW_PRIORITY = [
     "q09_group_having",
     "q10_window_topk_per_group",
     "q11_window_running_sum",
-    "q12_sessionize",
     # Entries from here down sit just past the ~50-query driver
-    # window (the eight r6 lanes q169-q176 displaced them); they
+    # window (the nine r6 lanes q169-q177 displaced them); they
     # rotate forward in round 7 with the r4/r5 cohorts (all 49 of
     # which were driver-green in r5's window).
+    "q12_sessionize",
     "q13_set_ops",
     "q14_rollup",
     "q43_asof_join",

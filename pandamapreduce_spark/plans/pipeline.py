@@ -1062,3 +1062,116 @@ def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q177: RFM customer segmentation ---------------------------------------
+
+
+def _global_ntile(df: DataFrame, value_col: str, id_col: str, k: int, out: str) -> DataFrame:
+    """Exact global ``ntile(k)`` over (value, id) WITHOUT a
+    single-partition window — q100's distributed-rank pattern as a
+    helper: range-partition on the full rank key, row_number within
+    each range in parallel, per-range base offsets from one bounded
+    driver collect (one row per range), then ntile as pure integer
+    arithmetic on (rank, total) — bitwise DuckDB ntile semantics."""
+    from pyspark.sql import Window
+
+    from pandamapreduce_spark.caching import scoped_persist
+
+    parts = scoped_persist(
+        df.repartitionByRange(RANK_RANGES, value_col, id_col).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    head = F.min(F.struct(F.col(value_col).alias("v"), F.col(id_col).alias("d"))).alias("head")
+    per = sorted(
+        parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
+        key=lambda r: (r["head"]["v"], r["head"]["d"]),
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("_pid") == r["_pid"], F.lit(acc).cast("bigint")).otherwise(base)
+        acc += r["n"]
+    total = acc
+    tq, tr = total // k, total % k
+    w = Window.partitionBy("_pid").orderBy(value_col, id_col)
+    rk = (F.row_number().over(w).cast("bigint") + base).alias("_rk")
+    big_cut = tr * (tq + 1)
+    bucket = (
+        F.when(F.col("_rk") <= big_cut, F.expr(f"(_rk - 1) div {tq + 1}"))
+        .otherwise(F.expr(f"{tr} + (_rk - 1 - {big_cut}) div {max(tq, 1)}"))
+        .cast("int")
+        + 1
+    )
+    return parts.select(id_col, rk).withColumn(out, bucket).drop("_rk", "_pid")
+
+
+@query(
+    "q177_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             cast(max(cast(o_orderdate as date)) - DATE '1992-01-01' as bigint) AS r_days,
+             cast(count(*) as bigint) AS f,
+             cast(sum(cast(round(o_totalprice * 100) as decimal(19,0))) as decimal(19,0)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT ck, cents,
+             cast(ntile(5) OVER (ORDER BY r_days, ck) as int) AS r_score,
+             cast(ntile(5) OVER (ORDER BY f, ck) as int) AS f_score,
+             cast(ntile(5) OVER (ORDER BY cents, ck) as int) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           cast(count(*) as bigint) AS n_customers,
+           cast(sum(cents) as double) / 100.0 AS revenue
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency (last order day) / frequency (order count) / monetary (exact cents) quintiled 1-5 by exact global rank (q100's distributed-rank pattern — NO single-partition ntile window), segment report with customer counts and exact revenue; quintile 5 = most recent / most frequent / top spend.",
+    tags=("pipeline", "segmentation", "rank"),
+)
+def q177_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic marketing-warehouse segmentation: score every
+    customer 1-5 on Recency, Frequency, Monetary by data quantiles,
+    then size the 125 segments ("R5F5M5" = champions, "R1F5M5" =
+    at-risk big spenders). Three exact global quintiles — each via the
+    engine's distributed-rank pattern (range exchange + parallel
+    per-range row_number + one 64-row driver collect), never a
+    single-partition ntile window; ties broken by custkey so the
+    ranking is a total order and DuckDB's ntile hash-matches.
+
+    Float contract: revenue is exact integer cents summed as decimal,
+    ONE division by 100 at the end. Scale shape: the per-customer
+    profile is one orders-keyed partial agg; each quintile pass
+    exchanges only (custkey, metric) pairs; the segment report is at
+    most 125 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(F.max(F.to_date("o_orderdate")), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)"))
+        .cast("decimal(19,0)")
+        .alias("cents"),
+    )
+    from pandamapreduce_spark.caching import scoped_persist
+
+    cust = scoped_persist(cust)
+    r = _global_ntile(cust.select("ck", "r_days"), "r_days", "ck", 5, "r_score")
+    f = _global_ntile(cust.select("ck", "f"), "f", "ck", 5, "f_score")
+    m = _global_ntile(cust.select("ck", "cents"), "cents", "ck", 5, "m_score")
+    return (
+        cust.select("ck", "cents")
+        .join(r.select("ck", "r_score"), "ck")
+        .join(f.select("ck", "f_score"), "ck")
+        .join(m.select("ck", "m_score"), "ck")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1625,3 +1625,38 @@ def test_journeys_match_pandas_bruteforce(spark):
     assert [tuple(r) for r in got.to_numpy()] == want
     # the cap and multi-event paths are actually exercised
     assert any(">" in j for j, _, _ in want)
+
+
+def test_rfm_matches_pandas_bruteforce(spark):
+    """q177 vs a literal pandas RFM recompute at sf0.001 (ntile by
+    exact sorted position, ties by custkey — DuckDB semantics)."""
+    import pandas as pd
+
+    got = REGISTRY["q177_rfm_segments"].build(spark, SF_DIR).toPandas()
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o["d"] = (o["o_orderdate"].dt.normalize() - pd.Timestamp("1992-01-01")).dt.days
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    cust = o.groupby("o_custkey").agg(
+        r_days=("d", "max"), f=("o_orderkey", "size"), cents=("cents", "sum")
+    )
+
+    def ntile(keys: pd.Series, k: int = 5) -> dict[int, int]:
+        order = sorted(zip(keys, keys.index))
+        n = len(order)
+        tq, tr = n // k, n % k
+        out = {}
+        for pos, (_, ck) in enumerate(order, start=1):
+            if pos <= tr * (tq + 1):
+                out[ck] = (pos - 1) // (tq + 1) + 1
+            else:
+                out[ck] = tr + (pos - 1 - tr * (tq + 1)) // max(tq, 1) + 1
+        return out
+
+    r, f, m = ntile(cust["r_days"]), ntile(cust["f"]), ntile(cust["cents"])
+    seg: dict[tuple[int, int, int], list[int]] = {}
+    for ck, row in cust.iterrows():
+        seg.setdefault((r[ck], f[ck], m[ck]), []).append(row["cents"])
+    want = sorted((k[0], k[1], k[2], len(v), sum(v) / 100.0) for k, v in seg.items())
+    assert [tuple(x) for x in got.to_numpy()] == want
+    assert got["n_customers"].sum() == len(cust)
