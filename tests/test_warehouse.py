@@ -1660,3 +1660,15 @@ def test_rfm_matches_pandas_bruteforce(spark):
     want = sorted((k[0], k[1], k[2], len(v), sum(v) / 100.0) for k, v in seg.items())
     assert [tuple(x) for x in got.to_numpy()] == want
     assert got["n_customers"].sum() == len(cust)
+
+
+def test_mutual_knn_strategies_identical(spark):
+    """q166's blocked Arrow path and the HOF codegen path return the
+    IDENTICAL frame at sf0.001 — same pairs, ranks, and bitwise cosine
+    (the blocked kernel reproduces the JVM fold's IEEE sequence)."""
+    from pandamapreduce_spark.plans.similarity import q166_mutual_knn
+
+    blocked = q166_mutual_knn(spark, SF_DIR, strategy="blocked").toPandas()
+    hof = q166_mutual_knn(spark, SF_DIR, strategy="hof").toPandas()
+    assert [tuple(r) for r in blocked.to_numpy()] == [tuple(r) for r in hof.to_numpy()]
+    assert len(blocked) > 0
