@@ -468,3 +468,121 @@ def q157_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ev.run_to_completion(latest, spark, mode="complete")
     return out.orderBy("user_id")
+
+
+# --- q178: out-of-orderness (watermark sizing) audit ------------------------
+
+LATE_BUCKETS_S = (0, 60, 600, 3600)  # on-time, <=1min, <=10min, <=1h, >1h
+
+
+@query(
+    "q178_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT user_id, ts, event_id,
+             cast(concat('0x', substr(md5(cast(event_id as varchar)), 1, 15)) as bigint) AS ak
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, ts, event_id,
+             max(ts) OVER (PARTITION BY user_id ORDER BY ak, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+      FROM arr
+    ),
+    lat AS (
+      SELECT CASE WHEN seen IS NULL OR ts >= seen THEN 0
+                  ELSE cast(ceil(date_diff('millisecond', ts, seen) / 1000.0) as bigint)
+             END AS late_s
+      FROM seq
+    ),
+    b AS (
+      SELECT CASE
+               WHEN late_s <= {LATE_BUCKETS_S[0]} THEN 'a_on_time'
+               WHEN late_s <= {LATE_BUCKETS_S[1]} THEN 'b_within_1m'
+               WHEN late_s <= {LATE_BUCKETS_S[2]} THEN 'c_within_10m'
+               WHEN late_s <= {LATE_BUCKETS_S[3]} THEN 'd_within_1h'
+               ELSE 'e_over_1h' END AS bucket,
+             late_s
+      FROM lat
+    ),
+    n AS (SELECT cast(count(*) as bigint) AS total FROM b)
+    SELECT bucket,
+           cast(count(*) as bigint) AS n_events,
+           cast(max(late_s) as bigint) AS max_late_s,
+           cast(count(*) as double) / cast(n.total as double) AS share
+    FROM b, n GROUP BY bucket, n.total ORDER BY bucket
+    """,
+    doc="Out-of-orderness audit for watermark sizing under adversarial replay: arrival order = the md5 shuffle of event_id (the unordered-backfill model — the fixture's log itself is fully time-ordered, measured 0 late rows); per event, lateness = seconds behind the user's running max event time in that arrival order, bucketed on-time/1m/10m/1h/over with exact counts and one share division per row.",
+    tags=("streaming", "audit", "events"),
+)
+def q178_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarks are a CLAIM about disorder ('nothing arrives more
+    than 2h late'); this lane measures the claim against the data.
+    Arrival order is event_id (the log sequence); event time is ts;
+    an event is late by how far it sits behind the maximum event time
+    already seen for its user. The bucket report maps straight onto
+    watermark choices: every row in 'e_over_1h' is a row a 1-hour
+    watermark would drop from q60/q61/q68-style stateful lanes.
+
+    Arrival model: the fixture's log is fully time-ordered (measured:
+    0 late rows in event_id order at every sf), so auditing it raw is
+    the degenerate all-on-time report. Real ingestion isn't that kind
+    — backfills replay object-store files in listing order — so the
+    lane audits the canonical adversarial replay instead: arrival
+    order = hex16(md5(event_id)), the engine's portable deterministic
+    shuffle, identical in the oracle. Lateness under a random
+    permutation is the worst case a watermark must survive on this
+    data.
+
+    Exactness: lateness is an exact millisecond difference ceil'd to
+    whole seconds (integer), buckets are exact string labels, and the
+    one double per row is an int/int share division. Scale shape: ONE
+    user_id hash exchange serves the running-max window (per-user
+    state = one timestamp — the same state a streaming watermark
+    tracker keeps); the report is ≤5 rows."""
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.functions import hex16
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ak", hex16(F.col("event_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ak", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen = F.max("ts").over(w)
+    late_s = F.when(
+        seen.isNull() | (F.col("ts") >= seen), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.ceil(
+            (F.unix_micros(seen) - F.unix_micros(F.col("ts"))).cast("double")
+            / F.lit(1_000_000.0)
+        ).cast("bigint")
+    )
+    b0, b1, b2, b3 = LATE_BUCKETS_S
+    bucket = (
+        F.when(F.col("late_s") <= b0, "a_on_time")
+        .when(F.col("late_s") <= b1, "b_within_1m")
+        .when(F.col("late_s") <= b2, "c_within_10m")
+        .when(F.col("late_s") <= b3, "d_within_1h")
+        .otherwise("e_over_1h")
+    )
+    lat = events.select(late_s.alias("late_s")).select("late_s", bucket.alias("bucket"))
+    n = lat.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        lat.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            "n_events",
+            "max_late_s",
+            (F.col("n_events").cast("double") / F.col("total").cast("double")).alias("share"),
+        )
+        .orderBy("bucket")
+    )

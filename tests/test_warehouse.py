@@ -1672,3 +1672,43 @@ def test_mutual_knn_strategies_identical(spark):
     hof = q166_mutual_knn(spark, SF_DIR, strategy="hof").toPandas()
     assert [tuple(r) for r in blocked.to_numpy()] == [tuple(r) for r in hof.to_numpy()]
     assert len(blocked) > 0
+
+
+def test_lateness_audit_matches_python_replay(spark):
+    """q178 vs a literal Python replay walk at sf0.001 (same md5
+    arrival key, per-user running max, ceil-second lateness)."""
+    import hashlib
+    import math
+
+    from pandamapreduce_spark.catalog import load_table
+
+    got = REGISTRY["q178_lateness_audit"].build(spark, SF_DIR).toPandas()
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    ev["ak"] = ev["event_id"].map(
+        lambda e: int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16)
+    )
+    buckets: dict[str, list[int]] = {}
+    for _, grp in ev.sort_values(["ak", "event_id"]).groupby("user_id"):
+        seen = None
+        for r in grp.itertuples(index=False):
+            if seen is None or r.ts >= seen:
+                late = 0
+            else:
+                late = math.ceil((seen - r.ts).total_seconds())
+            seen = r.ts if seen is None else max(seen, r.ts)
+            b = (
+                "a_on_time" if late <= 0 else
+                "b_within_1m" if late <= 60 else
+                "c_within_10m" if late <= 600 else
+                "d_within_1h" if late <= 3600 else "e_over_1h"
+            )
+            buckets.setdefault(b, []).append(late)
+    total = sum(len(v) for v in buckets.values())
+    want = sorted((b, len(v), max(v), len(v) / total) for b, v in buckets.items())
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert len(want) >= 2  # the replay model actually creates lateness
