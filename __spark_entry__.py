@@ -58,6 +58,7 @@ _WINDOW_PRIORITY = [
     "q176_journeys",
     "q177_rfm_segments",
     "q178_lateness_audit",
+    "q179_linear_attribution",
     "q94_dedup_clusters",  # CC internals gained the two_phase strategy
     # (b) round-2-stale cohort — the full 29, nothing displaced
     "q45_cogroup",
@@ -95,11 +96,11 @@ _WINDOW_PRIORITY = [
     "q07_distinct",
     "q08_orderby_limit",
     "q09_group_having",
-    "q10_window_topk_per_group",
     # Entries from here down sit just past the ~50-query driver
-    # window (the ten r6 lanes q169-q178 displaced them); they
+    # window (the eleven r6 lanes q169-q179 displaced them); they
     # rotate forward in round 7 with the r4/r5 cohorts (all 49 of
     # which were driver-green in r5's window).
+    "q10_window_topk_per_group",
     "q11_window_running_sum",
     "q12_sessionize",
     "q13_set_ops",

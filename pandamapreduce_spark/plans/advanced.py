@@ -2369,3 +2369,105 @@ def q176_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "journey")
         .limit(JOURNEY_TOP)
     )
+
+
+# --- q179: multi-touch (linear) attribution ---------------------------------
+
+MTA_WINDOW_H = 1  # attribution lookback, hours (q68's stream-join bound)
+
+
+@query(
+    "q179_linear_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS t_ts, event_id AS tid, event_type AS touch
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    m AS (
+      SELECT p.pid, p.user_id, p.value, t.touch
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_ts >= p.p_ts - INTERVAL {MTA_WINDOW_H} HOUR AND t.t_ts < p.p_ts
+    ),
+    n AS (SELECT pid, cast(count(*) as bigint) AS n_touches FROM m GROUP BY pid),
+    credits AS (
+      SELECT m.touch AS channel, m.user_id,
+             cast(round(m.value / n.n_touches, 9) as decimal(18,9)) AS credit
+      FROM m JOIN n USING (pid)
+      UNION ALL
+      SELECT 'direct', p.user_id, cast(round(p.value, 9) as decimal(18,9))
+      FROM p LEFT JOIN n ON p.pid = n.pid WHERE n.pid IS NULL
+    )
+    SELECT channel,
+           cast(count(*) as bigint) AS n_credits,
+           cast(count(DISTINCT user_id) as bigint) AS n_buyers,
+           cast(round(sum(credit), 2) as double) AS attributed_value
+    FROM credits GROUP BY channel ORDER BY channel
+    """,
+    doc=f"Multi-touch LINEAR attribution: each purchase's value splits equally across ALL its touches in the {MTA_WINDOW_H}-hour lookback (purchases with none credit 'direct' in full) — the equal-credit sibling of q167's last-touch model, on q68's bounded interval join; per-touch credit = round(value/n, 9) exact decimal so the split is bit-stable, channel report with exact-decimal sums.",
+    tags=("events", "attribution", "join"),
+)
+def q179_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second standard attribution model: where q167 gives the
+    last touch everything (and needs per-user ordered state), linear
+    splits the credit equally across every touch inside a bounded
+    lookback — the model is a pure bounded-interval JOIN, which is
+    why it is also the one that streams (q68's join IS this lane's
+    candidate generator with the same 1-hour bound).
+
+    Float contract: each credit is ONE IEEE division value/n_touches
+    rounded to 9 decimals into decimal(18,9) (bit-equal both
+    engines), so per-channel sums are exact decimal arithmetic; the
+    report rounds to cents once. Conservation pytest: total credited
+    value equals total purchase value to within the per-credit
+    rounding bound.
+
+    Scale shape: the join is user-keyed with a time-interval residual
+    — fan-out bounded by touches-per-hour per user (the same state
+    bound that makes q68 streamable); the per-purchase touch count is
+    one (pid) partial agg; the report is |event-type|+1 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    t = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch"),
+    )
+    m = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {MTA_WINDOW_H} HOUR"))
+        & (F.col("t_ts") < F.col("p_ts")),
+    ).select("pid", "user_id", "value", "touch")
+    from pandamapreduce_spark.caching import scoped_persist
+
+    m = scoped_persist(m)
+    n = m.groupBy("pid").agg(F.count(F.lit(1)).cast("bigint").alias("n_touches"))
+    touched = m.join(n, "pid").select(
+        F.col("touch").alias("channel"),
+        "user_id",
+        F.round(F.col("value") / F.col("n_touches"), 9).cast("decimal(18,9)").alias("credit"),
+    )
+    direct = (
+        p.join(n, "pid", "left_anti")
+        .select(
+            F.lit("direct").alias("channel"),
+            "user_id",
+            F.round(F.col("value"), 9).cast("decimal(18,9)").alias("credit"),
+        )
+    )
+    return (
+        touched.union(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.count_distinct("user_id").cast("bigint").alias("n_buyers"),
+            F.round(F.sum("credit"), 2).cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

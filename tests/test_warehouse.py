@@ -1712,3 +1712,50 @@ def test_lateness_audit_matches_python_replay(spark):
     want = sorted((b, len(v), max(v), len(v) / total) for b, v in buckets.items())
     assert [tuple(r) for r in got.to_numpy()] == want
     assert len(want) >= 2  # the replay model actually creates lateness
+
+
+def test_linear_attribution_conserves_value_and_matches_pandas(spark):
+    """q179 vs a literal pandas credit walk at sf0.001, plus value
+    conservation: total credited == total purchase value to within
+    the per-credit 1e-9 rounding bound."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.advanced import MTA_WINDOW_H
+
+    got = REGISTRY["q179_linear_attribution"].build(spark, SF_DIR).toPandas()
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+    )
+    p = ev[ev.event_type == "purchase"]
+    t = ev[ev.event_type != "purchase"]
+    by_user = {u: g for u, g in t.groupby("user_id")}
+    credits: dict[str, list] = {}
+    buyers: dict[str, set] = {}
+    for r in p.itertuples(index=False):
+        g = by_user.get(r.user_id)
+        if g is not None:
+            win = g[(g.ts >= r.ts - pd.Timedelta(hours=MTA_WINDOW_H)) & (g.ts < r.ts)]
+        else:
+            win = None
+        if win is None or len(win) == 0:
+            credits.setdefault("direct", []).append(Decimal(f"{round(r.value, 9):.9f}"))
+            buyers.setdefault("direct", set()).add(r.user_id)
+        else:
+            c = Decimal(f"{round(r.value / len(win), 9):.9f}")
+            for tr in win.itertuples(index=False):
+                credits.setdefault(tr.event_type, []).append(c)
+                buyers.setdefault(tr.event_type, set()).add(r.user_id)
+    want = sorted(
+        (ch, len(v), len(buyers[ch]), float(round(sum(v), 2))) for ch, v in credits.items()
+    )
+    assert [tuple(r) for r in got.to_numpy()] == want
+    total_credited = sum(sum(v) for v in credits.values())
+    total_value = Decimal(f"{p['value'].sum():.6f}")
+    assert abs(float(total_credited) - float(total_value)) < 1e-6 * len(p)
+
