@@ -20,23 +20,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+#: (frame, is_checkpoint) — checkpointed frames need their INTERNAL
+#: RDD unpersisted (DataFrame.unpersist goes through the CacheManager,
+#: which only tracks .persist()-ed plans, not LogicalRDD blocks).
+_LIVE: list[tuple[DataFrame, bool]] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for the next ``release_caches``."""
     df.persist()
-    _LIVE.append(df)
+    _LIVE.append((df, False))
     return df
+
+
+def scoped_checkpoint(df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` ``df`` and register the result for
+    the next ``release_caches``.
+
+    localCheckpoint = materialize + TRUNCATE lineage, so its cached
+    blocks are not recomputable: without registration they linger
+    until the JVM ContextCleaner happens to collect them (observed:
+    the q94 caching pytest passed or failed on GC timing). Scoped
+    registration makes release deterministic. The same release timing
+    contract as scoped_persist applies — the blocks die at the NEXT
+    dispatch, so a caller holding the returned frame must materialize
+    before dispatching another query (the driver's collect does)."""
+    out = df.localCheckpoint()
+    _LIVE.append((out, True))
+    return out
 
 
 def release_caches() -> int:
     """Unpersist every scoped cache (non-blocking); returns the count."""
     n = 0
     while _LIVE:
-        df = _LIVE.pop()
+        df, is_ckpt = _LIVE.pop()
         try:
-            df.unpersist(False)
+            if is_ckpt:
+                # the checkpoint's blocks belong to the RDD captured
+                # INSIDE the LogicalRDD plan node; CacheManager-level
+                # unpersist never sees them, and queryExecution.toRdd()
+                # builds a fresh uncached wrapper (measured: blocks
+                # lingered until a lucky ContextCleaner pass)
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            else:
+                df.unpersist(False)
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandamapreduce_spark.caching import scoped_persist
+from pandamapreduce_spark.caching import scoped_checkpoint, scoped_persist
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import hex16, tokens, tokens_sql
 from pandamapreduce_spark.plans.registry import REGISTRY, query
@@ -593,8 +593,8 @@ def connected_components(
                 .union(mn2.select(F.col("hi"), F.col("m").alias("lo")))
                 .where(F.col("hi") != F.col("lo"))
                 .distinct()
-                .localCheckpoint()
             )
+            new_e = scoped_checkpoint(new_e)
             # fixpoint = identical edge sets; both sides canonical +
             # distinct, so equal counts + empty difference suffice —
             # and the difference short-circuits on count alone almost
@@ -629,8 +629,8 @@ def connected_components(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
         )
+        new_labels = scoped_checkpoint(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
