@@ -1423,3 +1423,128 @@ def q169_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("pk").cast("bigint").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
     ).orderBy("p_partkey")
+
+
+# --- q180: weighted bounded-hop shortest path (min-plus relaxation) ---------
+
+SP_ROUNDS = 3  # Bellman-Ford relaxation rounds (= max path edges), unrolled
+
+
+def _sp_oracle_sql() -> str:
+    """Unrolled 3-round integer min-plus over q169's support-filtered
+    co-purchase graph; edge distance = (max_support + 1 - support), so
+    strong affinities are short hops — all exact integers."""
+    return f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS MATERIALIZED (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b, cast(count(*) as bigint) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
+    ),
+    mx AS (SELECT max(n_ab) AS m FROM pairs),
+    edges AS MATERIALIZED (
+      SELECT a, b, (mx.m + 1 - n_ab) AS w FROM pairs, mx
+      UNION ALL
+      SELECT b, a, (mx.m + 1 - n_ab) AS w FROM pairs, mx
+    ),
+    seed_brand AS (SELECT min(p_brand) AS sb FROM part),
+    d0 AS MATERIALIZED (
+      SELECT p_partkey AS pk, cast(0 as bigint) AS dist
+      FROM part, seed_brand WHERE p_brand = sb
+    ),
+    d1 AS MATERIALIZED (
+      SELECT pk, min(dist) AS dist FROM (
+        SELECT pk, dist FROM d0
+        UNION ALL
+        SELECT e.b AS pk, d0.dist + e.w FROM edges e JOIN d0 ON e.a = d0.pk
+      ) GROUP BY pk
+    ),
+    d2 AS MATERIALIZED (
+      SELECT pk, min(dist) AS dist FROM (
+        SELECT pk, dist FROM d1
+        UNION ALL
+        SELECT e.b AS pk, d1.dist + e.w FROM edges e JOIN d1 ON e.a = d1.pk
+      ) GROUP BY pk
+    ),
+    d3 AS (
+      SELECT pk, min(dist) AS dist FROM (
+        SELECT pk, dist FROM d2
+        UNION ALL
+        SELECT e.b AS pk, d2.dist + e.w FROM edges e JOIN d2 ON e.a = d2.pk
+      ) GROUP BY pk
+    )
+    SELECT cast(pk as bigint) AS p_partkey, cast(dist as bigint) AS dist
+    FROM d3 ORDER BY p_partkey
+    """
+
+
+@query(
+    "q180_shortest_path",
+    oracle=_sp_oracle_sql(),
+    doc=f"Weighted bounded-hop shortest path: {SP_ROUNDS} unrolled Bellman-Ford min-plus relaxations over q169's support-filtered co-purchase graph, edge distance = max_support + 1 - support (strong affinity = short hop) — EXACT integer arithmetic end to end; per-part minimum cost over all paths of <= {SP_ROUNDS} edges from the seed brand.",
+    tags=("graph", "shortest-path", "iterative"),
+)
+def q180_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q169 answers CAN I reach it in k hops; this answers HOW CLOSE
+    is it — min-plus (tropical) relaxation, the semiring Bellman-Ford
+    step every distributed SSSP (Pregel/GraphX) iterates. The hop
+    budget again makes the bounded answer exact and oracle-able
+    (min cost over paths of <= {SP_ROUNDS} edges is a well-defined
+    quantity, not a convergence state — q129/q54's discipline).
+
+    Exactness: affinity inverts to an INTEGER distance
+    (max_support + 1 - support), so every path cost is exact int64
+    addition and the min is total-ordered — no float anywhere.
+
+    Scale shape: each relaxation is one equi-join of the CURRENT
+    distance frontier against the edge list plus a (pk, min) partial
+    agg — min-plus matrix-vector in the tropical semiring, shuffling
+    only (pk, dist) pairs; the edge derivation reuses q131's capped
+    self-join. At 100 TB: identical to a Pregel superstep — and the
+    support cap keeps degree bounded, so a round is O(frontier x
+    avg-degree)."""
+    items = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= KHOP_SUPPORT)
+    )
+    mx = pairs.agg(F.max("n_ab").alias("m"))
+    weighted = pairs.crossJoin(F.broadcast(mx)).select(
+        "a", "b", (F.col("m") + 1 - F.col("n_ab")).alias("w")
+    )
+    edges = scoped_persist(
+        weighted.union(weighted.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    seed_brand = part.agg(F.min("p_brand").alias("sb"))
+    d = scoped_persist(
+        part.join(F.broadcast(seed_brand), part["p_brand"] == F.col("sb"))
+        .select(F.col("p_partkey").alias("pk"))
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    for _ in range(SP_ROUNDS):
+        relaxed = (
+            edges.join(d, edges["a"] == d["pk"])
+            .select(F.col("b").alias("pk"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        d = scoped_persist(
+            d.select("pk", "dist").union(relaxed).groupBy("pk").agg(F.min("dist").alias("dist"))
+        )
+    return d.select(
+        F.col("pk").cast("bigint").alias("p_partkey"), F.col("dist").cast("bigint").alias("dist")
+    ).orderBy("p_partkey")

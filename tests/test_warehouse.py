@@ -1759,3 +1759,56 @@ def test_linear_attribution_conserves_value_and_matches_pandas(spark):
     total_value = Decimal(f"{p['value'].sum():.6f}")
     assert abs(float(total_credited) - float(total_value)) < 1e-6 * len(p)
 
+
+
+def test_shortest_path_matches_python_bellman_ford(spark):
+    """q180 vs a literal Python Bellman-Ford (3 rounds) at sf0.001,
+    plus consistency with q169: same reached set, dist 0 exactly on
+    the seed set, and dist consistent with hop counts (a part at hop
+    h costs at least h * min_edge_weight)."""
+    import collections
+
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.warehouse import (
+        KHOP_SUPPORT,
+        MAX_BASKET,
+        SP_ROUNDS,
+    )
+
+    got = REGISTRY["q180_shortest_path"].build(spark, SF_DIR).toPandas()
+    khop = REGISTRY["q169_khop_reach"].build(spark, SF_DIR).toPandas()
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_partkey", "p_brand"]]
+    items = li.drop_duplicates()
+    sizes = items.groupby("l_orderkey")["l_partkey"].transform("size")
+    items = items[sizes <= MAX_BASKET]
+    co = collections.Counter()
+    for _, grp in items.groupby("l_orderkey"):
+        pks = sorted(grp["l_partkey"])
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                co[(pks[i], pks[j])] += 1
+    co = {e: n for e, n in co.items() if n >= KHOP_SUPPORT}
+    mx = max(co.values())
+    adj = collections.defaultdict(list)
+    for (x, y), n in co.items():
+        w = mx + 1 - n
+        adj[x].append((y, w))
+        adj[y].append((x, w))
+    dist = {pk: 0 for pk in part.loc[part["p_brand"] == part["p_brand"].min(), "p_partkey"]}
+    for _ in range(SP_ROUNDS):
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, w in adj[u]:
+                if du + w < nxt.get(v, float("inf")):
+                    nxt[v] = du + w
+        dist = nxt
+    assert dict(zip(got["p_partkey"], got["dist"])) == dist
+    # same graph, same seeds, same hop budget => same reached set
+    assert set(got["p_partkey"]) == set(khop["p_partkey"])
+    merged = got.merge(khop, on="p_partkey")
+    assert (merged.loc[merged["hops"] == 0, "dist"] == 0).all()
+    assert (merged.loc[merged["dist"] == 0, "hops"] == 0).all()
+    assert (merged["dist"] >= merged["hops"]).all()  # min edge weight >= 1
