@@ -682,6 +682,7 @@ def _knn_blocked(emb: DataFrame) -> DataFrame:
 
 @query(
     "q166_mutual_knn",
+    bench=True,  # per-round signal for the Arrow block-product kernel
     oracle=f"""
     WITH knn AS (
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -796,6 +797,7 @@ def _recall_oracle() -> str:
 
 @query(
     "q171_ann_recall",
+    bench=True,  # per-round signal for the 5-lane ANN evaluation composite
     doc=f"ANN quality evaluation: recall@{TOP_K} of all four approximate searches — single-bucket sign-LSH (q42), 9-probe LSH (q74), IVF nprobe=1 (q55), IVF nprobe=2 (q77) — against the exact brute-force top-{TOP_K} (q40); hits = ground-truth pairs the method returned; exact integer counts, one IEEE division per method row.",
     oracle=None,  # installed below: composes the q40/q42/q74 oracles
     tags=("similarity", "knn", "evaluation"),

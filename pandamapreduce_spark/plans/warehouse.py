@@ -1361,6 +1361,7 @@ def _khop_oracle_sql() -> str:
 
 @query(
     "q169_khop_reach",
+    bench=True,  # per-round signal for the frontier-BFS join shape
     oracle=_khop_oracle_sql(),
     doc=f"{KHOP_MAX}-hop BFS reachability: seeds = parts of the lexicographically first brand; edges = co-purchase pairs with >= {KHOP_SUPPORT} supporting orders over {MAX_BASKET}-capped baskets (q131's graph); per-part minimum hop distance, frontier-expansion joins, unreached parts excluded.",
     tags=("graph", "bfs", "iterative"),
