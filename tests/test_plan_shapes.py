@@ -721,3 +721,50 @@ def test_quantile_normalize_no_single_partition_global_sort(spark):
         head = seg.split(" ASC", 1)[0]
         assert "#" in head, seg[:120]  # partitioned by a real column
     assert "EvalPython" not in final, final
+
+
+# --- round-6 lanes ---------------------------------------------------------
+
+
+def test_attribution_single_user_exchange(spark):
+    """q167's window + final agg must reuse ONE user_id hash exchange
+    for the window; the channel rollup adds exactly one more (the
+    |event-type|-key agg). No other exchanges."""
+    plan = plan_of(spark, "q167_attribution")
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange hashpartitioning") <= 2, final
+
+
+def test_rfm_has_no_single_partition_window(spark):
+    """q177's quintiles come from the distributed-rank pattern: every
+    window must be partitioned (a SinglePartition window is the
+    anti-pattern the _global_ntile helper exists to avoid)."""
+    plan = plan_of(spark, "q177_rfm_segments")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" in final
+    assert "SinglePartition" not in final, final
+
+
+def test_mutual_knn_blocked_uses_cogrouped_arrow(spark):
+    """q166's default strategy must run the all-pairs arithmetic in
+    the cogrouped Arrow operator, not a nested-loop join."""
+    plan = plan_of(spark, "q166_mutual_knn")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_khop_frontier_rounds_are_equi_joins(spark):
+    """q169/q180's relaxation rounds must be keyed joins — a cartesian
+    product would mean the frontier join lost its key."""
+    for name in ("q169_khop_reach", "q180_shortest_path"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scd2_pit_join_broadcasts_dimension(spark):
+    """q168: the SCD2 history (dimension-sized) must broadcast against
+    the fact table at test scale (AQE picks BHJ under the threshold);
+    the interval predicates ride as join residuals, never a cartesian."""
+    plan = plan_of(spark, "q168_scd2_pit_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
