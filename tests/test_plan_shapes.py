@@ -737,12 +737,19 @@ def test_attribution_single_user_exchange(spark):
 
 def test_rfm_has_no_single_partition_window(spark):
     """q177's quintiles come from the distributed-rank pattern: every
-    window must be partitioned (a SinglePartition window is the
-    anti-pattern the _global_ntile helper exists to avoid)."""
-    plan = plan_of(spark, "q177_rfm_segments")
-    final = plan.split("== Initial Plan ==")[0]
-    assert "Window" in final
-    assert "SinglePartition" not in final, final
+    window must be PARTITIONED (a global window is the anti-pattern
+    the _global_ntile helper exists to avoid). Checked on the
+    optimized logical plan — the executed plan hides the rank windows
+    inside the scoped-persist InMemoryRelations. A global window's
+    windowspecdefinition opens directly with an order spec (first arg
+    carries ASC/DESC); a partitioned one opens with plain columns."""
+    df = REGISTRY["q177_rfm_segments"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, plan
+    for frag in specs:
+        first_arg = frag.split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, frag[:120]
 
 
 def test_mutual_knn_blocked_uses_cogrouped_arrow(spark):
