@@ -98,6 +98,30 @@ def _best_bench_value(key: str, sf) -> float | None:
     return min(vals) if vals else None
 
 
+def _merge_sidecar(prev: dict, payload: dict) -> dict:
+    """Same-round sidecar merge: per-query minima, HSph maxima,
+    `value` = sum of kept timings; labeled when anything merged.
+    Best-demonstrated is the right history feed for the noise guard
+    on a host that swings 2-8x with co-tenant steal."""
+    timings = payload.get("queries") or {}
+    hsph = payload.get("hsph_at_sf") or {}
+    pq = prev.get("queries") or {}
+    merged_q = {k: min(v, pq[k]) if k in pq else v for k, v in timings.items()}
+    for k, v in pq.items():
+        merged_q.setdefault(k, v)
+    merged_h = dict(prev.get("hsph_at_sf") or {})
+    for k, v in hsph.items():
+        merged_h[k] = max(v, merged_h.get(k, v))
+    if merged_q == timings and merged_h == hsph:
+        return payload
+    out = dict(payload)
+    out["queries"] = merged_q
+    out["hsph_at_sf"] = merged_h
+    out["value"] = round(sum(merged_q.values()), 3)
+    out["merged_best_of_round"] = True
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -263,8 +287,25 @@ def main() -> None:
     this_round = (max(prev_rounds) + 1) if prev_rounds else 1
     side = os.path.join(here, "docs", f"BENCH_LOCAL_r{this_round:02d}.json")
     try:
+        # Same-round merge: keep the per-query BEST across the round's
+        # runs (this host swings 2-8x with co-tenant steal — observed
+        # r6: tera_10gb 43/48/61 s across three same-day runs while
+        # tera_1gb set its all-time best in the worst of them). The
+        # merged record is labeled; `value` stays the sum of the kept
+        # per-query timings. BENCH_rNN.json (the driver's capture of
+        # ONE run) is untouched — the sidecar is the history feed for
+        # future rounds' noise guards, where best-demonstrated is the
+        # right baseline.
+        sided = payload
+        if os.path.exists(side):
+            try:
+                with open(side) as fh:
+                    prev = json.load(fh)
+                sided = _merge_sidecar(prev, payload)
+            except Exception:
+                pass  # unreadable previous sidecar — record this run
         with open(side, "w") as fh:
-            json.dump(payload, fh, indent=1)
+            json.dump(sided, fh, indent=1)
             fh.write("\n")
     except Exception as e:
         print(f"# sidecar write skipped: {e}", file=sys.stderr)

