@@ -60,6 +60,7 @@ _WINDOW_PRIORITY = [
     "q178_lateness_audit",
     "q179_linear_attribution",
     "q180_shortest_path",
+    "q181_fk_discovery",
     "q94_dedup_clusters",  # CC internals gained the two_phase strategy
     # (b) round-2-stale cohort — the full 29, nothing displaced
     "q45_cogroup",
@@ -95,11 +96,11 @@ _WINDOW_PRIORITY = [
     "q02_filter_project",
     "q04_order_priority",
     "q07_distinct",
-    "q08_orderby_limit",
     # Entries from here down sit just past the ~50-query driver
-    # window (the twelve r6 lanes q169-q180 displaced them); they
+    # window (the thirteen r6 lanes q169-q181 displaced them); they
     # rotate forward in round 7 with the r4/r5 cohorts (all 49 of
     # which were driver-green in r5's window).
+    "q08_orderby_limit",
     "q09_group_having",
     "q10_window_topk_per_group",
     "q11_window_running_sum",

@@ -1549,3 +1549,93 @@ def q180_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("pk").cast("bigint").alias("p_partkey"), F.col("dist").cast("bigint").alias("dist")
     ).orderBy("p_partkey")
+
+
+# --- q181: inclusion-dependency (foreign-key) discovery ---------------------
+
+#: candidate (child table.column -> parent table.column) pairs.
+#: events.user_id -> customer is a DISCOVERED positive (the fixture
+#: draws user ids from custkeys — exactly what IND mining surfaces);
+#: orders -> lineitem is the genuine negative: the reverse of a real
+#: FK fails because some orders have no lineitems (~10% in the
+#: fixture), so both verdicts are exercised.
+IND_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+)
+
+
+def _ind_oracle_sql() -> str:
+    parts = []
+    for ct, cc, pt, pc in IND_CANDIDATES:
+        parts.append(f"""
+    SELECT '{ct}.{cc} -> {pt}.{pc}' AS candidate,
+           cast(count(*) as bigint) AS n_child_distinct,
+           cast(count(p.k) as bigint) AS n_contained,
+           cast(count(*) - count(p.k) as bigint) AS n_orphans,
+           cast(count(p.k) as double) / cast(count(*) as double) AS containment,
+           cast(CASE WHEN count(*) = count(p.k) THEN 1 ELSE 0 END as int) AS holds
+    FROM (SELECT DISTINCT {cc} AS k FROM {ct}) c
+    LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) p USING (k)""")
+        parts.append("UNION ALL")
+    return "\n".join(parts[:-1]) + "\nORDER BY candidate"
+
+
+@query(
+    "q181_fk_discovery",
+    oracle=_ind_oracle_sql(),
+    doc="Inclusion-dependency (FK) discovery: for each candidate child->parent column pair, distinct child keys, how many exist in the parent, orphan count, exact containment ratio, and a holds flag — the cross-table sibling of q165's within-table FDs; candidates include a discovered positive (events.user_id IS drawn from custkeys) and a genuine negative (orders -> lineitem: childless orders), so both verdicts are exercised.",
+    tags=("warehouse", "profiling", "constraints"),
+)
+def q181_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of schema profiling: q165 discovers functional
+    dependencies WITHIN a table; this validates referential structure
+    ACROSS tables — the inclusion dependencies (Σ child ⊆ parent) that
+    FK constraints assert and data-integration tools mine. Containment
+    < 1 quantifies orphan volume (q132's c5/c6 audits count specific
+    planted orphans; this is the discovery-mode generalization over a
+    candidate catalog).
+
+    Exactness: distinct/contained/orphan counts are exact integers
+    from a distinct-key LEFT join per candidate; containment is ONE
+    int/int IEEE division. Scale shape: per candidate, only DISTINCT
+    KEYS shuffle (never fact rows) into one equi-join — each candidate
+    is an independent partial-agg + join subtree unioned into a
+    |candidates|-row report; at 100 TB the child-distinct pass is the
+    dominant cost and is exactly the dedup-shuffle shape the engine
+    uses everywhere."""
+    out = None
+    for ct, cc, pt, pc in IND_CANDIDATES:
+        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("k"), F.lit(1).alias("hit"))
+            .distinct()
+        )
+        row = (
+            child.join(parent, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"),
+                F.count("hit").cast("bigint").alias("n_contained"),
+            )
+            .select(
+                F.lit(f"{ct}.{cc} -> {pt}.{pc}").alias("candidate"),
+                "n_child_distinct",
+                "n_contained",
+                (F.col("n_child_distinct") - F.col("n_contained")).alias("n_orphans"),
+                (
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_distinct").cast("double")
+                ).alias("containment"),
+                F.when(F.col("n_child_distinct") == F.col("n_contained"), 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("holds"),
+            )
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("candidate")

@@ -1812,3 +1812,28 @@ def test_shortest_path_matches_python_bellman_ford(spark):
     assert (merged.loc[merged["hops"] == 0, "dist"] == 0).all()
     assert (merged.loc[merged["dist"] == 0, "hops"] == 0).all()
     assert (merged["dist"] >= merged["hops"]).all()  # min edge weight >= 1
+
+
+def test_fk_discovery_matches_pandas_and_exercises_both_verdicts(spark):
+    """q181 vs literal pandas set containment at sf0.001; the
+    candidate catalog must produce BOTH a holds=1 and a holds=0 row."""
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.warehouse import IND_CANDIDATES
+
+    got = REGISTRY["q181_fk_discovery"].build(spark, SF_DIR).toPandas()
+    assert len(got) == len(IND_CANDIDATES)
+    assert set(got["holds"]) == {0, 1}
+
+    for r in got.itertuples(index=False):
+        ct_cc, pt_pc = r.candidate.split(" -> ")
+        ct, cc = ct_cc.split(".")
+        pt, pc = pt_pc.split(".")
+        child = set(pd.read_parquet(f"{SF_DIR}/{ct}.parquet")[cc])
+        parent = set(pd.read_parquet(f"{SF_DIR}/{pt}.parquet")[pc])
+        contained = len(child & parent)
+        assert r.n_child_distinct == len(child)
+        assert r.n_contained == contained
+        assert r.n_orphans == len(child) - contained
+        assert r.containment == contained / len(child)
+        assert r.holds == int(contained == len(child))
