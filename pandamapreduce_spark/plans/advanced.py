@@ -2471,3 +2471,113 @@ def q179_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- q182: time-to-convert distribution --------------------------------------
+
+TTC_BUCKETS_S = (60, 600, 3600, 21600)  # <=1m, <=10m, <=1h, <=6h, <=1d
+
+
+@query(
+    "q182_time_to_convert",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             cast(ceil(date_diff('millisecond', s1.t1, min(e.ts)) / 1000.0) as bigint) AS delay_s
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + {FUNNEL_HORIZON}
+      GROUP BY e.user_id, s1.t1
+    ),
+    b AS (
+      SELECT CASE
+               WHEN delay_s <= {TTC_BUCKETS_S[0]} THEN 'a_1m'
+               WHEN delay_s <= {TTC_BUCKETS_S[1]} THEN 'b_10m'
+               WHEN delay_s <= {TTC_BUCKETS_S[2]} THEN 'c_1h'
+               WHEN delay_s <= {TTC_BUCKETS_S[3]} THEN 'd_6h'
+               ELSE 'e_1d' END AS bucket,
+             delay_s
+      FROM conv
+    ),
+    n AS (SELECT cast(count(*) as bigint) AS total FROM b)
+    SELECT bucket,
+           cast(count(*) as bigint) AS n_converters,
+           cast(min(delay_s) as bigint) AS min_delay_s,
+           cast(max(delay_s) as bigint) AS max_delay_s,
+           cast(sum(delay_s) as double) / cast(count(*) as double) AS avg_delay_s,
+           cast(count(*) as double) / cast(n.total as double) AS share
+    FROM b, n GROUP BY bucket, n.total ORDER BY bucket
+    """,
+    doc=f"Time-to-convert distribution: per user, seconds from FIRST '{FUNNEL_STAGES[0]}' to the first '{FUNNEL_STAGES[2]}' within the funnel horizon (q126's entry/exit definition), bucketed <=1m/10m/1h/6h/1d with exact integer delays, per-bucket min/max/mean and share — conversion VELOCITY where q126 reports conversion RATE.",
+    tags=("events", "funnel", "analytics"),
+)
+def q182_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q126 answers HOW MANY convert; this answers HOW FAST — the
+    latency distribution product teams read next to the funnel (and
+    the input to attribution-window choices like q179's 1-hour
+    lookback: a lookback shorter than the typical conversion delay
+    under-credits).
+
+    Exactness: delays are exact millisecond differences ceil'd to
+    whole seconds; per-bucket mean is ONE int/int IEEE division
+    (sum and count both exact), share likewise. Scale shape: two
+    per-user min-aggs (the q126 stage-chain shape — no per-user event
+    arrays, no windows), then a 5-row report."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr(FUNNEL_HORIZON))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("tp"))
+        .select(
+            F.ceil(
+                (F.unix_micros(F.col("tp")) - F.unix_micros(F.col("t1"))).cast("double")
+                / F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("delay_s")
+        )
+    )
+    b0, b1, b2, b3 = TTC_BUCKETS_S
+    bucket = (
+        F.when(F.col("delay_s") <= b0, "a_1m")
+        .when(F.col("delay_s") <= b1, "b_10m")
+        .when(F.col("delay_s") <= b2, "c_1h")
+        .when(F.col("delay_s") <= b3, "d_6h")
+        .otherwise("e_1d")
+    )
+    lab = conv.select("delay_s", bucket.alias("bucket"))
+    n = lab.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        lab.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+            F.min("delay_s").cast("bigint").alias("min_delay_s"),
+            F.max("delay_s").cast("bigint").alias("max_delay_s"),
+            (F.sum("delay_s").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_delay_s"
+            ),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            "n_converters",
+            "min_delay_s",
+            "max_delay_s",
+            "avg_delay_s",
+            (F.col("n_converters").cast("double") / F.col("total").cast("double")).alias("share"),
+        )
+        .orderBy("bucket")
+    )
