@@ -30,104 +30,71 @@ from pandamapreduce_spark.plans import REGISTRY
 
 # Driver-verification window management: the driver's CORRECTNESS pass
 # covers the first N (~50) entries of ``queries()`` in iteration order.
-# Round-6 priority (VERDICT r5 #3 — complete the stale-green rotation):
-# (a) queries changed or new this round — q165 (oracle n_pairs fixed to
-# sum(fan), the r5 wrong answer), q128 (hist array flattened to
-# hist_0..hist_7 scalar columns so the driver's canonicalizer can hash
-# it), plus round-6 additions; (b) the 29 queries whose driver green is
-# three rounds stale (last windowed r2: q45, q47-q49, q55-q58, q65,
-# q71, q74/q75/q77, q80-q94 incl. q87b) — ALL of them fit this round;
-# (c) the r3 cohort (q02/q04/q07-q14, q95-q104, q43/q43b/q52/q53) as
-# regression sentinels filling the remaining slots. Entries beyond the
-# window stay covered by tests/test_oracle_parity.py at sf0.001 and
-# this session's full-registry driver emulation at sf0.01.
-_WINDOW_PRIORITY = [
-    # (a) changed or new this round
-    "q165_fd_discovery",
-    "q128_column_stats",
-    "q166_mutual_knn",
-    "q167_attribution",
-    "q168_scd2_pit_join",
-    "q169_khop_reach",
-    "q170_ks_drift",
-    "q171_ann_recall",
-    "q172_entity_resolution",
-    "q173_jsd_drift",
-    "q174_dsir_weights",
-    "q175_theilsen",
-    "q176_journeys",
-    "q177_rfm_segments",
+# Round-7 change (VERDICT r6 #3): the priority is COMPUTED from the
+# CORRECTNESS_r*.json ledger instead of hand-maintained prose — the r5
+# crowd-out and the r6 hand-rotation were both failures of maintaining
+# ledger data by hand. Order:
+#   1. never driver-green (new lanes, or landed past a window),
+#   2. changed this round (the hand OVERRIDE below — the one fact the
+#      ledger cannot know),
+#   3. everything else, oldest driver-green first.
+# Entries beyond the window stay covered by tests/test_oracle_parity.py
+# at sf0.001 and each session's full-registry emulation at sf0.01.
+
+#: Queries whose Spark plan or oracle changed this round — the only
+#: hand-maintained piece. Round 7: q178/q182 oracles made µs-exact by
+#: construction, q94 CC loops gained eager round release, q171's bare
+#: persist scoped, ml-lane caching routed through scoped_persist.
+_WINDOW_OVERRIDE = [
+    "q182_time_to_convert",
     "q178_lateness_audit",
-    "q179_linear_attribution",
-    "q180_shortest_path",
-    "q181_fk_discovery",
-    "q94_dedup_clusters",  # CC internals gained the two_phase strategy
-    # (b) round-2-stale cohort — the full 29, nothing displaced
-    "q45_cogroup",
+    "q94_dedup_clusters",
+    "q171_ann_recall",
     "q47_kmeans_assign",
-    "q48_gemv",
-    "q49_tfidf",
-    "q55_ivf_knn",
-    "q56_salted_agg",
-    "q57_pandas_udaf",
+    "q54_kmeans_iterative",
     "q58_gmm_assign",
-    "q65_time_rollup",
-    "q71_multimodal_features",
-    "q74_multiprobe_lsh_knn",
-    "q75_salted_join",
-    "q77_ivf_nprobe",
-    "q80_clean_corpus",
-    "q81_correlated_subquery",
-    "q82_exists_semi",
-    "q83_range_frame_window",
-    "q84_rolling_fingerprint",
-    "q85_train_split",
-    "q86_quality_deciles",
-    "q87_hybrid_neardup",
-    "q87b_hybrid_neardup_ann",
-    "q88_contamination",
-    "q89_stratified_sample",
-    "q90_sequence_packing",
-    "q91_source_mixture",
-    "q92_boilerplate_blocks",
-    "q93_repetition_score",
-    # (q94 is listed in section (a): changed this round)
-    # (c) r3 cohort sentinels, filling the window
-    "q02_filter_project",
-    "q04_order_priority",
-    "q07_distinct",
-    # Entries from here down sit just past the ~50-query driver
-    # window (the thirteen r6 lanes q169-q181 displaced them); they
-    # rotate forward in round 7 with the r4/r5 cohorts (all 49 of
-    # which were driver-green in r5's window).
-    "q08_orderby_limit",
-    "q09_group_having",
-    "q10_window_topk_per_group",
-    "q11_window_running_sum",
-    "q12_sessionize",
-    "q13_set_ops",
-    "q14_rollup",
-    "q43_asof_join",
-    "q43b_asof_forward_tolerance",
-    "q52_terasort",
-    "q53_teravalidate",
-    "q95_unpivot",
-    "q96_vocab_build",
-    "q97_embedding_centroids",
-    "q98_pii_scrub",
-    "q99_temperature_mixture",
-    "q100_global_quality_deciles",
-    "q101_bigram_nll",
-    "q102_context_chunks",
-    "q103_dedup_keep_best",
-    "q104_cms_heavy_hitters",
+    "q59_gmm_em",
 ]
 
 
+def _ledger_green_rounds() -> dict[str, int]:
+    """name -> latest round with a fully-green driver-window row."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    green: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict) or rec.get("err"):
+                continue
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if ok:
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
 def _ordered_names() -> list[str]:
-    prioritized = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(prioritized)]
-    return prioritized + rest
+    green = _ledger_green_rounds()
+    never = [n for n in REGISTRY if n not in green]
+    changed = [n for n in _WINDOW_OVERRIDE if n in REGISTRY and n in green and n not in never]
+    seen = set(never) | set(changed)
+    rest = sorted((n for n in REGISTRY if n not in seen), key=lambda n: (green[n], n))
+    return never + changed + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

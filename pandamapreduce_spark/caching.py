@@ -50,22 +50,43 @@ def scoped_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def _drop(df: DataFrame, is_ckpt: bool) -> None:
+    try:
+        if is_ckpt:
+            # the checkpoint's blocks belong to the RDD captured
+            # INSIDE the LogicalRDD plan node; CacheManager-level
+            # unpersist never sees them, and queryExecution.toRdd()
+            # builds a fresh uncached wrapper (measured: blocks
+            # lingered until a lucky ContextCleaner pass)
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        else:
+            df.unpersist(False)
+    except Exception:
+        pass  # session already stopped — nothing to release
+
+
+def release_one(df: DataFrame) -> bool:
+    """Release ONE scoped cache early, by identity.
+
+    Iterative loops (q94's connected components) supersede a round's
+    state as soon as the next round's convergence count materializes;
+    without early release every generation's blocks pile up until the
+    next dispatch — up to max_iters frames for one query. Callers
+    release the superseded frame right after the count that last reads
+    it; the winning round stays registered for ``release_caches``."""
+    for i, (frame, is_ckpt) in enumerate(_LIVE):
+        if frame is df:
+            _LIVE.pop(i)
+            _drop(frame, is_ckpt)
+            return True
+    return False
+
+
 def release_caches() -> int:
     """Unpersist every scoped cache (non-blocking); returns the count."""
     n = 0
     while _LIVE:
         df, is_ckpt = _LIVE.pop()
-        try:
-            if is_ckpt:
-                # the checkpoint's blocks belong to the RDD captured
-                # INSIDE the LogicalRDD plan node; CacheManager-level
-                # unpersist never sees them, and queryExecution.toRdd()
-                # builds a fresh uncached wrapper (measured: blocks
-                # lingered until a lucky ContextCleaner pass)
-                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            else:
-                df.unpersist(False)
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
+        _drop(df, is_ckpt)
+        n += 1
     return n

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pandamapreduce_spark.caching import release_one, scoped_persist
 from pandamapreduce_spark.functions import dot
 from pandamapreduce_spark.functions.vector import _dbl
 
@@ -87,7 +88,7 @@ def gmm_em(
     sig2 = [1.0] * k
     pis = [1.0 / k] * k
     x = F.col(vec_col)
-    vectors = vectors.cache()
+    vectors = scoped_persist(vectors)
     loglik: list[float] = []
     try:
         for _ in range(iterations):
@@ -113,7 +114,8 @@ def gmm_em(
                 vec_col,
                 (mx + F.log(den)).alias("ll"),
                 *[(exps[c] / den).alias(f"r{c}") for c in range(k)],
-            ).cache()
+            )
+            resp = scoped_persist(resp)
             try:
                 loglik.append(
                     resp.agg((F.sum(F.col("ll").cast("decimal(28,10)")).cast("double") / F.count("ll")).alias("m"))
@@ -135,7 +137,7 @@ def gmm_em(
                 ).collect()[0]
                 n_total = totals["n"]
             finally:
-                resp.unpersist()
+                release_one(resp)
             for c in range(k):
                 nc = totals[f"n{c}"]
                 pis[c] = nc / n_total
@@ -159,7 +161,7 @@ def gmm_em(
         params = {"pis": pis, "mus": mus, "sig2": sig2}
         return params, assigned, loglik
     finally:
-        vectors.unpersist()
+        release_one(vectors)
 
 
 def cmeans(
@@ -184,7 +186,7 @@ def cmeans(
     seed_rows = vectors.orderBy(id_col).limit(k).collect()
     cents = [[float(v) for v in r[vec_col]] for r in seed_rows]
     x = F.col(vec_col)
-    vectors = vectors.cache()
+    vectors = scoped_persist(vectors)
     objective: list[float] = []
     try:
         for it in range(iterations + 1):
@@ -228,7 +230,7 @@ def cmeans(
                     new[row["d"]] = row[f"sx{c}"] / row[f"sw{c}"]
                 cents[c] = new
     finally:
-        vectors.unpersist()
+        release_one(vectors)
 
 
 def kmeans(vectors: DataFrame, k: int, iterations: int, vec_col: str = "embedding", id_col: str = "vec_id") -> tuple[list, DataFrame]:
@@ -238,11 +240,11 @@ def kmeans(vectors: DataFrame, k: int, iterations: int, vec_col: str = "embeddin
     dim = len(vectors.select(vec_col).first()[0])
     seed_rows = vectors.orderBy(id_col).limit(k).collect()
     centroids = [(i, [float(v) for v in row[vec_col]]) for i, row in enumerate(seed_rows)]
-    vectors = vectors.cache()
+    vectors = scoped_persist(vectors)
     try:
         for _ in range(iterations):
             assigned = assign_clusters(vectors, centroids, vec_col)
             centroids = [(cid, vec) for cid, vec in update_centroids(assigned, dim, vec_col)]
         return centroids, assign_clusters(vectors, centroids, vec_col)
     finally:
-        vectors.unpersist()
+        release_one(vectors)

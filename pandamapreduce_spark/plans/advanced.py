@@ -2487,7 +2487,7 @@ TTC_BUCKETS_S = (60, 600, 3600, 21600)  # <=1m, <=10m, <=1h, <=6h, <=1d
     ),
     conv AS (
       SELECT e.user_id,
-             cast(ceil(date_diff('millisecond', s1.t1, min(e.ts)) / 1000.0) as bigint) AS delay_s
+             cast(ceil(date_diff('microsecond', s1.t1, min(e.ts)) / 1000000.0) as bigint) AS delay_s
       FROM events e JOIN s1 ON e.user_id = s1.user_id
       WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s1.t1
         AND e.ts <= s1.t1 + {FUNNEL_HORIZON}
@@ -2522,7 +2522,7 @@ def q182_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookback: a lookback shorter than the typical conversion delay
     under-credits).
 
-    Exactness: delays are exact millisecond differences ceil'd to
+    Exactness: delays are exact microsecond differences ceil'd to
     whole seconds; per-bucket mean is ONE int/int IEEE division
     (sum and count both exact), share likewise. Scale shape: two
     per-user min-aggs (the q126 stage-chain shape — no per-user event

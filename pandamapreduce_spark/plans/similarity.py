@@ -815,8 +815,10 @@ def q171_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, neighbor_id) integer pairs, n_queries x k rows per
     side. Recall = hits / n_exact via one exact int/int IEEE division
     per method row; the report is 2 rows."""
+    from pandamapreduce_spark.caching import scoped_persist
+
     exact = q40_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = exact.persist()
+    exact = scoped_persist(exact)
     base = exact.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
         F.count_distinct("query_id").cast("bigint").alias("n_queries"),

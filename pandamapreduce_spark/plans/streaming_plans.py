@@ -491,7 +491,7 @@ LATE_BUCKETS_S = (0, 60, 600, 3600)  # on-time, <=1min, <=10min, <=1h, >1h
     ),
     lat AS (
       SELECT CASE WHEN seen IS NULL OR ts >= seen THEN 0
-                  ELSE cast(ceil(date_diff('millisecond', ts, seen) / 1000.0) as bigint)
+                  ELSE cast(ceil(date_diff('microsecond', ts, seen) / 1000000.0) as bigint)
              END AS late_s
       FROM seq
     ),
@@ -534,7 +534,7 @@ def q178_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation is the worst case a watermark must survive on this
     data.
 
-    Exactness: lateness is an exact millisecond difference ceil'd to
+    Exactness: lateness is an exact microsecond difference ceil'd to
     whole seconds (integer), buckets are exact string labels, and the
     one double per row is an int/int share division. Scale shape: ONE
     user_id hash exchange serves the running-max window (per-user

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pandamapreduce_spark.caching import scoped_checkpoint, scoped_persist
+from pandamapreduce_spark.caching import release_one, scoped_checkpoint, scoped_persist
 from pandamapreduce_spark.catalog import load_table
 from pandamapreduce_spark.functions import hex16, tokens, tokens_sql
 from pandamapreduce_spark.plans.registry import REGISTRY, query
@@ -600,6 +600,7 @@ def connected_components(
             # and the difference short-circuits on count alone almost
             # every converged round
             changed = new_e.count() != e.count() or new_e.exceptAll(e).count() > 0
+            release_one(e)  # the count above was the last read of the old round
             e = new_e
             if not changed:
                 break
@@ -637,6 +638,7 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        release_one(labels)  # superseded round: last read was the count above
         labels = new_labels
         if changed == 0:
             break

@@ -152,22 +152,52 @@ def test_dataset_extension_methods(spark):
 
 
 def test_driver_contract_shape():
-    """Guards the __spark_entry__ driver contract: the priority list
-    pins the queries() iteration order — the driver verifies the first
-    ~50, so the list must hold AT LEAST a full window of unique known
-    names (entries past 50 are the explicitly-ordered displaced
-    cohort) — every registered query carries an oracle, and oracle
-    keys are a subset of query keys."""
+    """Guards the __spark_entry__ driver contract: the override list
+    names only registered queries, the computed order covers the full
+    registry exactly once, every registered query carries an oracle,
+    and oracle keys are a subset of query keys."""
     import __spark_entry__ as m
 
-    assert len(m._WINDOW_PRIORITY) >= 50
-    assert len(set(m._WINDOW_PRIORITY)) == len(m._WINDOW_PRIORITY)
+    assert len(set(m._WINDOW_OVERRIDE)) == len(m._WINDOW_OVERRIDE)
     from pandamapreduce_spark.plans import REGISTRY
 
-    missing = [n for n in m._WINDOW_PRIORITY if n not in REGISTRY]
+    missing = [n for n in m._WINDOW_OVERRIDE if n not in REGISTRY]
     assert not missing, missing
+    ordered = m._ordered_names()
+    assert sorted(ordered) == sorted(REGISTRY)
     qs = m.queries()
     oracles = m.oracle_sql()
     assert set(oracles) <= set(qs)
     # round-4 state: every registered query is value-hash-oracled
     assert set(oracles) == set(qs), set(qs) - set(oracles)
+
+
+def test_window_priority_computed_from_ledger():
+    # r6 verdict #3: the driver window (first ~50 queries() entries)
+    # must be generated from the CORRECTNESS ledger — never-green
+    # first, then the changed-this-round override, then oldest-green —
+    # so staleness can never again be crowded out by hand-edited prose.
+    import __spark_entry__ as m
+
+    names = m._ordered_names()
+    green = m._ledger_green_rounds()
+    window = set(names[:50])
+
+    never = [n for n in names if n not in green]
+    assert all(n in window for n in never), "never-green query outside the window"
+    greened = [n for n in names if n in green]
+    if greened:
+        oldest_round = min(green[n] for n in greened)
+        oldest = [n for n in greened if green[n] == oldest_round]
+        # every query whose green is the stalest on record is windowed
+        # (or there are more stale queries than slots — then the window
+        # must be ENTIRELY never-green + override + stalest)
+        outside = [n for n in oldest if n not in window]
+        if outside:
+            tail = [n for n in names[:50] if n in green and green[n] > oldest_round
+                    and n not in set(m._WINDOW_OVERRIDE)]
+            assert not tail, f"stale {outside[:3]} displaced by fresher {tail[:3]}"
+    # the override is honored right after never-green
+    k = len(never)
+    expected = [n for n in m._WINDOW_OVERRIDE if n in green and n not in set(never)]
+    assert names[k : k + len(expected)] == expected

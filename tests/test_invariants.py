@@ -461,3 +461,51 @@ def test_column_stats_drive_join_cardinality_estimates(spark):
     actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert actual > 0
     assert est / actual < 1.5 and actual / est < 1.5, (est, actual)
+
+
+def test_no_bare_persist_outside_caching():
+    # caching.py's contract (r6 verdict #5): every persist/cache/
+    # localCheckpoint in the engine goes through scoped_persist /
+    # scoped_checkpoint so release_caches can reclaim it. A bare call
+    # leaks blocks until session end (q171 shipped one in r6).
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "pandamapreduce_spark"
+    pat = re.compile(r"\.(persist|cache|localCheckpoint)\(")
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        if p.name == "caching.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if pat.search(line) and not line.lstrip().startswith("#"):
+                offenders.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+    assert not offenders, f"bare persist/cache outside caching.py: {offenders}"
+
+
+def test_delay_seconds_contract_sub_millisecond(spark, oracle):
+    # q178/q182 contract (r6 verdict #1): delay seconds are the CEIL of
+    # the exact MICROSECOND difference on both engines. The adversarial
+    # case: start on an exact ms boundary, true delay 1.000001 s —
+    # DuckDB's boundary-counted milliseconds ceil to 1 (the latent r6
+    # oracle bug), the microsecond contract ceils to 2 on both sides.
+    t1 = "2024-01-01 00:00:00.000000"
+    tp = "2024-01-01 00:00:01.000001"
+    got_spark = (
+        spark.sql(
+            f"SELECT cast(ceil(cast(unix_micros(timestamp'{tp}') - "
+            f"unix_micros(timestamp'{t1}') as double) / 1000000.0) as bigint) AS d"
+        )
+        .collect()[0]
+        .d
+    )
+    got_oracle = oracle.execute(
+        f"SELECT cast(ceil(date_diff('microsecond', timestamp '{t1}', "
+        f"timestamp '{tp}') / 1000000.0) as bigint)"
+    ).fetchone()[0]
+    old_ms_oracle = oracle.execute(
+        f"SELECT cast(ceil(date_diff('millisecond', timestamp '{t1}', "
+        f"timestamp '{tp}') / 1000.0) as bigint)"
+    ).fetchone()[0]
+    assert got_spark == got_oracle == 2
+    assert old_ms_oracle == 1  # why the ms formula was latent-broken

@@ -775,3 +775,17 @@ def test_scd2_pit_join_broadcasts_dimension(spark):
     plan = plan_of(spark, "q168_scd2_pit_join")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_time_to_convert_two_minaggs_no_cartesian(spark):
+    """q182 is two per-user min-aggs plus a 5-row report: every join
+    keyed (the 1-row total joins via broadcast, never a shuffled
+    cartesian), aggregation partial before each exchange, all-JVM."""
+    plan = plan_of(spark, "q182_time_to_convert")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "EvalPython" not in final, final
+    # the per-user stage-1 min, the conversion min, the bucket agg —
+    # nothing else should shuffle (the total is a broadcast join)
+    assert final.count("Exchange hashpartitioning") <= 4, final
+    assert "partial_min" in final or "partial_count" in final, final
