@@ -27,5 +27,6 @@ from pandamapreduce_spark.plans import maintenance  # noqa: E402,F401
 # Cross-module composed oracles, installed once every lane is registered.
 REGISTRY["q171_ann_recall"].oracle = similarity._recall_oracle()
 REGISTRY["q172_entity_resolution"].oracle = similarity._entity_oracle()
+REGISTRY["q183_semdedup"].oracle = similarity._semdedup_oracle()
 
 __all__ = ["REGISTRY", "Query", "query"]

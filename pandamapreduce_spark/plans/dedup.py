@@ -632,3 +632,154 @@ def q124_corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q185: near-dup pipeline evaluation (LSH candidates vs exact truth) -----
+
+#: ground-truth Jaccard threshold as a rational 1/2 — the LSH design
+#: point (4 bands of 3 rows targets J >= ~0.5), so the eval measures
+#: the LSH stage exactly where its collision curve claims to work.
+NDE_NUM, NDE_DEN = 1, 2
+
+
+def _nde_truth_sql() -> str:
+    """EXACT distinct-3-gram Jaccard >= 1/2 pairs via the q147 prefix
+    bound (provably complete — never misses a qualifying pair)."""
+    return f"""
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({word_ngrams_sql("text", 3)}) AS g FROM documents
+    ),
+    gdf AS (SELECT g, cast(count(*) as bigint) AS dfreq FROM grams GROUP BY g),
+    gsz AS (SELECT doc_id, cast(count(*) as bigint) AS sz FROM grams GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.g, s.sz,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.g) AS rn
+      FROM grams t JOIN gdf d ON t.g = d.g JOIN gsz s ON t.doc_id = s.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, g FROM ranked
+      WHERE rn <= sz - (({NDE_NUM} * sz + {NDE_DEN - 1}) // {NDE_DEN}) + 1
+    ),
+    candp AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    ov AS (
+      SELECT c.da, c.db, cast(count(*) as bigint) AS ov
+      FROM candp c
+      JOIN grams ta ON ta.doc_id = c.da
+      JOIN grams tb ON tb.doc_id = c.db AND tb.g = ta.g
+      GROUP BY c.da, c.db
+    ),
+    truth AS MATERIALIZED (
+      SELECT o.da AS doc_a, o.db AS doc_b
+      FROM ov o JOIN gsz sa ON o.da = sa.doc_id JOIN gsz sb ON o.db = sb.doc_id
+      WHERE ({NDE_NUM} + {NDE_DEN}) * o.ov >= {NDE_NUM} * (sa.sz + sb.sz)
+    )"""
+
+
+@query(
+    "q185_neardup_eval",
+    oracle=f"""
+    WITH cand AS MATERIALIZED ({_lsh_pairs_sql()}),
+    {_nde_truth_sql()},
+    nt AS (SELECT cast(count(*) as bigint) AS n_true FROM truth),
+    nc AS (SELECT cast(count(*) as bigint) AS n_cand FROM cand),
+    nh AS (
+      SELECT cast(count(*) as bigint) AS n_hit
+      FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT 'minhash_{NUM_HASHES}x{NUM_BANDS}' AS method,
+           nt.n_true AS n_true, nc.n_cand AS n_cand, nh.n_hit AS n_hit,
+           cast(nh.n_hit as double) / cast(nc.n_cand as double) AS precision_at_tau,
+           cast(nh.n_hit as double) / cast(nt.n_true as double) AS recall_at_tau
+    FROM nt, nc, nh
+    """,
+    doc=f"Near-dup pipeline evaluation — the dedup twin of q171's ANN recall: ground truth = EXACT distinct-3-gram Jaccard >= {NDE_NUM}/{NDE_DEN} pairs via the q147 prefix-filter bound (complete by construction), system under test = q32's MinHash-LSH candidate pairs ({NUM_HASHES} hashes, {NUM_BANDS} bands, bucket cap {MAX_BUCKET}); one-row report of candidate precision/recall at the LSH design threshold, so signature/band choices and the skew cap are MEASURED, not assumed.",
+    tags=("dedup", "evaluation", "lsh"),
+)
+def q185_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A dedup deployment's two knobs — band shape (speed/recall) and
+    the bucket skew cap (the 10^10-pair bomb guard) — both TRADE
+    RECALL; this lane prices them against exact ground truth the way
+    q171 prices ANN probes. Truth comes from the AllPairs prefix
+    bound (q147's operator, here on the 3-gram shingle space the LSH
+    actually hashes), so the truth side is itself sub-quadratic and
+    runs at corpus scale — no brute-force all-pairs anywhere.
+
+    Scale shape: truth shuffles (rare-gram, doc) prefix pairs and
+    verifies by per-pair array intersect on candidates only; the LSH
+    side is q32's band shuffle; the eval joins two (doc_a, doc_b)
+    integer pair lists and reduces to ONE row — three broadcast-able
+    singleton aggregates. Precision/recall are single int/int IEEE
+    divisions (exact-count numerators/denominators)."""
+    from pandamapreduce_spark.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    grams = scoped_persist(
+        docs.select("doc_id", F.explode(F.array_distinct(word_ngrams("text", 3))).alias("g"))
+    )
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("dfreq"))
+    gsz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "g")
+    prefix_len = F.col("sz") - F.expr(f"({NDE_NUM} * sz + {NDE_DEN - 1}) div {NDE_DEN}") + 1
+    prefix = scoped_persist(
+        grams.join(gdf, "g")
+        .join(gsz, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candp = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    arrs = grams.groupBy("doc_id").agg(F.collect_list("g").alias("arr"))
+    aa = arrs.select(
+        F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"),
+        F.size("arr").cast("bigint").alias("size_a"),
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"),
+        F.size("arr").cast("bigint").alias("size_b"),
+    )
+    truth = scoped_persist(
+        candp.join(aa, "da")
+        .join(bb, "db")
+        .select(
+            "da", "db",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint").alias("ov"),
+            "size_a", "size_b",
+        )
+        .where(
+            F.lit(NDE_NUM + NDE_DEN) * F.col("ov")
+            >= F.lit(NDE_NUM) * (F.col("size_a") + F.col("size_b"))
+        )
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+    )
+    cand = scoped_persist(_lsh_pairs_df(spark, sf_dir).select("doc_a", "doc_b"))
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    nh = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.lit(f"minhash_{NUM_HASHES}x{NUM_BANDS}").alias("method"),
+            "n_true",
+            "n_cand",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_cand").cast("double")).alias(
+                "precision_at_tau"
+            ),
+            (F.col("n_hit").cast("double") / F.col("n_true").cast("double")).alias(
+                "recall_at_tau"
+            ),
+        )
+    )

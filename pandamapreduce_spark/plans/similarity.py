@@ -934,3 +934,91 @@ def q172_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+# --- q183: semantic (embedding-cluster) dedup — SemDeDup-style --------------
+
+SEMDEDUP_TAU = 0.40  # mutual-cosine threshold for "semantic duplicate"
+
+
+def _semdedup_oracle() -> str:
+    """Composes q166's mutual-kNN oracle (MATERIALIZED — it is the
+    expensive all-pairs subtree and the edges CTE references it twice;
+    un-hinted DuckDB would inline and re-evaluate it per reference,
+    the q169 sf1 disk-fill lesson) with q94's recursive-CTE component
+    pattern and q172's survivorship ranking."""
+    from pandamapreduce_spark.plans.registry import REGISTRY
+
+    mutual = REGISTRY["q166_mutual_knn"].oracle
+    return f"""
+    WITH RECURSIVE mutual AS MATERIALIZED ({mutual}),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM mutual WHERE cos_sim >= {SEMDEDUP_TAU}
+      UNION ALL
+      SELECT vec_b, vec_a FROM mutual WHERE cos_sim >= {SEMDEDUP_TAU}
+    ),
+    nodes AS (SELECT DISTINCT a FROM edges),
+    reach(src, node) AS (
+      SELECT a, a FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    roots AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+    ranked AS (
+      SELECT r.cluster_id, r.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY r.cluster_id
+               ORDER BY d.n_chars DESC, r.doc_id) AS rn
+      FROM roots r JOIN documents d ON r.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id, cast(n_chars as bigint) AS n_chars,
+           (rn = 1) AS keep
+    FROM ranked ORDER BY cluster_id, doc_id
+    """
+
+
+@query(
+    "q183_semdedup",
+    doc=f"Semantic (embedding-level) dedup, SemDeDup-style: q166's mutual k-NN edges thresholded at cosine >= {SEMDEDUP_TAU} become duplicate edges, connected components merge them into semantic clusters, and q103's keep-best survivorship (longest doc, ties to smallest id) elects the one kept member — per-doc verdict (cluster, length, keep flag) for every clustered doc. Closes the dedup catalog: exact (q30), normalized (q31), MinHash (q32/q33), SimHash (q34), fuzzy (q120), exact-set (q147), incremental (q116), streaming (q69), + semantic.",
+    oracle=None,  # installed in plans/__init__ (composes q166's oracle)
+    tags=("dedup", "similarity", "iterative"),
+)
+def q183_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical dedup (MinHash/SimHash shingles) cannot see a PARAPHRASE;
+    embedding-space dedup can — this is the public SemDeDup recipe
+    (Abbas et al. 2023): duplicate = a reciprocated nearest-neighbor
+    pair above a cosine threshold, cluster transitively, keep one
+    representative per cluster. Reciprocity (mutual k-NN, not plain
+    range search) keeps hub vectors from welding unrelated docs into
+    one mega-cluster.
+
+    Every stage is a shipped scale-audited lane: q166's blocked Arrow
+    kernel generates the directed top-k (at 1e9 vectors its candidate
+    generator swaps to q41/q55 buckets, documented there), the
+    threshold + reciprocity cut is a filter on n·k id pairs, the
+    shared ``connected_components`` shuffles (node, label) pairs, and
+    the survivorship window is bounded by cluster size. The verdict
+    frame is exactly what the q106 final-corpus filter anti-joins
+    against (keep = false rows drop).
+
+    Threshold: the fixture embeddings are near-isotropic (mutual-pair
+    cosine ~N(0.34, 0.04) — max 0.51 at sf0.01), so the production-
+    style 0.95+ tau would be degenerate here; {SEMDEDUP_TAU} sits in
+    the distribution's upper tail and yields real multi-doc clusters
+    at every sf while staying a pure constant both engines share."""
+    from pandamapreduce_spark.plans.training import connected_components
+
+    edges = (
+        q166_mutual_knn(spark, sf_dir)
+        .where(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    labels, _ = connected_components(edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .join(docs, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == F.lit(1))
+        .select("cluster_id", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "keep")
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -1639,3 +1639,112 @@ def q181_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.union(row)
     return out.orderBy("candidate")
+
+
+# --- q184: community detection (fixed-round synchronous label propagation) --
+
+LPA_ROUNDS = 3  # synchronous label-propagation rounds, unrolled in the oracle
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled 3-round synchronous LPA over q169's support-filtered
+    co-purchase graph: per round every node takes the MODE of its
+    neighbors' labels (ties to the smallest label), starting from
+    label = own id. Every reused CTE MATERIALIZED (the q169 lesson)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        hint = "MATERIALIZED " if i < LPA_ROUNDS else ""
+        rounds.append(f"""
+    l{i} AS {hint}(
+      SELECT pk, lbl FROM (
+        SELECT e.a AS pk, l.lbl AS lbl,
+               row_number() OVER (PARTITION BY e.a
+                 ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM edges e JOIN {prev} l ON e.b = l.pk
+        GROUP BY e.a, l.lbl
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS MATERIALIZED (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
+    ),
+    edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS pk, a AS lbl FROM edges),
+    {",".join(rounds)}
+    SELECT cast(pk as bigint) AS p_partkey, cast(lbl as bigint) AS community
+    FROM {prev} ORDER BY p_partkey
+    """
+
+
+@query(
+    "q184_communities",
+    oracle=_lpa_oracle_sql(),
+    doc=f"Community detection: {LPA_ROUNDS} unrolled rounds of synchronous label propagation (Raghavan et al. 2007) over q169's support-filtered co-purchase graph — per round each part adopts the MODE of its neighbors' labels, ties to the smallest label, init label = own id; per-part community assignment. Fixed rounds make the answer exact and oracle-able (q129/q169 discipline) — run-to-stationarity LPA is a convergence state, not a query.",
+    tags=("graph", "communities", "iterative"),
+)
+def q184_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last missing graph-analytics staple after reach (q169),
+    distance (q180), rank (q129), triangles (q136), and components
+    (q94): components answer CONNECTED, communities answer DENSELY
+    connected — LPA's mode update follows the majority structure, so
+    a bridge edge does not weld two dense clusters the way it does in
+    connected components.
+
+    Determinism: synchronous updates (every round reads only the
+    previous round's labels) + the (count DESC, label ASC) total-order
+    tie-break make every round a pure function of the edge set — no
+    RNG, no visit-order dependence, identical in both engines.
+
+    Scale shape: per round, one equi-join of the (node, label) frame
+    against the edge list and one (node, label) count agg with a
+    per-node top-1 window — shuffle volume O(edges) integer triples,
+    the textbook Pregel LPA superstep. Rounds cut over via eager
+    localCheckpoint with the superseded round released immediately
+    (q94's iteration hygiene); the support cap bounds degree, so skew
+    in the count agg is bounded by the same guard that bounds q131."""
+    from pandamapreduce_spark.caching import release_one, scoped_checkpoint
+
+    items = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= KHOP_SUPPORT)
+        .select("a", "b")
+    )
+    edges = scoped_persist(pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    labels = edges.select(F.col("a").alias("pk")).distinct().withColumn("lbl", F.col("pk"))
+    w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(LPA_ROUNDS):
+        new_labels = scoped_checkpoint(
+            edges.join(labels, edges["b"] == labels["pk"])
+            .groupBy("a", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("pk"), "lbl")
+        )
+        release_one(labels)  # checkpoint above is eager — prev round is dead
+        labels = new_labels
+    return labels.select(
+        F.col("pk").cast("bigint").alias("p_partkey"),
+        F.col("lbl").cast("bigint").alias("community"),
+    ).orderBy("p_partkey")
