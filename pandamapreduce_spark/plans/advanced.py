@@ -2581,3 +2581,139 @@ def q182_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- q188: robust anomaly detection (median / MAD) ---------------------------
+
+MAD_K = 5  # flag |x - median| > K * MAD (integer multiple => exact compare)
+
+
+@query(
+    "q188_robust_outliers",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o.o_custkey % 25 AS grp,
+             cast((extract(year from l.l_shipdate) - 1992) * 12
+                  + extract(month from l.l_shipdate) - 1 as bigint) AS x,
+             cast(sum(cast(round(l.l_extendedprice * 100) as decimal(19,0))) as bigint) AS yc
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    r1 AS (
+      SELECT grp, x, yc,
+             row_number() OVER (PARTITION BY grp ORDER BY yc, x) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM cells
+    ),
+    med AS MATERIALIZED (
+      SELECT grp, cast(min(n) as bigint) AS n_months,
+             sum(yc * (CASE WHEN 2 * rn = n THEN 1 WHEN 2 * rn = n + 2 THEN 1
+                            WHEN 2 * rn = n + 1 THEN 2 ELSE 0 END)) AS med2
+      FROM r1 GROUP BY grp
+    ),
+    dev AS (
+      SELECT c.grp, c.x, c.yc, abs(2 * c.yc - m.med2) AS dev2
+      FROM cells c JOIN med m ON c.grp = m.grp
+    ),
+    r2 AS (
+      SELECT grp, dev2,
+             row_number() OVER (PARTITION BY grp ORDER BY dev2, x) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM dev
+    ),
+    mad AS MATERIALIZED (
+      SELECT grp,
+             sum(dev2 * (CASE WHEN 2 * rn = n THEN 1 WHEN 2 * rn = n + 2 THEN 1
+                              WHEN 2 * rn = n + 1 THEN 2 ELSE 0 END)) AS mad4
+      FROM r2 GROUP BY grp
+    )
+    SELECT d.grp,
+           m.n_months,
+           cast(m.med2 as double) / 200.0 AS median_revenue,
+           cast(a.mad4 as double) / 400.0 AS mad_revenue,
+           cast(sum(CASE WHEN 2 * d.dev2 > {MAD_K} * a.mad4 THEN 1 ELSE 0 END) as bigint)
+             AS n_outlier_months
+    FROM dev d JOIN med m ON d.grp = m.grp JOIN mad a ON d.grp = a.grp
+    GROUP BY d.grp, m.n_months, m.med2, a.mad4
+    ORDER BY d.grp
+    """,
+    doc=f"Robust anomaly detection per customer cohort: monthly revenue cells (exact integer cents), per-cohort MEDIAN and MAD by exact rank (doubled-value arithmetic keeps the two-middle average integer), months flagged where |x - median| > {MAD_K}*MAD as a pure integer comparison (2*dev2 > {MAD_K}*mad4) — the median/MAD detector a promo spike cannot recalibrate, beside q152's EWMA and q140's moment stats.",
+    tags=("stats", "robust", "anomaly"),
+)
+def q188_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stdev anomaly thresholds move WITH the anomaly (one promo
+    month inflates sigma and hides the next promo); median/MAD has a
+    50% breakdown point — the robust detector monitoring pipelines
+    deploy first. Everything stays EXACT integers until the two
+    presentation divisions: the median of n values is picked by rank
+    (doubling avoids the half: med2 = middle-sum, counted twice when n
+    is odd), deviations are |2x - med2| (= 2|x - median|, integer),
+    MAD likewise as mad4 = 4*MAD, and the flag test 2*dev2 > K*mad4
+    multiplies integers — no float enters the DECISION anywhere, so
+    both engines agree bit-for-bit by construction.
+
+    Scale shape: one (grp, month) partial-agg exchange builds the
+    cells; every window after that runs on the CALENDAR-BOUNDED cell
+    table (25 cohorts x ~84 months — q175's argument), so the rank
+    windows cost nothing and group skew cannot exist. At 100 TB only
+    the first agg grows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        ((F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 25).alias("grp")
+    )
+    cells = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("grp", "x")
+        .agg(F.sum("cents").cast("bigint").alias("yc"))
+    )
+    from pandamapreduce_spark.caching import scoped_persist
+
+    cells = scoped_persist(cells)
+    mid_weight = (
+        F.when(2 * F.col("rn") == F.col("n"), 1)
+        .when(2 * F.col("rn") == F.col("n") + 2, 1)
+        .when(2 * F.col("rn") == F.col("n") + 1, 2)
+        .otherwise(0)
+    )
+    wv = Window.partitionBy("grp")
+    r1 = cells.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("yc", "x"))
+    ).withColumn("n", F.count(F.lit(1)).over(wv))
+    med = r1.groupBy("grp").agg(
+        F.min("n").cast("bigint").alias("n_months"),
+        F.sum(F.col("yc") * mid_weight).alias("med2"),
+    )
+    dev = scoped_persist(
+        cells.join(F.broadcast(med), "grp").select(
+            "grp", "x", "n_months", "med2", F.abs(2 * F.col("yc") - F.col("med2")).alias("dev2")
+        )
+    )
+    r2 = dev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("dev2", "x"))
+    ).withColumn("n", F.count(F.lit(1)).over(wv))
+    mad = r2.groupBy("grp").agg(F.sum(F.col("dev2") * mid_weight).alias("mad4"))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "n_months", "med2", "mad4")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("dev2") > F.lit(MAD_K) * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outlier_months")
+        )
+        .select(
+            "grp",
+            "n_months",
+            (F.col("med2").cast("double") / F.lit(200.0)).alias("median_revenue"),
+            (F.col("mad4").cast("double") / F.lit(400.0)).alias("mad_revenue"),
+            "n_outlier_months",
+        )
+        .orderBy("grp")
+    )

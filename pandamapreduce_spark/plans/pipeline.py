@@ -1175,3 +1175,109 @@ def q177_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --- q189: Pareto / ABC contribution analysis --------------------------------
+
+ABC_A_PCT, ABC_B_PCT = 80, 95  # cumulative-revenue class boundaries (integer %)
+
+
+@query(
+    "q189_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             cast(sum(cast(round(l_extendedprice * 100) as decimal(19,0))) as bigint) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT cast(sum(cents) as bigint) AS total FROM rev),
+    c AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    cls AS (
+      SELECT CASE WHEN 100 * cum <= {ABC_A_PCT} * t.total THEN 'A'
+                  WHEN 100 * cum <= {ABC_B_PCT} * t.total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, t.total AS total
+      FROM c, t
+    )
+    SELECT abc_class,
+           cast(count(*) as bigint) AS n_parts,
+           cast(sum(cents) as double) / 100.0 AS revenue,
+           cast(sum(cents) as double) / cast(max(total) as double) AS revenue_share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc=f"Pareto / ABC classification of parts by revenue: exact-cents cumulative revenue in (revenue DESC, partkey) order, class A = parts within the first {ABC_A_PCT}% of total revenue, B within {ABC_B_PCT}%, C the tail — boundaries tested as pure integer comparisons (100*cum <= pct*total); the Spark cumulative sum is a DISTRIBUTED exact prefix sum (range exchange + per-range running sum + bounded per-range offset collect — q100's rank pattern extended to sums), the oracle a naive global window, parity proving the distributed prefix exact.",
+    tags=("pipeline", "analytics", "rank"),
+)
+def q189_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 inventory/assortment staple. The interesting part at
+    scale is the CUMULATIVE sum: a naive cumulative window over all
+    parts is a single-partition sort (the q100 anti-pattern). Here the
+    prefix sum distributes exactly like the rank: range-partition on
+    the full order key (-cents, partkey), per-range running sums in
+    parallel, and each range's BASE offset = the exact integer sum of
+    all earlier ranges, from the same one-row-per-range driver
+    collect that q100/q177 use. Class membership then never touches a
+    float: 100*cum <= pct*total in int64 (cents fit comfortably —
+    100*total ~ 1e17 at 100 TB vs 9.2e18 int64 max).
+
+    Scale shape: one partkey partial-agg exchange + one range exchange
+    of (cents, partkey) pairs; the report is 3 rows."""
+    from pandamapreduce_spark.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn("neg", -F.col("cents"))
+    )
+    parts = scoped_persist(
+        rev.repartitionByRange(RANK_RANGES, "neg", "l_partkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    head = F.min(F.struct(F.col("neg").alias("v"), F.col("l_partkey").alias("d"))).alias("head")
+    per = sorted(
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"), head)
+        .collect(),
+        key=lambda r: (r["head"]["v"], r["head"]["d"]),
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(int(acc)).cast("bigint")).otherwise(base)
+        acc += r["s"]
+    total = int(acc)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("neg", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("cents").over(w) + base).alias("cum")
+    cls = (
+        F.when(100 * F.col("cum") <= F.lit(ABC_A_PCT * total), "A")
+        .when(100 * F.col("cum") <= F.lit(ABC_B_PCT * total), "B")
+        .otherwise("C")
+    )
+    return (
+        parts.select("cents", cum)
+        .withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.sum("cents").cast("double") / F.lit(float(total))).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

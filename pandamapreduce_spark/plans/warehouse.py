@@ -1748,3 +1748,244 @@ def q184_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pk").cast("bigint").alias("p_partkey"),
         F.col("lbl").cast("bigint").alias("community"),
     ).orderBy("p_partkey")
+
+
+# --- q186: association rules (confidence / lift / leverage) -----------------
+
+RULES_TOPK = 100
+
+
+@query(
+    "q186_association_rules",
+    oracle=f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS MATERIALIZED (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    n AS (SELECT cast(count(DISTINCT ok) as bigint) AS n_orders FROM items),
+    pc AS MATERIALIZED (SELECT pk, cast(count(*) as bigint) AS n_pk FROM items GROUP BY pk),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS pa, b.pk AS pb, cast(count(*) as bigint) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+      UNION ALL
+      SELECT pb, pa, n_ab FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.n_ab,
+           ca.n_pk AS n_ant, cc.n_pk AS n_con,
+           cast(r.n_ab as double) / cast(n.n_orders as double) AS support,
+           cast(r.n_ab as double) / cast(ca.n_pk as double) AS confidence,
+           (cast(r.n_ab as double) * cast(n.n_orders as double))
+             / (cast(ca.n_pk as double) * cast(cc.n_pk as double)) AS lift,
+           cast(r.n_ab * n.n_orders - ca.n_pk * cc.n_pk as double)
+             / cast(n.n_orders * n.n_orders as double) AS leverage
+    FROM rules r
+    JOIN pc ca ON r.antecedent = ca.pk
+    JOIN pc cc ON r.consequent = cc.pk
+    CROSS JOIN n
+    ORDER BY confidence DESC, n_ab DESC, antecedent, consequent
+    LIMIT {RULES_TOPK}
+    """,
+    doc=f"Association rules from the capped-basket pair counts: DIRECTED rules a=>b and b=>a with support, confidence = P(b|a), lift, and leverage (= support_ab - support_a*support_b, computed as ONE division of an exact integer numerator); support >= {MIN_SUPPORT}, top {RULES_TOPK} by confidence — the rule-mining layer over q131's undirected affinity (Agrawal-Srikant Apriori at pair depth).",
+    tags=("affinity", "basket", "analytics"),
+)
+def q186_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q131 scores PAIRS (symmetric affinity); recommendations need
+    RULES (directional: customers who bought a also bought b, priced
+    by confidence) — the same pair counts read twice, once per
+    direction, so the expensive basket self-join is not repeated.
+
+    Exactness: every metric is exact-integer counts into one or two
+    correctly-rounded double operations — leverage's subtraction
+    happens in INT64 (n_ab*N - n_a*n_b, exact below 2^63) before its
+    single division, so no float cancellation anywhere. The final
+    ORDER BY confidence is a total order thanks to the (n_ab,
+    antecedent, consequent) tie-break.
+
+    Scale shape: identical to q131 (the cap bounds pair expansion,
+    only integer ids shuffle) plus one UNION ALL relabel — rules are
+    2x the pair rows, still ids+counts; the top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    items = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    pc = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_pk"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).union(
+        pairs.select(F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab")
+    )
+    ca = pc.select(F.col("pk").alias("antecedent"), F.col("n_pk").alias("n_ant"))
+    cc = pc.select(F.col("pk").alias("consequent"), F.col("n_pk").alias("n_con"))
+    return (
+        rules.join(ca, "antecedent")
+        .join(cc, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ant",
+            "n_con",
+            (F.col("n_ab").cast("double") / F.col("n_orders").cast("double")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_ant").cast("double")).alias("confidence"),
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_ant").cast("double") * F.col("n_con").cast("double"))
+            ).alias("lift"),
+            (
+                (F.col("n_ab") * F.col("n_orders") - F.col("n_ant") * F.col("n_con")).cast(
+                    "double"
+                )
+                / (F.col("n_orders") * F.col("n_orders")).cast("double")
+            ).alias("leverage"),
+        )
+        .orderBy(
+            F.col("confidence").desc(), F.col("n_ab").desc(), "antecedent", "consequent"
+        )
+        .limit(RULES_TOPK)
+    )
+
+
+# --- q187: link prediction (common neighbors / Jaccard / resource alloc) ----
+
+LINKPRED_TOPK = 100
+
+
+@query(
+    "q187_link_prediction",
+    oracle=f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS MATERIALIZED (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
+    ),
+    edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    deg AS MATERIALIZED (SELECT a AS pk, cast(count(*) as bigint) AS deg FROM edges GROUP BY a),
+    tri AS (
+      SELECT e1.a AS u, e2.b AS w, e1.b AS v
+      FROM edges e1 JOIN edges e2 ON e1.b = e2.a AND e1.a < e2.b
+    ),
+    nonedge AS (
+      SELECT t.u, t.w, t.v FROM tri t
+      LEFT JOIN pairs p ON t.u = p.a AND t.w = p.b
+      WHERE p.a IS NULL
+    ),
+    scored AS (
+      SELECT n.u, n.w,
+             cast(count(*) as bigint) AS cn,
+             sum(cast(round(1.0 / cast(d.deg as double), 9) as decimal(18,9))) AS ra_dec
+      FROM nonedge n JOIN deg d ON n.v = d.pk
+      GROUP BY n.u, n.w
+    )
+    SELECT s.u AS part_a, s.w AS part_b, s.cn,
+           du.deg AS deg_a, dw.deg AS deg_b,
+           cast(s.cn as double) / cast(du.deg + dw.deg - s.cn as double) AS nbr_jaccard,
+           cast(s.ra_dec as double) AS resource_alloc
+    FROM scored s
+    JOIN deg du ON s.u = du.pk
+    JOIN deg dw ON s.w = dw.pk
+    ORDER BY cn DESC, resource_alloc DESC, part_a, part_b
+    LIMIT {LINKPRED_TOPK}
+    """,
+    doc=f"Link prediction over the support-filtered co-purchase graph: for every NON-edge pair at distance 2, common-neighbor count, neighborhood Jaccard, and the resource-allocation index (sum of 1/deg over shared neighbors — Zhou et al. 2009, the strongest of the classical local indices); RA terms round to 9 decimals and sum exactly as decimal (q173's float contract), top {LINKPRED_TOPK} by (cn, RA).",
+    tags=("graph", "link-prediction", "analytics"),
+)
+def q187_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The which-edge-forms-next primitive — recommendation backfill,
+    knowledge-graph completion, churn-risk ties. Scores only DISTANCE-2
+    non-edges (a pair with zero common neighbors scores zero in every
+    local index, so the open-wedge walk IS the candidate generator —
+    no quadratic candidate space).
+
+    Exactness: cn and degrees are exact integers; neighborhood Jaccard
+    is one int/int division; the RA index follows q173's float
+    contract — each 1/deg term is one correctly-rounded division
+    rounded to 9 decimals and cast to decimal(18,9), so the SUM is
+    exact and partitioning-independent, with a single final cast to
+    double.
+
+    Scale shape: the wedge walk is one self-equi-join of the edge list
+    on the middle vertex (O(sum deg^2) bounded by the support cap),
+    the existing-edge exclusion is a left-anti join on canonical (u,w)
+    pairs, and scoring is one (u,w) partial agg joined against the
+    broadcast-able degree table. Top-k is TakeOrderedAndProject."""
+    items = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = scoped_persist(
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= KHOP_SUPPORT)
+        .select("a", "b")
+    )
+    edges = scoped_persist(pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    deg = edges.groupBy(F.col("a").alias("pk")).agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    tri = e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.b"))).select(
+        F.col("e1.a").alias("u"), F.col("e2.b").alias("w"), F.col("e1.b").alias("v")
+    )
+    nonedge = tri.join(
+        pairs, (tri["u"] == pairs["a"]) & (tri["w"] == pairs["b"]), "left_anti"
+    )
+    dv = deg.select(F.col("pk").alias("v"), F.col("deg").alias("deg_v"))
+    ra_term = F.round(F.lit(1.0) / F.col("deg_v").cast("double"), 9).cast("decimal(18,9)")
+    scored = (
+        nonedge.join(dv, "v")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(ra_term).alias("ra_dec"),
+        )
+    )
+    du = deg.select(F.col("pk").alias("u"), F.col("deg").alias("deg_a"))
+    dw = deg.select(F.col("pk").alias("w"), F.col("deg").alias("deg_b"))
+    return (
+        scored.join(du, "u")
+        .join(dw, "w")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("w").alias("part_b"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double")
+            ).alias("nbr_jaccard"),
+            F.col("ra_dec").cast("double").alias("resource_alloc"),
+        )
+        .orderBy(F.col("cn").desc(), F.col("resource_alloc").desc(), "part_a", "part_b")
+        .limit(LINKPRED_TOPK)
+    )
