@@ -2717,3 +2717,101 @@ def q188_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --- q191: seasonal decomposition (ratio-to-moving-average) ------------------
+
+SEASON_P = 12  # period (months); centered MA uses the classical half-weights
+
+
+@query(
+    "q191_seasonal_index",
+    oracle=f"""
+    WITH cells AS (
+      SELECT cast((extract(year from l_shipdate) - 1992) * 12
+                  + extract(month from l_shipdate) - 1 as bigint) AS x,
+             cast(sum(cast(round(l_extendedprice * 100) as decimal(19,0))) as bigint) AS yc
+      FROM lineitem GROUP BY 1
+    ),
+    trend AS (
+      SELECT c.x, c.yc,
+             sum(CASE WHEN abs(n.x - c.x) = {SEASON_P // 2} THEN n.yc ELSE 2 * n.yc END)
+               AS trend24,
+             cast(count(*) as bigint) AS n_win
+      FROM cells c JOIN cells n
+        ON n.x BETWEEN c.x - {SEASON_P // 2} AND c.x + {SEASON_P // 2}
+      GROUP BY c.x, c.yc
+    ),
+    ratio AS (
+      SELECT (x % {SEASON_P}) + 1 AS month,
+             cast(round(cast(2 * {SEASON_P} * yc as double) / cast(trend24 as double), 9)
+                  as decimal(18,9)) AS r
+      FROM trend WHERE n_win = {SEASON_P + 1} AND trend24 > 0
+    )
+    SELECT cast(month as int) AS month,
+           cast(count(*) as bigint) AS n_obs,
+           cast(sum(r) as double) / cast(count(*) as double) AS seasonal_index
+    FROM ratio GROUP BY month ORDER BY month
+    """,
+    doc=f"Classical seasonal decomposition (ratio-to-moving-average): monthly revenue in exact integer cents, trend = centered {SEASON_P}-month MA with half-weight ends kept as the exact integer trend24 = y[-6] + 2*sum(y[-5..+5]) + y[+6] via a bounded interval self-join (complete windows only), seasonal ratio = one exact-input division per month, per-calendar-month index = mean of 9-decimal-rounded ratios (exact decimal sum, one final division) — the seasonality profile behind every q06-style forecast.",
+    tags=("timeseries", "stats", "analytics"),
+)
+def q191_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before forecasting (q06) or anomaly-flagging (q188) monthly
+    revenue, a pipeline needs to know the SEASONAL shape — the
+    ratio-to-moving-average method (the X-11 ancestor; Makridakis'
+    textbook form) with the classical half-weight centered MA for an
+    even period.
+
+    Exactness: trend24 is 24x the centered MA, kept in exact int64
+    (cents x small weights); each month's seasonal ratio is ONE
+    correctly-rounded division of exact integers (24*yc / trend24);
+    per-calendar-month aggregation follows q173's float contract
+    (round each ratio to 9 decimals, sum as decimal(18,9), one final
+    division by the count). Incomplete windows (first/last 6 months)
+    are excluded by the exact n_win = 13 predicate, not by null
+    arithmetic.
+
+    Scale shape: everything after the one (month) partial-agg exchange
+    runs on the CALENDAR-BOUNDED cell table (~84 rows; q175's
+    argument) — the trend self-join is 84 x 13 rows. At 100 TB only
+    the first agg grows; no global window anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        ((F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)").alias("cents"),
+    )
+    cells = li.groupBy("x").agg(F.sum("cents").cast("bigint").alias("yc"))
+    from pandamapreduce_spark.caching import scoped_persist
+
+    cells = scoped_persist(cells)
+    c, n = cells.alias("c"), cells.alias("n")
+    half = SEASON_P // 2
+    w = F.when(
+        F.abs(F.col("n.x") - F.col("c.x")) == half, F.col("n.yc")
+    ).otherwise(2 * F.col("n.yc"))
+    trend = (
+        c.join(n, (F.col("n.x") >= F.col("c.x") - half) & (F.col("n.x") <= F.col("c.x") + half))
+        .groupBy(F.col("c.x").alias("x"), F.col("c.yc").alias("yc"))
+        .agg(F.sum(w).alias("trend24"), F.count(F.lit(1)).cast("bigint").alias("n_win"))
+    )
+    ratio = trend.where((F.col("n_win") == SEASON_P + 1) & (F.col("trend24") > 0)).select(
+        ((F.col("x") % SEASON_P) + 1).alias("month"),
+        F.round(
+            (2 * SEASON_P * F.col("yc")).cast("double") / F.col("trend24").cast("double"), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("r"),
+    )
+    return (
+        ratio.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "seasonal_index"
+            ),
+        )
+        .select(F.col("month").cast("int").alias("month"), "n_obs", "seasonal_index")
+        .orderBy("month")
+    )

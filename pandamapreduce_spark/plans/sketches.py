@@ -236,3 +236,131 @@ def q104_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# --- q190: CMS accuracy evaluation (full-vocabulary error profile) ----------
+
+CMS_EVAL_WIDTHS = (2048, 256)  # shipped width vs a deliberately narrow one
+
+
+def _cms_eval_oracle() -> str:
+    from pandamapreduce_spark.functions import hex16_sql, tokens_sql
+
+    sk_bucket = hex16_sql("concat('cms', cast(d as varchar), ':', token)")
+    pb_bucket = hex16_sql("concat('cms', cast(ds.d as varchar), ':', v.token)")
+    blocks = []
+    for w in CMS_EVAL_WIDTHS:
+        blocks.append(f"""
+      SELECT {w} AS width, v.token, v.exact_count,
+             cast(min(coalesce(s.cnt, 0)) as bigint) AS est_count
+      FROM vocab v CROSS JOIN ds
+      LEFT JOIN sk{w} s ON s.d = ds.d AND s.bucket = {pb_bucket} % {w}
+      GROUP BY v.token, v.exact_count""")
+    sketches = ",\n".join(
+        f"""sk{w} AS MATERIALIZED (
+      SELECT d, {sk_bucket} % {w} AS bucket, cast(count(*) as bigint) AS cnt
+      FROM tok, ds GROUP BY 1, 2
+    )"""
+        for w in CMS_EVAL_WIDTHS
+    )
+    return f"""
+    WITH tok AS MATERIALIZED (SELECT unnest({tokens_sql("text")}) AS token FROM documents),
+    ds AS (SELECT unnest(range(0, {CMS_D})) AS d),
+    vocab AS MATERIALIZED (
+      SELECT token, cast(count(*) as bigint) AS exact_count FROM tok GROUP BY token
+    ),
+    {sketches},
+    est AS ({" UNION ALL ".join(blocks)}),
+    lab AS (
+      SELECT width, (est_count - exact_count) AS over_est,
+             CASE WHEN est_count = exact_count THEN 'a_exact'
+                  WHEN est_count - exact_count < 10 THEN 'b_under_10'
+                  WHEN est_count - exact_count < 100 THEN 'c_under_100'
+                  ELSE 'd_100_plus' END AS err_bucket
+      FROM est
+    ),
+    nv AS (SELECT cast(count(*) as bigint) AS n_vocab FROM vocab)
+    SELECT cast(width as int) AS width, err_bucket,
+           cast(count(*) as bigint) AS n_tokens,
+           cast(max(over_est) as bigint) AS max_overestimate,
+           cast(count(*) as double) / cast(nv.n_vocab as double) AS share
+    FROM lab, nv GROUP BY width, err_bucket, nv.n_vocab
+    ORDER BY width, err_bucket
+    """
+
+
+@query(
+    "q190_cms_error_profile",
+    oracle=_cms_eval_oracle(),
+    doc=f"Count-min sketch accuracy evaluation over the FULL vocabulary — the sketch twin of q171's ANN recall / q185's dedup eval: for widths {CMS_EVAL_WIDTHS} (d={CMS_D}), every distinct token's CMS estimate vs its exact count, bucketed by overestimate (exact / <10 / <100 / 100+) with counts, max error, and vocabulary share — the audit that prices a sketch width before anyone trusts it at production scale.",
+    tags=("sketch", "cms", "evaluation"),
+)
+def q190_cms_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q104 spot-checks 8 probe words; this lane audits the whole
+    vocabulary at TWO widths, so the width/error trade-off is measured
+    the way q171 measures ANN probes: the shipped 2048-bucket sketch
+    should land almost everything in 'a_exact' while the narrow
+    256-bucket one visibly smears mass into collision buckets —
+    evidence, not folklore, for the width choice.
+
+    Scale shape: each sketch is the fixed <= d x w row table (map-side
+    partial agg bounds task output regardless of scanned tokens); the
+    evaluation joins the DISTINCT-token vocabulary (corpus-sublinear)
+    against the BROADCAST sketch on (d, bucket) integer keys and takes
+    a per-token min over d rows. Overestimates are exact integer
+    subtractions (CMS never underestimates); the one double per row is
+    the vocabulary-share division."""
+    from pandamapreduce_spark.caching import scoped_persist
+    from pandamapreduce_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = scoped_persist(docs.select(F.explode(tokens("text")).alias("token")))
+    vocab = scoped_persist(
+        tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    nv = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    out = None
+    for w in CMS_EVAL_WIDTHS:
+        sketch = (
+            tok.select(F.posexplode(_cms_buckets(F.col("token"), w=w)).alias("d", "bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        est = (
+            vocab.select(
+                "token",
+                "exact_count",
+                F.posexplode(_cms_buckets(F.col("token"), w=w)).alias("d", "bucket"),
+            )
+            .join(F.broadcast(sketch), ["d", "bucket"], "left")
+            .groupBy("token", "exact_count")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+            .withColumn("width", F.lit(w))
+        )
+        out = est if out is None else out.union(est)
+    over = F.col("est_count") - F.col("exact_count")
+    lab = out.select(
+        "width",
+        over.alias("over_est"),
+        F.when(over == 0, "a_exact")
+        .when(over < 10, "b_under_10")
+        .when(over < 100, "c_under_100")
+        .otherwise("d_100_plus")
+        .alias("err_bucket"),
+    )
+    return (
+        lab.groupBy("width", "err_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.max("over_est").cast("bigint").alias("max_overestimate"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("width").cast("int").alias("width"),
+            "err_bucket",
+            "n_tokens",
+            "max_overestimate",
+            (F.col("n_tokens").cast("double") / F.col("n_vocab").cast("double")).alias("share"),
+        )
+        .orderBy("width", "err_bucket")
+    )

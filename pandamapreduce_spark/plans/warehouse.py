@@ -1989,3 +1989,144 @@ def q187_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cn").desc(), F.col("resource_alloc").desc(), "part_a", "part_b")
         .limit(LINKPRED_TOPK)
     )
+
+
+# --- q192: per-customer recommendations (rule-scored, anti-joined) -----------
+
+REC_CUSTS = 50  # bounded eval cohort: customers with custkey < this
+REC_TOPN = 3
+
+
+@query(
+    "q192_recommendations",
+    oracle=f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS MATERIALIZED (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    pc AS (SELECT pk, cast(count(*) as bigint) AS n_pk FROM items GROUP BY pk),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS pa, b.pk AS pb, cast(count(*) as bigint) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    ),
+    rules AS MATERIALIZED (
+      SELECT r.antecedent, r.consequent,
+             cast(round(cast(r.n_ab as double) / cast(c.n_pk as double), 9)
+                  as decimal(18,9)) AS conf
+      FROM (
+        SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        UNION ALL
+        SELECT pb, pa, n_ab FROM pairs
+      ) r JOIN pc c ON r.antecedent = c.pk
+    ),
+    owned AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey < {REC_CUSTS}
+    ),
+    scored AS (
+      SELECT w.ck, r.consequent,
+             sum(r.conf) AS score_dec,
+             cast(count(*) as bigint) AS n_antecedents
+      FROM owned w JOIN rules r ON w.pk = r.antecedent
+      LEFT JOIN owned h ON h.ck = w.ck AND h.pk = r.consequent
+      WHERE h.pk IS NULL
+      GROUP BY w.ck, r.consequent
+    )
+    SELECT ck AS custkey, consequent AS rec_part,
+           cast(score_dec as double) AS score, n_antecedents
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY ck
+               ORDER BY score_dec DESC, consequent) AS rn
+      FROM scored
+    ) WHERE rn <= {REC_TOPN}
+    ORDER BY custkey, score DESC, rec_part
+    """,
+    doc=f"Per-customer recommendations from the association rules: each owned part fires its a=>b rules, candidate consequents the customer does NOT own accumulate confidence (9-decimal-rounded terms, exact decimal sum — q173's contract), top {REC_TOPN} per customer over a bounded {REC_CUSTS}-customer eval cohort — the item-to-item collaborative filter (Linden et al. 2003, the Amazon recipe) composed entirely from shipped lanes.",
+    tags=("affinity", "recommendation", "analytics"),
+)
+def q192_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff lane for the basket stack: q131 mines pairs, q186
+    prices rules, this SERVES them — score(candidate) = sum of
+    confidence over the customer's owned antecedents, excluding
+    already-owned parts (the anti-join every recommender needs so it
+    never recommends what the cart already proved).
+
+    Exactness: confidence terms round to 9 decimals and sum as
+    decimal(18,9) — associativity-free, so the score is identical
+    under any partitioning; ranking ties break on part id.
+
+    Scale shape: rules are pair-count derived (the capped basket join,
+    integer ids only); the serving join is owned x rules on the part
+    key — at full scale per-customer fan-out is bounded by basket size
+    x rule out-degree, the same bound the production item-to-item
+    recommenders rely on; the top-N is a per-customer window over the
+    already-reduced candidate scores. The eval cohort bound keeps THIS
+    lane's output fixed; serving all customers is the same plan minus
+    one filter."""
+    items = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    pc = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_pk"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).union(
+        pairs.select(F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab")
+    )
+    rules = directed.join(
+        pc.select(F.col("pk").alias("antecedent"), "n_pk"), "antecedent"
+    ).select(
+        "antecedent",
+        "consequent",
+        F.round(F.col("n_ab").cast("double") / F.col("n_pk").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("conf"),
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < REC_CUSTS)
+    owned = scoped_persist(
+        o.join(
+            load_table(spark, sf_dir, "lineitem"),
+            o["o_orderkey"] == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    cand = owned.join(rules, owned["pk"] == rules["antecedent"]).select(
+        "ck", "consequent", "conf"
+    )
+    held = owned.select("ck", F.col("pk").alias("consequent"))
+    scored = (
+        cand.join(held, ["ck", "consequent"], "left_anti")
+        .groupBy("ck", "consequent")
+        .agg(
+            F.sum("conf").alias("score_dec"),
+            F.count(F.lit(1)).cast("bigint").alias("n_antecedents"),
+        )
+    )
+    w = Window.partitionBy("ck").orderBy(F.col("score_dec").desc(), "consequent")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= REC_TOPN)
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("consequent").alias("rec_part"),
+            F.col("score_dec").cast("double").alias("score"),
+            "n_antecedents",
+        )
+        .orderBy("custkey", F.col("score").desc(), "rec_part")
+    )
