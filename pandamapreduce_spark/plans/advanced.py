@@ -2585,7 +2585,7 @@ def q182_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q188: robust anomaly detection (median / MAD) ---------------------------
 
-MAD_K = 5  # flag |x - median| > K * MAD (integer multiple => exact compare)
+RMAD_K = 5  # flag |x - median| > K * MAD (integer multiple => exact compare)
 
 
 @query(
@@ -2631,13 +2631,13 @@ MAD_K = 5  # flag |x - median| > K * MAD (integer multiple => exact compare)
            m.n_months,
            cast(m.med2 as double) / 200.0 AS median_revenue,
            cast(a.mad4 as double) / 400.0 AS mad_revenue,
-           cast(sum(CASE WHEN 2 * d.dev2 > {MAD_K} * a.mad4 THEN 1 ELSE 0 END) as bigint)
+           cast(sum(CASE WHEN 2 * d.dev2 > {RMAD_K} * a.mad4 THEN 1 ELSE 0 END) as bigint)
              AS n_outlier_months
     FROM dev d JOIN med m ON d.grp = m.grp JOIN mad a ON d.grp = a.grp
     GROUP BY d.grp, m.n_months, m.med2, a.mad4
     ORDER BY d.grp
     """,
-    doc=f"Robust anomaly detection per customer cohort: monthly revenue cells (exact integer cents), per-cohort MEDIAN and MAD by exact rank (doubled-value arithmetic keeps the two-middle average integer), months flagged where |x - median| > {MAD_K}*MAD as a pure integer comparison (2*dev2 > {MAD_K}*mad4) — the median/MAD detector a promo spike cannot recalibrate, beside q152's EWMA and q140's moment stats.",
+    doc=f"Robust anomaly detection per customer cohort: monthly revenue cells (exact integer cents), per-cohort MEDIAN and MAD by exact rank (doubled-value arithmetic keeps the two-middle average integer), months flagged where |x - median| > {RMAD_K}*MAD as a pure integer comparison (2*dev2 > {RMAD_K}*mad4) — q133's median/MAD detector generalized to GROUPED exact-cents revenue: where q133 halves integer middles into dyadic doubles, the doubled-value form here keeps even the two-middle median in pure int64, so no float exists anywhere before the two presentation divisions.",
     tags=("stats", "robust", "anomaly"),
 )
 def q188_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2703,7 +2703,7 @@ def q188_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "n_months", "med2", "mad4")
         .agg(
             F.sum(
-                F.when(2 * F.col("dev2") > F.lit(MAD_K) * F.col("mad4"), 1).otherwise(0)
+                F.when(2 * F.col("dev2") > F.lit(RMAD_K) * F.col("mad4"), 1).otherwise(0)
             )
             .cast("bigint")
             .alias("n_outlier_months")

@@ -789,3 +789,42 @@ def test_time_to_convert_two_minaggs_no_cartesian(spark):
     # nothing else should shuffle (the total is a broadcast join)
     assert final.count("Exchange hashpartitioning") <= 4, final
     assert "partial_min" in final or "partial_count" in final, final
+
+
+# --- round-7 lanes ----------------------------------------------------------
+
+
+def test_semdedup_survivorship_plan_is_keyed(spark):
+    """q183's returned plan starts from the checkpointed component
+    labels (the CC loop's lineage cut), so the Arrow-kernel assertion
+    lives with q166 (test_mutual_knn_blocked_uses_cogrouped_arrow);
+    here: the survivorship join/window must be keyed and partitioned —
+    no cartesian, no partition-less window, no Python in the plan."""
+    plan = plan_of(spark, "q183_semdedup")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    for frag in final.split("windowspecdefinition(")[1:]:
+        first_arg = frag.split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, frag[:120]
+
+
+def test_link_prediction_wedges_are_equi_joins(spark):
+    """q187's wedge walk and existing-edge exclusion must be keyed —
+    a cartesian would mean the middle-vertex key was lost."""
+    plan = plan_of(spark, "q187_link_prediction")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "EvalPython" not in final, final
+
+
+def test_pareto_prefix_sum_is_distributed(spark):
+    """q189's cumulative revenue must come from the distributed prefix
+    pattern: a rangepartitioning exchange plus per-range windows
+    partitioned by pid — never a single-partition global running sum."""
+    df = REGISTRY["q189_pareto_abc"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "rangepartitioning" in plan.lower() or "RepartitionByExpression" in plan, plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        first_arg = frag.split(",", 1)[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, frag[:120]

@@ -1,0 +1,187 @@
+"""Brute-force semantic checks for the round-7 lanes (q183-q192),
+beyond their value-hash oracle parity: each lane's answer is recomputed
+in plain Python/pandas from the sf0.001 parquet and compared, the same
+strategy as test_warehouse's round-5/6 sections.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+
+import pandas as pd
+import pytest
+
+from pandamapreduce_spark.plans import REGISTRY
+from pandamapreduce_spark.plans.warehouse import KHOP_SUPPORT, LPA_ROUNDS, MAX_BASKET
+
+from tests.conftest import SF_DIR
+
+
+def _edges():
+    """Support-filtered co-purchase edge set (the q169/q184/q187 graph),
+    recomputed in pandas."""
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    items = li.drop_duplicates()
+    sz = items.groupby("l_orderkey")["l_partkey"].transform("size")
+    items = items[sz <= MAX_BASKET]
+    pairs = collections.Counter()
+    for _, grp in items.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(grp["l_partkey"]), 2):
+            pairs[(a, b)] += 1
+    und = {p for p, n in pairs.items() if n >= KHOP_SUPPORT}
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    return und, adj
+
+
+def test_lpa_communities_match_python(spark):
+    und, adj = _edges()
+    labels = {u: u for u in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for u in adj:
+            counts = collections.Counter(labels[v] for v in adj[u])
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            # mode, ties to the SMALLEST label
+            top = best[1]
+            new[u] = min(l for l, c in counts.items() if c == top)
+        labels = new
+    got = {
+        r.p_partkey: r.community
+        for r in REGISTRY["q184_communities"].build(spark, SF_DIR).collect()
+    }
+    assert got == labels
+
+
+def test_link_prediction_matches_python(spark):
+    und, adj = _edges()
+    rows = REGISTRY["q187_link_prediction"].build(spark, SF_DIR).collect()
+    assert rows, "fixture produced no distance-2 candidates"
+    for r in rows:
+        u, w = r.part_a, r.part_b
+        assert (u, w) not in und, "recommended an existing edge"
+        common = adj[u] & adj[w]
+        assert len(common) == r.cn and r.cn >= 1
+        assert r.deg_a == len(adj[u]) and r.deg_b == len(adj[w])
+        assert r.nbr_jaccard == pytest.approx(
+            len(common) / (len(adj[u]) + len(adj[w]) - len(common))
+        )
+        ra = sum(round(1.0 / len(adj[v]), 9) for v in common)
+        assert r.resource_alloc == pytest.approx(ra, abs=1e-9)
+
+
+def test_neardup_eval_truth_is_bruteforce_complete(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    grams = {}
+    for r in docs.itertuples(index=False):
+        toks = r.text.split()
+        grams[r.doc_id] = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    n_true = 0
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ga, gb = grams[a], grams[b]
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            if 2 * inter >= (len(ga) + len(gb)) - inter:  # J >= 1/2, integer form
+                n_true += 1
+    row = REGISTRY["q185_neardup_eval"].build(spark, SF_DIR).collect()[0]
+    assert row.n_true == n_true and n_true > 0
+    assert row.n_hit <= min(row.n_true, row.n_cand)
+    assert 0.0 <= row.precision_at_tau <= 1.0 and 0.0 <= row.recall_at_tau <= 1.0
+
+
+def test_pareto_abc_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"])
+    cents = (
+        (li["l_extendedprice"] * 100).round().astype("int64").groupby(li["l_partkey"]).sum()
+    )
+    df = cents.reset_index(name="cents").sort_values(
+        ["cents", "l_partkey"], ascending=[False, True]
+    )
+    total = int(df["cents"].sum())
+    df["cum"] = df["cents"].cumsum()
+    df["cls"] = [
+        "A" if 100 * c <= 80 * total else ("B" if 100 * c <= 95 * total else "C")
+        for c in df["cum"]
+    ]
+    want = df.groupby("cls")["cents"].agg(["size", "sum"])
+    got = {r.abc_class: r for r in REGISTRY["q189_pareto_abc"].build(spark, SF_DIR).collect()}
+    assert set(got) == set(want.index)
+    for cls, row in want.iterrows():
+        assert got[cls].n_parts == row["size"]
+        assert got[cls].revenue == pytest.approx(row["sum"] / 100.0)
+
+
+def test_cms_never_underestimates_and_width_helps(spark):
+    rows = REGISTRY["q190_cms_error_profile"].build(spark, SF_DIR).collect()
+    by_w = collections.defaultdict(dict)
+    for r in rows:
+        by_w[r.width][r.err_bucket] = r
+        assert r.max_overestimate >= 0  # CMS property: never under
+    exact_share = {w: d.get("a_exact").share if d.get("a_exact") else 0.0 for w, d in by_w.items()}
+    assert exact_share[2048] >= exact_share[256]
+    for d in by_w.values():
+        assert sum(r.share for r in d.values()) == pytest.approx(1.0)
+
+
+def test_seasonal_index_matches_python(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_shipdate", "l_extendedprice"])
+    x = (li["l_shipdate"].dt.year - 1992) * 12 + li["l_shipdate"].dt.month - 1
+    cents = (li["l_extendedprice"] * 100).round().astype("int64")
+    cells = cents.groupby(x).sum().to_dict()
+    per_month = collections.defaultdict(list)
+    for m, yc in cells.items():
+        win = {d: cells.get(m + d) for d in range(-6, 7)}
+        if any(v is None for v in win.values()):
+            continue
+        trend24 = win[-6] + win[6] + 2 * sum(win[d] for d in range(-5, 6))
+        if trend24 <= 0:
+            continue
+        per_month[(m % 12) + 1].append(round(24 * yc / trend24, 9))
+    got = {r.month: r for r in REGISTRY["q191_seasonal_index"].build(spark, SF_DIR).collect()}
+    assert set(got) == set(per_month)
+    for month, ratios in per_month.items():
+        assert got[month].n_obs == len(ratios)
+        assert got[month].seasonal_index == pytest.approx(sum(ratios) / len(ratios), abs=1e-9)
+
+
+def test_recommendations_never_owned_and_scores_positive(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    owned = (
+        o[o["o_custkey"] < 50]
+        .merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        .groupby("o_custkey")["l_partkey"]
+        .apply(set)
+        .to_dict()
+    )
+    rows = REGISTRY["q192_recommendations"].build(spark, SF_DIR).collect()
+    assert rows, "fixture produced no recommendations"
+    per_cust = collections.defaultdict(list)
+    for r in rows:
+        assert r.rec_part not in owned[r.custkey], "recommended an owned part"
+        assert r.score > 0 and r.n_antecedents >= 1
+        per_cust[r.custkey].append(r.score)
+    for scores in per_cust.values():
+        assert len(scores) <= 3
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_semdedup_verdict_shape(spark):
+    rows = REGISTRY["q183_semdedup"].build(spark, SF_DIR).collect()
+    assert rows, "fixture produced no semantic clusters"
+    clusters = collections.defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        assert len(members) >= 2, "singleton cluster emitted"
+        assert cid == min(m.doc_id for m in members), "label is not the component min"
+        kept = [m for m in members if m.keep]
+        assert len(kept) == 1
+        best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
+        assert kept[0].doc_id == best.doc_id
