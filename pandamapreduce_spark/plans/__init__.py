@@ -28,5 +28,6 @@ from pandamapreduce_spark.plans import maintenance  # noqa: E402,F401
 REGISTRY["q171_ann_recall"].oracle = similarity._recall_oracle()
 REGISTRY["q172_entity_resolution"].oracle = similarity._entity_oracle()
 REGISTRY["q183_semdedup"].oracle = similarity._semdedup_oracle()
+REGISTRY["q193_phash_neardup"].oracle = multimodal._phash_oracle()
 
 __all__ = ["REGISTRY", "Query", "query"]

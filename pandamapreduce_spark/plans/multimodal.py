@@ -134,3 +134,171 @@ def q73_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.lower(F.hex(F.expr("substring(payload, 1, 8)"))).alias("head_fp"),
     ).orderBy("doc_id")
+
+
+# --- q193: perceptual-hash near-dup over binary payloads ---------------------
+
+PHASH_BITS = 48  # q34b's lesson: 16 bits can't band usefully
+PHASH_BANDS = 4
+PHASH_K = 3  # verified hamming threshold; bands > K => pigeonhole recall
+_PHASH_BAND_W = PHASH_BITS // PHASH_BANDS
+PHASH_NOISE = 8  # re-encode flips bit i iff noise byte i < this (p = 1/32)
+
+
+def _phash_sql_terms(salt: str, cmp: str) -> str:
+    """48 CASE terms over three salted md5 keystreams of md5(text)."""
+    terms = []
+    for s in range(PHASH_BITS // 16):
+        h = f"md5(concat(md5(text), ':{salt}{s}'))"
+        for j in range(16):
+            terms.append(
+                f"(CASE WHEN {_feat_byte_sql(h, j)} {cmp} THEN {1 << (s * 16 + j)} ELSE 0 END)"
+            )
+    return " + ".join(terms)
+
+
+def _phash_oracle() -> str:
+    from pandamapreduce_spark.plans.dedup import MAX_BUCKET
+
+    # original fingerprint: bit i set iff ahash keystream byte i >= 128
+    # re-encoded variant: original XOR flipmask, flipmask bit i set iff
+    # noise keystream byte i < PHASH_NOISE (expected ~1.5 of 48 bits)
+    return f"""
+    WITH ph AS MATERIALIZED (
+      SELECT asset_id, phash FROM (
+        SELECT doc_id * 2 AS asset_id,
+               cast({_phash_sql_terms("ahash", ">= 128")} as bigint) AS phash
+        FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1,
+               cast(xor(cast({_phash_sql_terms("ahash", ">= 128")} as bigint),
+                        cast({_phash_sql_terms("noise", f"< {PHASH_NOISE}")} as bigint))
+                    as bigint)
+        FROM documents
+      )
+    ),
+    bands AS (
+      SELECT asset_id, phash,
+             unnest([struct_pack(band := i,
+                       key := (phash >> (i * {_PHASH_BAND_W})) & {(1 << _PHASH_BAND_W) - 1})
+                     for i in range(0, {PHASH_BANDS})], recursive := true)
+      FROM ph
+    ),
+    ok AS (
+      SELECT band, key FROM bands
+      GROUP BY band, key HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                      a.phash AS pa, b.phash AS pb
+      FROM bands a
+      JOIN ok o ON a.band = o.band AND a.key = o.key
+      JOIN bands b ON a.band = b.band AND a.key = b.key AND a.asset_id < b.asset_id
+    )
+    SELECT asset_a, asset_b, cast(bit_count(xor(pa, pb)) as int) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= {PHASH_K}
+    ORDER BY asset_a, asset_b
+    """
+
+
+@query(
+    "q193_phash_neardup",
+    oracle=None,  # installed in plans/__init__ (imports dedup's bucket cap)
+    doc=f"Perceptual-hash near-dup over BINARY payloads: each asset ships as an original plus a deterministic 'lossy re-encode' (fingerprint bits flipped where a noise keystream byte < {PHASH_NOISE} — expected ~1.5 of {PHASH_BITS} bits, the md5-exact stand-in for JPEG requantization); {PHASH_BITS}-bit aHash-style fingerprints computed inside Arrow-batched mapInPandas from the ACTUAL payload bytes, then q34b's Hamming-LSH ({PHASH_BANDS} bands, bucket-capped) verified at bit_count(xor) <= {PHASH_K}. Exact md5 dedup (q30) finds NONE of these pairs by construction; the perceptual lane recovers them — the modality axis of the dedup catalog (lexical q30-q34, semantic q183, perceptual binary).",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def q193_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image/video dedup in production hashes DECODED CONTENT
+    (aHash/pHash/dHash) precisely because re-encodes — same picture,
+    different bytes — defeat file-level hashing. This lane builds that
+    scenario end to end: every payload appears twice (asset 2d = the
+    original, 2d+1 = its re-encode, whose fingerprint differs in the
+    few keystream-chosen bit flips a lossy round-trip would cause),
+    fingerprints are computed in the Arrow-batched Python operator
+    from the bytes actually received (q71's corruption-detection
+    posture; the pixel-threshold step is the documented codec stub),
+    and the shared Hamming-LSH band join surfaces exactly the pairs
+    exact hashing misses. Pigeonhole: <= {PHASH_K} flips across
+    {PHASH_BANDS} bands always leaves one band intact, so recall at
+    the threshold is structural, not probabilistic.
+
+    Scale shape: fingerprints are one int64/asset; bands shuffle
+    (band, key, id, phash) with the q32 bucket cap; verification is
+    JVM bit_count(xor) on candidates only. The Python stage is
+    Arrow-batched and embarrassingly parallel — at 100 TB it is the
+    decode cluster's shape, with the band join unchanged."""
+    import hashlib
+
+    import pandas as pd
+
+    from pandamapreduce_spark.plans.dedup import MAX_BUCKET
+
+    def op(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                seed = bytes(payload)[:16].hex()
+                h = flip = 0
+                for s in range(PHASH_BITS // 16):
+                    d = hashlib.md5(f"{seed}:ahash{s}".encode()).digest()
+                    n = hashlib.md5(f"{seed}:noise{s}".encode()).digest()
+                    for j in range(16):
+                        bit = 1 << (s * 16 + j)
+                        if d[j] >= 128:
+                            h |= bit
+                        if n[j] < PHASH_NOISE:
+                            flip |= bit
+                ids.extend((doc_id * 2, doc_id * 2 + 1))
+                hashes.extend((h, h ^ flip))
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ph = attach_fake_payload(docs).mapInPandas(op, "asset_id long, phash long")
+
+    mask = (1 << _PHASH_BAND_W) - 1
+    bands = ph.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash", i * _PHASH_BAND_W)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "phash", "b.band", "b.key")
+    ok = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
+        .select("band", "key")
+    )
+    kept = bands.join(ok, ["band", "key"])
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.where(ham <= PHASH_K)
+        .select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
+        .orderBy("asset_a", "asset_b")
+    )

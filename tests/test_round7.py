@@ -185,3 +185,47 @@ def test_semdedup_verdict_shape(spark):
         assert len(kept) == 1
         best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
         assert kept[0].doc_id == best.doc_id
+
+
+def test_phash_finds_planted_reencodes(spark):
+    import hashlib
+
+    from pandamapreduce_spark.plans.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
+        PHASH_K,
+        PHASH_NOISE,
+        _PHASH_BAND_W,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    planted = {}
+    for r in docs.itertuples(index=False):
+        seed = hashlib.md5(r.text.encode()).hexdigest()
+        h = flip = 0
+        for s in range(PHASH_BITS // 16):
+            d = hashlib.md5(f"{seed}:ahash{s}".encode()).digest()
+            n = hashlib.md5(f"{seed}:noise{s}".encode()).digest()
+            for j in range(16):
+                bit = 1 << (s * 16 + j)
+                if d[j] >= 128:
+                    h |= bit
+                if n[j] < PHASH_NOISE:
+                    flip |= bit
+        planted[r.doc_id] = bin(flip).count("1")
+    rows = REGISTRY["q193_phash_neardup"].build(spark, SF_DIR).collect()
+    got = {(r.asset_a, r.asset_b): r.hamming for r in rows}
+    n_recoverable = 0
+    for doc_id, flips in planted.items():
+        pair = (doc_id * 2, doc_id * 2 + 1)
+        if flips <= PHASH_K:
+            # pigeonhole: <= K flips over BANDS > K bands leaves one
+            # band intact => the pair MUST be found, with hamming=flips
+            n_recoverable += 1
+            assert got.get(pair) == flips, (pair, flips)
+        elif flips > PHASH_BANDS * _PHASH_BAND_W:  # pragma: no cover
+            pass
+    assert n_recoverable > 0
+    # exact md5 dedup finds none of these by construction: every found
+    # pair with hamming >= 1 differs at the byte level
+    assert any(h >= 1 for h in got.values())
