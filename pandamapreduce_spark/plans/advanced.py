@@ -2815,3 +2815,78 @@ def q191_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("month").cast("int").alias("month"), "n_obs", "seasonal_index")
         .orderBy("month")
     )
+
+
+# --- q195: smoothed target encoding ------------------------------------------
+
+TE_SMOOTH_M = 10  # additive-smoothing pseudo-count toward the global mean
+
+
+@query(
+    "q195_target_encoding",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey AS ck, cast(count(*) as bigint) AS n,
+             cast(sum(cast(round(o_totalprice * 100) as decimal(19,0))) as decimal(19,0)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT cast(sum(n) as decimal(19,0)) AS big_n, cast(sum(cents) as decimal(19,0)) AS total
+      FROM per
+    )
+    SELECT p.ck AS custkey, p.n AS n_orders,
+           cast(p.cents as double) / cast(100 * p.n as double) AS mean_raw,
+           cast(cast(p.cents as decimal(38,0)) * g.big_n
+                + {TE_SMOOTH_M} * cast(g.total as decimal(38,0)) as double)
+             / cast(cast(p.n + {TE_SMOOTH_M} as decimal(38,0)) * g.big_n * 100 as double)
+             AS encoded
+    FROM per p, g ORDER BY custkey
+    """,
+    doc=f"Smoothed target encoding (the category-to-number feature transform): per customer, order-value mean shrunk toward the global mean with m={TE_SMOOTH_M} pseudo-counts — enc = (sum + m*prior) / (n + m), computed as ONE division of exact decimal(38,0) integer products (sum*N + m*total over (n+m)*N*100) so the shrinkage never chains float roundings; raw mean alongside for the shrinkage audit.",
+    tags=("stats", "features", "preprocessing"),
+)
+def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard high-cardinality categorical encoder (Micci-Barreca
+    2001): a category seen n times gets its own mean worth n votes and
+    the global prior m votes — rare categories shrink to the prior,
+    frequent ones keep their signal, and the encoder never leaks a
+    category unseen at fit time (absent keys decode to the prior).
+
+    Exactness: the textbook form (sum + m*prior)/(n + m) embeds a
+    float prior inside a second division; rewriting over a common
+    denominator — (sum*N + m*total) / ((n+m)*N) — keeps every product
+    an exact decimal(38,0) integer (cents*N ~ 1e19 at sf1 overflows
+    int64, hence decimal) and spends exactly ONE correctly-rounded
+    division per row, so both engines agree bitwise by construction.
+
+    Scale shape: one custkey partial-agg exchange plus a broadcast
+    2-value global row; output is one row per category — the fitted
+    encoder table a feature store would persist."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)").alias("cents"),
+    )
+    per = o.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(19,0)").alias("cents"),
+    )
+    g = per.agg(
+        F.sum("n").cast("decimal(19,0)").alias("big_n"),
+        F.sum("cents").cast("decimal(19,0)").alias("total"),
+    )
+    num = F.col("cents").cast("decimal(38,0)") * F.col("big_n") + F.lit(TE_SMOOTH_M) * F.col(
+        "total"
+    ).cast("decimal(38,0)")
+    den = (F.col("n") + F.lit(TE_SMOOTH_M)).cast("decimal(38,0)") * F.col("big_n") * F.lit(100)
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("n").alias("n_orders"),
+            (F.col("cents").cast("double") / (100 * F.col("n")).cast("double")).alias(
+                "mean_raw"
+            ),
+            (num.cast("double") / den.cast("double")).alias("encoded"),
+        )
+        .orderBy("custkey")
+    )

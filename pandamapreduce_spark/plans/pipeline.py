@@ -1281,3 +1281,115 @@ def q189_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --- q194: winsorized per-source statistics (value-histogram percentiles) ----
+
+WINSOR_LO_PCT, WINSOR_HI_PCT = 1, 99  # nearest-rank clip points (integer %)
+
+
+@query(
+    "q194_winsorize",
+    oracle=f"""
+    WITH hist AS (
+      SELECT source, n_chars, cast(count(*) as bigint) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, n_chars, c,
+             sum(c) OVER (PARTITION BY source ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             sum(c) OVER (PARTITION BY source) AS n_s
+      FROM hist
+    ),
+    thresholds AS (
+      SELECT source,
+             min(CASE WHEN 100 * cc >= {WINSOR_LO_PCT} * n_s THEN n_chars END) AS lo_val,
+             min(CASE WHEN 100 * cc >= {WINSOR_HI_PCT} * n_s THEN n_chars END) AS hi_val
+      FROM cum GROUP BY source
+    )
+    SELECT d.source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(t.lo_val as bigint) AS lo_val,
+           cast(t.hi_val as bigint) AS hi_val,
+           cast(sum(CASE WHEN d.n_chars < t.lo_val THEN 1 ELSE 0 END) as bigint) AS n_clip_low,
+           cast(sum(CASE WHEN d.n_chars > t.hi_val THEN 1 ELSE 0 END) as bigint) AS n_clip_high,
+           cast(sum(d.n_chars) as double) / cast(count(*) as double) AS mean_raw,
+           cast(sum(CASE WHEN d.n_chars < t.lo_val THEN t.lo_val
+                         WHEN d.n_chars > t.hi_val THEN t.hi_val
+                         ELSE d.n_chars END) as double) / cast(count(*) as double)
+             AS mean_winsorized
+    FROM documents d JOIN thresholds t ON d.source = t.source
+    GROUP BY d.source, t.lo_val, t.hi_val
+    ORDER BY d.source
+    """,
+    doc=f"Winsorized per-source length statistics: nearest-rank P{WINSOR_LO_PCT}/P{WINSOR_HI_PCT} clip thresholds computed from the per-(source, value) HISTOGRAM — the cumulative window runs over the bounded distinct-value domain (a few hundred rows), never over corpus rows, so the percentile pass is scale-free; clip counts and raw-vs-winsorized means in exact integers with one division each — the outlier-robust preprocessing stats a length-based quality filter should be tuned on.",
+    tags=("pipeline", "stats", "preprocessing"),
+)
+def q194_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip, don't drop) is the standard robust
+    preprocessing for heavy-tailed features; the engineering content
+    here is WHERE the percentile comes from: ranking corpus rows
+    per source is the q100 anti-pattern, but n_chars has a BOUNDED
+    value domain, so the exact nearest-rank threshold falls out of a
+    (source, value) histogram — one partial-agg exchange whose output
+    is value-domain-sized, then a cumulative window over those few
+    hundred rows. 100*cc >= pct*n_s keeps the rank test in integers.
+
+    The clip pass re-joins the BROADCAST per-source thresholds; means
+    are exact integer sums with one final division each. At 100 TB
+    only the two partial aggs grow — the histogram trick is how
+    production engines (and q128's stats collector) do percentiles on
+    low-cardinality columns."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    hist = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    cum = hist.withColumn("cc", F.sum("c").over(wcum)).withColumn("n_s", F.sum("c").over(wall))
+    thresholds = cum.groupBy("source").agg(
+        F.min(
+            F.when(100 * F.col("cc") >= WINSOR_LO_PCT * F.col("n_s"), F.col("n_chars"))
+        ).alias("lo_val"),
+        F.min(
+            F.when(100 * F.col("cc") >= WINSOR_HI_PCT * F.col("n_s"), F.col("n_chars"))
+        ).alias("hi_val"),
+    )
+    clipped = F.when(F.col("n_chars") < F.col("lo_val"), F.col("lo_val")).when(
+        F.col("n_chars") > F.col("hi_val"), F.col("hi_val")
+    ).otherwise(F.col("n_chars"))
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .groupBy("source", "lo_val", "hi_val")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("lo_val"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_low"),
+            F.sum(F.when(F.col("n_chars") > F.col("hi_val"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_high"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_raw"
+            ),
+            (F.sum(clipped).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_winsorized"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("lo_val").cast("bigint").alias("lo_val"),
+            F.col("hi_val").cast("bigint").alias("hi_val"),
+            "n_clip_low",
+            "n_clip_high",
+            "mean_raw",
+            "mean_winsorized",
+        )
+        .orderBy("source")
+    )

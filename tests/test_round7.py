@@ -229,3 +229,42 @@ def test_phash_finds_planted_reencodes(spark):
     # exact md5 dedup finds none of these by construction: every found
     # pair with hamming >= 1 differs at the byte level
     assert any(h >= 1 for h in got.values())
+
+
+def test_winsorize_matches_numpy(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["source", "n_chars"])
+    rows = REGISTRY["q194_winsorize"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        vals = sorted(docs[docs["source"] == r.source]["n_chars"])
+        n = len(vals)
+        lo = vals[(n * 1 + 99) // 100 - 1]  # nearest-rank P1: smallest v with cum >= ceil(.01n)
+        hi = vals[(n * 99 + 99) // 100 - 1]
+        assert (r.lo_val, r.hi_val) == (lo, hi)
+        clipped = [min(max(v, lo), hi) for v in vals]
+        assert r.n_docs == n
+        assert r.n_clip_low == sum(v < lo for v in vals)
+        assert r.n_clip_high == sum(v > hi for v in vals)
+        assert r.mean_raw == pytest.approx(sum(vals) / n)
+        assert r.mean_winsorized == pytest.approx(sum(clipped) / n)
+        assert min(clipped) >= lo and max(clipped) <= hi
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    from pandamapreduce_spark.plans.advanced import TE_SMOOTH_M
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    per = cents.groupby(o["o_custkey"]).agg(["sum", "size"])
+    big_n, total = int(per["size"].sum()), int(per["sum"].sum())
+    prior = total / big_n / 100.0
+    rows = REGISTRY["q195_target_encoding"].build(spark, SF_DIR).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        s, n = int(per.loc[r.custkey, "sum"]), int(per.loc[r.custkey, "size"])
+        want = (s * big_n + TE_SMOOTH_M * total) / ((n + TE_SMOOTH_M) * big_n * 100)
+        assert r.n_orders == n
+        assert r.encoded == pytest.approx(want, rel=1e-12)
+        # shrinkage: encoded sits strictly between raw mean and prior
+        lo_b, hi_b = sorted((r.mean_raw, prior))
+        assert lo_b - 1e-9 <= r.encoded <= hi_b + 1e-9
