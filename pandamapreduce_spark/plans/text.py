@@ -615,3 +615,63 @@ def q119_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "a", "b")
         .limit(COLLOC_TOPK)
     )
+
+
+# --- q196: positional phrase search ------------------------------------------
+
+PHRASE = ("table", "scan")  # the fixed 2-word query phrase
+
+
+@query(
+    "q196_phrase_search",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {tokens_sql("text")} AS arr FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             [i for i in range(1, len(arr)) if arr[i] = '{PHRASE[0]}'
+                and arr[i + 1] = '{PHRASE[1]}'] AS pos_list
+      FROM g
+    )
+    SELECT doc_id,
+           cast(len(pos_list) as bigint) AS n_occurrences,
+           cast(list_min(pos_list) as bigint) AS first_pos
+    FROM hits WHERE len(pos_list) > 0
+    ORDER BY doc_id
+    """,
+    doc=f"Positional phrase search for \"{PHRASE[0]} {PHRASE[1]}\": postings = (doc, position, term) triples FILTERED to the query terms before any shuffle, phrase match = an equi-join of the two posting lists on (doc_id, pos+1 = pos) — the positional-inverted-index primitive search engines use instead of substring scans; per-doc occurrence count and first position (1-based). The oracle verifies via a DuckDB list comprehension — a deliberately different formulation of the same math.",
+    tags=("text", "search", "postings"),
+)
+def q196_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring LIKE-scan reads every byte of every document for
+    every query; the index formulation touches only the query terms'
+    postings — at 100 TB that is the entire difference between a
+    search engine and a grep. The plan: posexplode to (doc, pos,
+    term), filter term IN (w1, w2) BEFORE the exchange (predicate
+    pushdown does the rest), then one equi-join keyed on (doc_id,
+    adjacent position). Join fan-out is bounded by per-doc term
+    frequency; everything shuffled is integer pairs.
+
+    Exactness: positions are 1-based integers on both engines (the
+    oracle's list comprehension vs the engine's posting join — two
+    formulations, one answer), counts exact."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "term")
+    ).where(F.col("term").isin(*PHRASE))
+    p1 = postings.where(F.col("term") == PHRASE[0]).select(
+        "doc_id", (F.col("pos0") + 1).alias("p1")
+    )
+    p2 = postings.where(F.col("term") == PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), (F.col("pos0") + 1).alias("p2")
+    )
+    return (
+        p1.join(p2, (p1["doc_id"] == p2["d2"]) & (p2["p2"] == p1["p1"] + 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("p1").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -268,3 +268,22 @@ def test_target_encoding_shrinks_toward_prior(spark):
         # shrinkage: encoded sits strictly between raw mean and prior
         lo_b, hi_b = sorted((r.mean_raw, prior))
         assert lo_b - 1e-9 <= r.encoded <= hi_b + 1e-9
+
+
+def test_phrase_search_matches_python(spark):
+    from pandamapreduce_spark.plans.text import PHRASE
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for r in docs.itertuples(index=False):
+        toks = r.text.split()
+        pos = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if toks[i] == PHRASE[0] and toks[i + 1] == PHRASE[1]
+        ]
+        if pos:
+            want[r.doc_id] = (len(pos), pos[0])
+    rows = REGISTRY["q196_phrase_search"].build(spark, SF_DIR).collect()
+    got = {r.doc_id: (r.n_occurrences, r.first_pos) for r in rows}
+    assert got == want and want, "phrase must occur somewhere in the fixture"
