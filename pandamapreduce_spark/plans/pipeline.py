@@ -1393,3 +1393,102 @@ def q194_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- q197: dataset card (one-row corpus profile) ------------------------------
+
+
+@query(
+    "q197_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT cast(count(*) as bigint) AS n_docs,
+             cast(count(DISTINCT source) as bigint) AS n_sources,
+             cast(count(DISTINCT lang) as bigint) AS n_langs,
+             cast(sum(len({tokens_sql("text")})) as bigint) AS total_tokens,
+             cast(sum(n_chars) as double) / cast(count(*) as double) AS mean_chars,
+             {davg_sql("cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double) / cast(length(text) as double)")}
+               AS mean_alpha,
+             cast(count(*) - count(DISTINCT md5(text)) as bigint) AS n_exact_dups
+      FROM documents
+    ),
+    hist AS (
+      SELECT n_chars, cast(count(*) as bigint) AS c FROM documents GROUP BY 1
+    ),
+    med AS (
+      SELECT cast(min(CASE WHEN 2 * cc >= n THEN n_chars END) as bigint) AS p50_chars
+      FROM (
+        SELECT n_chars,
+               sum(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cc,
+               sum(c) OVER () AS n
+        FROM hist
+      )
+    )
+    SELECT b.n_docs, b.n_sources, b.n_langs, b.total_tokens,
+           b.mean_chars, m.p50_chars, b.mean_alpha, b.n_exact_dups,
+           cast(b.n_exact_dups as double) / cast(b.n_docs as double) AS exact_dup_rate
+    FROM base b, med m
+    """,
+    doc="Dataset card: the one-row corpus profile a training-data release ships — doc/source/language counts, total tokens, mean and MEDIAN length (median from the bounded value histogram, q194's trick — no row-level rank anywhere), mean alphabetic ratio (exact decimal-sum average), and the exact-duplicate count/rate (docs minus distinct md5) — every number the q80/q106 filter decisions are justified by, in one scan-shaped query.",
+    tags=("pipeline", "profiling", "analytics"),
+)
+def q197_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every corpus release ships a dataset card; every number on it
+    must be reproducible from the data. This lane computes the core
+    table in two partial-agg exchanges: one global aggregate row
+    (counts, token mass, exact-decimal mean alpha, md5-distinct dup
+    count — the q30 shuffle shape: hashes, never bodies) and one
+    value-histogram median (the q194 trick: the cumulative window
+    runs over distinct n_chars values, a few hundred rows, so the
+    exact nearest-rank median costs nothing at any corpus size).
+
+    Exactness: integers throughout; mean_chars is one int/int
+    division; mean_alpha is the davg contract (exact decimal sum,
+    round-6, one division); dup rate one more division."""
+    from pandamapreduce_spark.functions import tokens
+    from pandamapreduce_spark.plans.numeric import davg
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast(
+        "double"
+    ) / F.length("text").cast("double")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_chars"
+        ),
+        davg(alpha).alias("mean_alpha"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).cast("bigint").alias(
+            "n_exact_dups"
+        ),
+    )
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    med = (
+        hist.withColumn("cc", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .agg(
+            F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("n_chars")))
+            .cast("bigint")
+            .alias("p50_chars")
+        )
+    )
+    return base.crossJoin(F.broadcast(med)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "mean_chars",
+        "p50_chars",
+        "mean_alpha",
+        "n_exact_dups",
+        (F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double")).alias(
+            "exact_dup_rate"
+        ),
+    )

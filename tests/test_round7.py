@@ -287,3 +287,23 @@ def test_phrase_search_matches_python(spark):
     rows = REGISTRY["q196_phrase_search"].build(spark, SF_DIR).collect()
     got = {r.doc_id: (r.n_occurrences, r.first_pos) for r in rows}
     assert got == want and want, "phrase must occur somewhere in the fixture"
+
+
+def test_dataset_card_matches_pandas(spark):
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    row = REGISTRY["q197_dataset_card"].build(spark, SF_DIR).collect()[0]
+    n = len(docs)
+    assert row.n_docs == n
+    assert row.n_sources == docs["source"].nunique()
+    assert row.n_langs == docs["lang"].nunique()
+    assert row.total_tokens == sum(len(t.split()) for t in docs["text"])
+    assert row.mean_chars == pytest.approx(docs["n_chars"].mean())
+    vals = sorted(docs["n_chars"])
+    assert row.p50_chars == vals[(n + 1) // 2 - 1]  # nearest-rank: min v with 2*cum >= n
+    dups = n - len({hashlib.md5(t.encode()).hexdigest() for t in docs["text"]})
+    assert row.n_exact_dups == dups
+    assert row.exact_dup_rate == pytest.approx(dups / n)
+    alphas = [sum(c.islower() for c in t if c.isalpha() and c.islower()) / len(t) for t in docs["text"]]
+    assert row.mean_alpha == pytest.approx(sum(alphas) / n, abs=1e-5)
