@@ -42,18 +42,17 @@ from pandamapreduce_spark.plans import REGISTRY
 # at sf0.001 and each session's full-registry emulation at sf0.01.
 
 #: Queries whose Spark plan or oracle changed this round — the only
-#: hand-maintained piece. Round 7: q178/q182 oracles made µs-exact by
-#: construction, q94 CC loops gained eager round release, q171's bare
-#: persist scoped, ml-lane caching routed through scoped_persist.
+#: hand-maintained piece. Round 7: q178's oracle made µs-exact by
+#: construction (q182's too, but q182 is never-green so it leads the
+#: window regardless), and q94's CC loops gained eager superseded-round
+#: release (an execution-path change). The round's cache-hygiene edits
+#: (q171/q47/q54/q58/q59 scoped_persist) cannot change results and are
+#: covered by pytest + the full-registry emulation — windowing them
+#: would crowd out the r3-stale rotation the ledger ordering exists
+#: to finish (16 new never-green lanes already take the window's head).
 _WINDOW_OVERRIDE = [
-    "q182_time_to_convert",
     "q178_lateness_audit",
     "q94_dedup_clusters",
-    "q171_ann_recall",
-    "q47_kmeans_assign",
-    "q54_kmeans_iterative",
-    "q58_gmm_assign",
-    "q59_gmm_em",
 ]
 
 
