@@ -240,7 +240,7 @@ def q104_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q190: CMS accuracy evaluation (full-vocabulary error profile) ----------
 
-CMS_EVAL_WIDTHS = (2048, 256)  # shipped width vs a deliberately narrow one
+CMS_EVAL_WIDTHS = (65536, 2048, 256)  # wide / shipped / deliberately narrow
 
 
 def _cms_eval_oracle() -> str:

@@ -124,7 +124,9 @@ def test_cms_never_underestimates_and_width_helps(spark):
         by_w[r.width][r.err_bucket] = r
         assert r.max_overestimate >= 0  # CMS property: never under
     exact_share = {w: d.get("a_exact").share if d.get("a_exact") else 0.0 for w, d in by_w.items()}
-    assert exact_share[2048] >= exact_share[256]
+    widths = sorted(exact_share)  # wider sketch => never a smaller exact share
+    for lo, hi in zip(widths, widths[1:]):
+        assert exact_share[hi] >= exact_share[lo], (lo, hi, exact_share)
     for d in by_w.values():
         assert sum(r.share for r in d.values()) == pytest.approx(1.0)
 
