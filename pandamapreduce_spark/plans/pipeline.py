@@ -1184,6 +1184,7 @@ ABC_A_PCT, ABC_B_PCT = 80, 95  # cumulative-revenue class boundaries (integer %)
 
 @query(
     "q189_pareto_abc",
+    bench=True,  # per-round signal for the distributed exact prefix sum
     oracle=f"""
     WITH rev AS (
       SELECT l_partkey,

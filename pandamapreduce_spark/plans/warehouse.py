@@ -1688,6 +1688,7 @@ def _lpa_oracle_sql() -> str:
 
 @query(
     "q184_communities",
+    bench=True,  # per-round signal for the iterative LPA superstep shape
     oracle=_lpa_oracle_sql(),
     doc=f"Community detection: {LPA_ROUNDS} unrolled rounds of synchronous label propagation (Raghavan et al. 2007) over q169's support-filtered co-purchase graph — per round each part adopts the MODE of its neighbors' labels, ties to the smallest label, init label = own id; per-part community assignment. Fixed rounds make the answer exact and oracle-able (q129/q169 discipline) — run-to-stationarity LPA is a convergence state, not a query.",
     tags=("graph", "communities", "iterative"),
@@ -1872,6 +1873,7 @@ LINKPRED_TOPK = 100
 
 @query(
     "q187_link_prediction",
+    bench=True,  # per-round signal for the wedge-walk self-join
     oracle=f"""
     WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     items AS MATERIALIZED (
