@@ -2890,3 +2890,310 @@ def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --- q198: order-to-ship SLA percentiles (value-histogram) -------------------
+
+SLA_DAYS = 7  # the "shipped within a week" service-level target
+
+
+@query(
+    "q198_ship_sla",
+    oracle=f"""
+    WITH d AS (
+      SELECT o.o_orderpriority AS priority,
+             cast(date_diff('day', cast(o.o_orderdate as date),
+                            cast(l.l_shipdate as date)) as bigint) AS delay
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (
+      SELECT priority, delay, cast(count(*) as bigint) AS c FROM d GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, delay, c,
+             sum(c) OVER (PARTITION BY priority ORDER BY delay
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             sum(c) OVER (PARTITION BY priority) AS n
+      FROM hist
+    )
+    SELECT priority,
+           cast(min(n) as bigint) AS n_lineitems,
+           cast(min(CASE WHEN 2 * cc >= n THEN delay END) as bigint) AS p50_days,
+           cast(min(CASE WHEN 10 * cc >= 9 * n THEN delay END) as bigint) AS p90_days,
+           cast(min(CASE WHEN 100 * cc >= 99 * n THEN delay END) as bigint) AS p99_days,
+           cast(sum(CASE WHEN delay <= {SLA_DAYS} THEN c ELSE 0 END) as double)
+             / cast(min(n) as double) AS within_{SLA_DAYS}d
+    FROM cum GROUP BY priority ORDER BY priority
+    """,
+    doc=f"Order-to-ship SLA per priority: exact nearest-rank P50/P90/P99 of the ship delay in days plus the within-{SLA_DAYS}-days share — percentiles from the (priority, delay) VALUE HISTOGRAM (delay domain is calendar-bounded, so the cumulative window runs over ~120 rows per priority, never lineitem rows; q194's trick), rank tests as pure integer comparisons (m*cc >= k*n), one share division per priority.",
+    tags=("analytics", "sla", "stats"),
+)
+def q198_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operations question behind every o_orderpriority value: DO
+    higher priorities actually ship faster, and what tail does each
+    class carry? Tail percentiles — not means — are the SLA currency,
+    and the exact nearest-rank form here costs one partial-agg
+    exchange because the delay domain is bounded (0..~122 days): the
+    histogram IS the sufficient statistic, the same low-cardinality
+    percentile trick as q194/q197. P50/P90/P99 selections are integer
+    comparisons (2cc>=n, 10cc>=9n, 100cc>=99n) — no float rank
+    arithmetic anywhere; the single double per row is the SLA share
+    division."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("priority")
+    )
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "priority", F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay")
+    )
+    hist = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("priority")
+    cum = hist.withColumn("cc", F.sum("c").over(wcum)).withColumn("n", F.sum("c").over(wall))
+    return (
+        cum.groupBy("priority")
+        .agg(
+            F.min("n").cast("bigint").alias("n_lineitems"),
+            F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("delay")))
+            .cast("bigint")
+            .alias("p50_days"),
+            F.min(F.when(10 * F.col("cc") >= 9 * F.col("n"), F.col("delay")))
+            .cast("bigint")
+            .alias("p90_days"),
+            F.min(F.when(100 * F.col("cc") >= 99 * F.col("n"), F.col("delay")))
+            .cast("bigint")
+            .alias("p99_days"),
+            (
+                F.sum(F.when(F.col("delay") <= SLA_DAYS, F.col("c")).otherwise(0)).cast("double")
+                / F.min("n").cast("double")
+            ).alias(f"within_{SLA_DAYS}d"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- q199: session abandonment by hour of day --------------------------------
+
+
+@query(
+    "q199_abandonment",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_type,
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             cast(extract(hour from min(ts)) as int) AS start_hour,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT start_hour,
+           cast(count(*) as bigint) AS n_click_sessions,
+           cast(sum(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END) as bigint) AS n_abandoned,
+           cast(sum(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END) as double)
+             / cast(count(*) as double) AS abandonment_rate
+    FROM per WHERE has_click = 1
+    GROUP BY start_hour ORDER BY start_hour
+    """,
+    doc="Session abandonment by hour of day: q12's 30-min-gap sessions reduced to (start hour, clicked, purchased) flags; among sessions WITH a click, the share that never reach a purchase — the intent-without-conversion product metric, per start hour so staffing/latency hypotheses are testable; exact integer counts, one rate division per hour.",
+    tags=("events", "sessionize", "analytics"),
+)
+def q199_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q126's funnel counts STAGE progress over a horizon; abandonment
+    is the session-scoped complement — the user showed intent (a
+    click) inside one sitting and the sitting ended without a
+    purchase. Sessions are exactly q12's (30-minute gap, lag + running
+    sum — the shared definition keeps every session lane answering
+    about the SAME sessions); each session then reduces to three
+    scalars, so the final report aggregates (hour, flag) pairs.
+
+    Scale shape: ONE user_id exchange serves the lag window, the
+    running sum, and the per-session reduce (they share the sort
+    order); the hour rollup is a 24-key agg. No per-session event
+    arrays anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(cum).cast("bigint").alias("session_id"),
+    )
+    per = sessions.groupBy("user_id", "session_id").agg(
+        F.hour(F.min("ts")).cast("int").alias("start_hour"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
+    )
+    ab = F.sum(F.when(F.col("has_purchase") == 0, 1).otherwise(0))
+    return (
+        per.where(F.col("has_click") == 1)
+        .groupBy("start_hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_click_sessions"),
+            ab.cast("bigint").alias("n_abandoned"),
+            (ab.cast("double") / F.count(F.lit(1)).cast("double")).alias("abandonment_rate"),
+        )
+        .orderBy("start_hour")
+    )
+
+
+# --- q200: retention half-life (log-linear decay fit per cohort) -------------
+
+LN2 = 0.6931471805599453  # pinned literal (q173's ln(2) discipline)
+HL_MIN_POINTS = 2
+
+
+@query(
+    "q200_retention_halflife",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(cast(date_trunc('week', ts) as date)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, cast(date_trunc('week', ts) as date) AS w FROM events
+    ),
+    cells AS (
+      SELECT f.cohort_week,
+             cast(date_diff('day', f.cohort_week, a.w) // 7 as bigint) AS k,
+             cast(count(*) as bigint) AS n_active
+      FROM firsts f JOIN active a ON f.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_week, n_active AS n0 FROM cells WHERE k = 0),
+    pts AS (
+      SELECT c.cohort_week, c.k,
+             cast(round(ln(cast(c.n_active as double) / cast(s.n0 as double)), 9)
+                  as decimal(12,9)) AS y
+      FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+      WHERE c.k >= 1
+    ),
+    fit AS (
+      SELECT cohort_week,
+             cast(count(*) as decimal(6,0)) AS m,
+             cast(sum(k) as decimal(6,0)) AS sk,
+             cast(sum(k * k) as bigint) AS skk,
+             cast(sum(y) as decimal(25,9)) AS sy,
+             cast(sum(cast(k as decimal(4,0)) * y) as decimal(25,9)) AS sky,
+             cast(count(*) as bigint) AS n_points
+      FROM pts GROUP BY cohort_week
+    )
+    SELECT cast(cohort_week as varchar) AS cohort_week, n_points,
+           cast(m * sky - sk * sy as double)
+             / cast(cast(m as bigint) * skk - cast(sk as bigint) * cast(sk as bigint) as double)
+             AS slope,
+           CASE WHEN m * sky - sk * sy < 0 THEN
+             -{LN2} / (cast(m * sky - sk * sy as double)
+               / cast(cast(m as bigint) * skk - cast(sk as bigint) * cast(sk as bigint) as double))
+           END AS half_life_weeks
+    FROM fit
+    WHERE n_points >= {HL_MIN_POINTS}
+      AND cast(m as bigint) * skk - cast(sk as bigint) * cast(sk as bigint) > 0
+    ORDER BY cohort_week
+    """,
+    doc=f"Retention half-life per cohort: fits ln(retention_k) ~ k by least squares over q127's retention points (k >= 1) and reports the decay slope and half-life = -ln2/slope (ln2 pinned literal; half-life only where the fit decays) — the single decay constant product teams quote from the retention triangle; ln terms round to 9 decimals and every OLS sum is an exact decimal/integer, so the slope is ONE division of exact values.",
+    tags=("retention", "cohort", "stats", "analytics"),
+)
+def q200_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q127 publishes the retention TRIANGLE; leadership asks for one
+    number per cohort — the half-life under exponential decay, the
+    standard summary (log-linear fit, a LOWESS-free q142-style OLS on
+    the aggregated points). Exactness: each ln(retention) rounds to 9
+    decimals into decimal(12,9) (the q101/q173 transcendental
+    contract); OLS sums are exact decimal/integer products SIZED so
+    neither engine's decimal widening can round — Spark's
+    allowPrecisionLoss silently cut k*y to SIX decimals when y was
+    decimal(30,9) (precision 30+20+1 > 38; caught by the sf0.01 hash),
+    so k multiplies as decimal(4,0) against decimal(12,9) terms and
+    the fit sums stay decimal(25,9), keeping every product <= 32
+    digits;
+    the slope is one division of exact values, and the half-life one
+    more with the pinned ln(2).
+
+    Scale shape: identical to q127 until the fit — two user-keyed
+    aggs, then the regression runs per cohort on CALENDAR-BOUNDED
+    points (weeks, not rows). The fit itself is a groupBy over ~80
+    rows per cohort."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("w")).distinct()
+    cells = (
+        firsts.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("bigint").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    from pandamapreduce_spark.caching import scoped_persist
+
+    cells = scoped_persist(cells)
+    sizes = cells.where(F.col("k") == 0).select("cohort_week", F.col("n_active").alias("n0"))
+    pts = (
+        cells.where(F.col("k") >= 1)
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "k",
+            F.round(F.log(F.col("n_active").cast("double") / F.col("n0").cast("double")), 9)
+            .cast("decimal(12,9)")
+            .alias("y"),
+        )
+    )
+    fit = pts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("decimal(6,0)").alias("m"),
+        F.sum("k").cast("decimal(6,0)").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum("y").cast("decimal(25,9)").alias("sy"),
+        F.sum(F.col("k").cast("decimal(4,0)") * F.col("y")).cast("decimal(25,9)").alias("sky"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
+    num = F.col("m") * F.col("sky") - F.col("sk") * F.col("sy")
+    den = F.col("m").cast("bigint") * F.col("skk") - F.col("sk").cast("bigint") * F.col(
+        "sk"
+    ).cast("bigint")
+    slope = num.cast("double") / den.cast("double")
+    return (
+        fit.where((F.col("n_points") >= HL_MIN_POINTS) & (den > 0))
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "n_points",
+            slope.alias("slope"),
+            F.when(num < 0, -F.lit(LN2) / slope).alias("half_life_weeks"),
+        )
+        .orderBy("cohort_week")
+    )

@@ -309,3 +309,86 @@ def test_dataset_card_matches_pandas(spark):
     assert row.exact_dup_rate == pytest.approx(dups / n)
     alphas = [sum(c.islower() for c in t if c.isalpha() and c.islower()) / len(t) for t in docs["text"]]
     assert row.mean_alpha == pytest.approx(sum(alphas) / n, abs=1e-5)
+
+
+def test_ship_sla_percentiles_match_numpy(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    delay = (m["l_shipdate"].dt.normalize() - pd.to_datetime(m["o_orderdate"])).dt.days
+    rows = REGISTRY["q198_ship_sla"].build(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        vals = sorted(delay[m["o_orderpriority"] == r.priority])
+        n = len(vals)
+        assert r.n_lineitems == n
+        for p, got in ((50, r.p50_days), (90, r.p90_days), (99, r.p99_days)):
+            assert got == vals[-(-p * n // 100) - 1], (r.priority, p)  # nearest-rank
+        assert r.within_7d == pytest.approx(sum(v <= 7 for v in vals) / n)
+
+
+def test_abandonment_sessions_match_python(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    per_hour = {}
+    for _, g in ev.groupby("user_id"):
+        cur = None
+        last = None
+        for r in g.itertuples(index=False):
+            if last is None or (r.ts - last).total_seconds() > 1800:
+                if cur is not None and cur["click"]:
+                    h = cur["start"].hour
+                    per_hour.setdefault(h, [0, 0])
+                    per_hour[h][0] += 1
+                    per_hour[h][1] += 0 if cur["purchase"] else 1
+                cur = {"start": r.ts, "click": False, "purchase": False}
+            cur["click"] |= r.event_type == "click"
+            cur["purchase"] |= r.event_type == "purchase"
+            last = r.ts
+        if cur is not None and cur["click"]:
+            h = cur["start"].hour
+            per_hour.setdefault(h, [0, 0])
+            per_hour[h][0] += 1
+            per_hour[h][1] += 0 if cur["purchase"] else 1
+    rows = REGISTRY["q199_abandonment"].build(spark, SF_DIR).collect()
+    got = {r.start_hour: (r.n_click_sessions, r.n_abandoned) for r in rows}
+    assert got == {h: tuple(v) for h, v in per_hour.items()} and got
+
+
+def test_retention_halflife_matches_python(spark):
+    import math
+
+    from pandamapreduce_spark.plans.advanced import HL_MIN_POINTS, LN2
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    wk = ev["ts"].dt.to_period("W-SUN").dt.start_time  # date_trunc('week') = Monday start
+    firsts = wk.groupby(ev["user_id"]).min()
+    active = pd.DataFrame({"u": ev["user_id"], "w": wk}).drop_duplicates()
+    cohorts = {}
+    for r in active.itertuples(index=False):
+        cw = firsts[r.u]
+        k = (r.w - cw).days // 7
+        cohorts.setdefault(cw, {}).setdefault(k, 0)
+        cohorts[cw][k] += 1
+    rows = REGISTRY["q200_retention_halflife"].build(spark, SF_DIR).collect()
+    got = {r.cohort_week: r for r in rows}
+    for cw, cells in cohorts.items():
+        n0 = cells.get(0)
+        pts = [(k, round(math.log(n / n0), 9)) for k, n in sorted(cells.items()) if k >= 1]
+        if len(pts) < HL_MIN_POINTS:
+            continue
+        m = len(pts)
+        sk = sum(k for k, _ in pts)
+        skk = sum(k * k for k, _ in pts)
+        sy = sum(y for _, y in pts)
+        sky = sum(k * y for k, y in pts)
+        den = m * skk - sk * sk
+        if den <= 0:
+            continue
+        slope = (m * sky - sk * sy) / den
+        key = str(cw.date())
+        assert key in got, key
+        assert got[key].n_points == m
+        assert got[key].slope == pytest.approx(slope, abs=1e-9)
+        if slope < 0:
+            assert got[key].half_life_weeks == pytest.approx(-LN2 / slope, rel=1e-9)
