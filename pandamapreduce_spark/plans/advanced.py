@@ -3197,3 +3197,105 @@ def q200_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# --- q201: change-point detection (exact integer CUSUM) -----------------------
+
+
+@query(
+    "q201_changepoint",
+    oracle="""
+    WITH cells AS (
+      SELECT o.o_custkey % 25 AS grp,
+             cast((extract(year from l.l_shipdate) - 1992) * 12
+                  + extract(month from l.l_shipdate) - 1 as bigint) AS x,
+             cast(sum(cast(round(l.l_extendedprice * 100) as decimal(19,0))) as bigint) AS yc
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, x, yc,
+             sum(yc) OVER (PARTITION BY grp ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             row_number() OVER (PARTITION BY grp ORDER BY x) AS i,
+             count(*) OVER (PARTITION BY grp) AS n,
+             sum(yc) OVER (PARTITION BY grp) AS tot
+      FROM cells
+    ),
+    dev AS (
+      SELECT grp, x, i, n, tot,
+             abs(cast(n as decimal(28,0)) * cast(s as decimal(28,0))
+                 - cast(i as decimal(28,0)) * cast(tot as decimal(28,0))) AS d
+      FROM c WHERE i < n
+    )
+    SELECT grp,
+           cast(min(n) as bigint) AS n_months,
+           cast(min(CASE WHEN rn = 1 THEN x END) as bigint) AS change_month,
+           max(CASE WHEN rn = 1 THEN cast(d as double) END)
+                / (cast(min(n) as double) * cast(min(tot) as double)) AS cusum_stat
+    FROM (
+      SELECT grp, x, n, tot, d,
+             row_number() OVER (PARTITION BY grp ORDER BY d DESC, x) AS rn
+      FROM dev
+    ) GROUP BY grp ORDER BY grp
+    """,
+    doc="Change-point detection per cohort: exact-integer CUSUM over monthly revenue — deviation at month i is |n*S_i - i*S_n| (a pure decimal-integer product, zero float before the final normalization), the change-point is the argmax (ties to the earliest month), and the reported statistic is the single normalized division max|S_i/S_n - i/n| — WHERE the level shifted, where q170's KS says WHETHER two samples differ and q188 says WHICH months are outliers.",
+    tags=("stats", "changepoint", "timeseries"),
+)
+def q201_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring question after a drift alarm fires: WHEN did the
+    level change? The CUSUM argmax of |S_i - (i/n)S_n| is the classic
+    nonparametric single-change-point locator (Page 1954 lineage;
+    the empirical-bridge form). Multiplying through by n keeps the
+    deviation an EXACT integer product — n*S_i - i*S_n in
+    decimal(28,0) (cents sums x month counts would overflow int64 at
+    100 TB) — so the argmax and its tie-break are pure integer
+    comparisons; only the final normalized statistic spends floats
+    (one division of exact values).
+
+    Scale shape: one (grp, month) partial-agg exchange, then all
+    windows run on the calendar-bounded cell table (q175/q188's
+    argument). The report is one row per cohort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        ((F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 25).alias("grp")
+    )
+    cells = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("grp", "x")
+        .agg(F.sum("cents").cast("bigint").alias("yc"))
+    )
+    wo = Window.partitionBy("grp").orderBy("x")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("grp")
+    c = (
+        cells.withColumn("s", F.sum("yc").over(wcum))
+        .withColumn("i", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("tot", F.sum("yc").over(wall))
+    )
+    d = F.abs(
+        F.col("n").cast("decimal(28,0)") * F.col("s").cast("decimal(28,0)")
+        - F.col("i").cast("decimal(28,0)") * F.col("tot").cast("decimal(28,0)")
+    )
+    dev = c.where(F.col("i") < F.col("n")).select("grp", "x", "n", "tot", d.alias("d"))
+    wrank = Window.partitionBy("grp").orderBy(F.col("d").desc(), "x")
+    return (
+        dev.withColumn("rn", F.row_number().over(wrank))
+        .groupBy("grp")
+        .agg(
+            F.min("n").cast("bigint").alias("n_months"),
+            F.min(F.when(F.col("rn") == 1, F.col("x"))).cast("bigint").alias("change_month"),
+            (
+                F.max(F.when(F.col("rn") == 1, F.col("d").cast("double")))
+                / (F.min("n").cast("double") * F.min("tot").cast("double"))
+            ).alias("cusum_stat"),
+        )
+        .orderBy("grp")
+    )

@@ -1493,3 +1493,93 @@ def q197_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_dup_rate"
         ),
     )
+
+
+# --- q202: Gini coefficient of revenue concentration --------------------------
+
+
+@query(
+    "q202_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             cast(sum(cast(round(l_extendedprice * 100) as decimal(19,0))) as bigint) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT cents,
+             cast(row_number() OVER (ORDER BY cents, l_partkey) as bigint) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT cast(count(*) as decimal(38,0)) AS n,
+             cast(sum(cents) as decimal(38,0)) AS tot,
+             sum(cast(i as decimal(12,0)) * cast(cents as decimal(24,0))) AS siw
+      FROM r
+    )
+    SELECT cast(n as bigint) AS n_parts,
+           cast(tot as double) / 100.0 AS total_revenue,
+           cast(2 * siw - (n + 1) * tot as double) / cast(n * tot as double) AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of part-revenue concentration: G = (2*Σ(i*x_i) - (n+1)*Σx) / (n*Σx) over ascending exact-cents ranks — every product an exact decimal integer (rank x cents overflows int64 at scale, hence decimal(12,0)*decimal(24,0)), ONE final division; the Spark rank comes from the q100/q189 distributed-rank pattern (range exchange + per-range row_number + bounded offset collect), the oracle from a naive global window — parity proves the distributed rank exact. The single-number twin of q189's ABC classes.",
+    tags=("pipeline", "analytics", "rank"),
+)
+def q202_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concentration summary execs quote next to the ABC table:
+    0 = revenue spread evenly across parts, ->1 = one part is the
+    business. The closed rank form needs a GLOBAL ascending rank —
+    the q189 machinery reversed — after which Gini is three exact
+    decimal sums (n, Σx, Σ i*x) and one division. Sizing: i ≤ 1e9
+    parts (decimal(12,0)) times cents ≤ 1e15 (decimal(24,0)) keeps
+    the product at 37 digits — within 38 on BOTH engines, the q200
+    precision-loss lesson applied at design time.
+
+    Scale shape: one partkey partial agg, one range exchange of
+    (cents, partkey) pairs, per-range ranks + one bounded offset
+    collect, a 3-value final aggregate."""
+    from pandamapreduce_spark.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    parts = scoped_persist(
+        rev.repartitionByRange(RANK_RANGES, "cents", "l_partkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    head = F.min(F.struct(F.col("cents").alias("v"), F.col("l_partkey").alias("d"))).alias(
+        "head"
+    )
+    per = sorted(
+        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
+        key=lambda r: (r["head"]["v"], r["head"]["d"]),
+    )
+    base = F.lit(0).cast("bigint")
+    acc = 0
+    for r in per:
+        base = F.when(F.col("pid") == r["pid"], F.lit(int(acc)).cast("bigint")).otherwise(base)
+        acc += r["n"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("cents", "l_partkey")
+    i = (F.row_number().over(w).cast("bigint") + base).alias("i")
+    ranked = parts.select("cents", i)
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("i").cast("decimal(12,0)") * F.col("cents").cast("decimal(24,0)")).alias(
+            "siw"
+        ),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        (F.col("tot").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (
+            (2 * F.col("siw") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot")).cast("double")
+        ).alias("gini"),
+    )

@@ -392,3 +392,43 @@ def test_retention_halflife_matches_python(spark):
         assert got[key].slope == pytest.approx(slope, abs=1e-9)
         if slope < 0:
             assert got[key].half_life_weeks == pytest.approx(-LN2 / slope, rel=1e-9)
+
+
+def test_changepoint_matches_python(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_shipdate", "l_extendedprice"])
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["grp"] = m["o_custkey"] % 25
+    m["x"] = (m["l_shipdate"].dt.year - 1992) * 12 + m["l_shipdate"].dt.month - 1
+    m["cents"] = (m["l_extendedprice"] * 100).round().astype("int64")
+    rows = {r.grp: r for r in REGISTRY["q201_changepoint"].build(spark, SF_DIR).collect()}
+    for grp, g in m.groupby("grp"):
+        cells = g.groupby("x")["cents"].sum().sort_index()
+        n, tot = len(cells), int(cells.sum())
+        s = 0
+        best = None
+        for i, (x, yc) in enumerate(cells.items(), start=1):
+            if i == n:
+                break
+            s += int(yc)
+            d = abs(n * s - i * tot)
+            if best is None or d > best[0]:
+                best = (d, x)
+        r = rows[grp]
+        assert r.n_months == n
+        assert r.change_month == best[1]
+        assert r.cusum_stat == pytest.approx(best[0] / (n * tot))
+
+
+def test_gini_matches_python_and_bounds(spark):
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"])
+    cents = (li["l_extendedprice"] * 100).round().astype("int64").groupby(li["l_partkey"]).sum()
+    df = cents.reset_index(name="c").sort_values(["c", "l_partkey"])
+    n, tot = len(df), int(df["c"].sum())
+    siw = sum(i * int(c) for i, c in enumerate(df["c"], start=1))
+    want = (2 * siw - (n + 1) * tot) / (n * tot)
+    row = REGISTRY["q202_gini"].build(spark, SF_DIR).collect()[0]
+    assert row.n_parts == n
+    assert row.total_revenue == pytest.approx(tot / 100.0)
+    assert row.gini == pytest.approx(want, abs=1e-12)
+    assert 0.0 <= row.gini < 1.0
