@@ -49,7 +49,7 @@ from pandamapreduce_spark.plans import REGISTRY
 #: (q171/q47/q54/q58/q59 scoped_persist) cannot change results and are
 #: covered by pytest + the full-registry emulation — windowing them
 #: would crowd out the r3-stale rotation the ledger ordering exists
-#: to finish (16 new never-green lanes already take the window's head).
+#: to finish (the 21 never-green lanes q182-q202 already take the window's head).
 _WINDOW_OVERRIDE = [
     "q178_lateness_audit",
     "q94_dedup_clusters",

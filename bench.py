@@ -105,8 +105,11 @@ def _merge_sidecar(prev: dict, payload: dict) -> dict:
     on a host that swings 2-8x with co-tenant steal."""
     if prev.get("sf") != payload.get("sf"):
         # never min-merge timings taken at different scale factors
-        # (e.g. an sf1 scaling study sharing a round with sf0.1 runs)
-        return payload
+        # (e.g. an sf1 scaling study sharing a round with sf0.1 runs);
+        # KEEP the existing record — overwriting it would destroy the
+        # round's best-of history for the other scale, which is the
+        # history feed future rounds' noise guards read
+        return prev
     timings = payload.get("queries") or {}
     hsph = payload.get("hsph_at_sf") or {}
     pq = prev.get("queries") or {}
@@ -139,7 +142,10 @@ def _steal_fraction(sample_s: float = 5.0) -> float:
     def read() -> tuple[int, int]:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
+        # fields 8-9 (guest, guest_nice) are already folded into
+        # user/nice — summing them would double-count guest time and
+        # understate the steal fraction
+        return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
 
     t0, s0 = read()
     time.sleep(sample_s)
@@ -350,14 +356,16 @@ def main() -> None:
         # future rounds' noise guards, where best-demonstrated is the
         # right baseline.
         sided = payload
+        prev = None
         if os.path.exists(side):
             try:
                 with open(side) as fh:
                     prev = json.load(fh)
                 sided = _merge_sidecar(prev, payload)
             except Exception:
-                pass  # unreadable previous sidecar — record this run
-        if sided is not payload:
+                prev = None  # unreadable previous sidecar — record this run
+        sf_mismatch = sided is prev  # _merge_sidecar kept prev verbatim
+        if sided is not payload and not sf_mismatch:
             # VERDICT r6 wrong#3: the merge and BASELINE.md's worse-of-2
             # protocol are different quantities — keep BOTH derivable by
             # carrying the raw latest-run payload alongside the merge.
@@ -365,9 +373,14 @@ def main() -> None:
             sided["raw_last_run"] = {
                 k: v for k, v in payload.items() if k != "raw_last_run"
             }
-        if preflight:
+        # steal-gate provenance accumulates across the round's runs: a
+        # later run without a >=10 GB scale must not erase run 1's record
+        merged_pf = dict((prev or {}).get("tera_preflight_steal") or {})
+        if not sf_mismatch:
+            merged_pf.update(preflight)
+        if merged_pf:
             sided = dict(sided)
-            sided["tera_preflight_steal"] = preflight
+            sided["tera_preflight_steal"] = merged_pf
         with open(side, "w") as fh:
             json.dump(sided, fh, indent=1)
             fh.write("\n")

@@ -297,10 +297,10 @@ def _cms_eval_oracle() -> str:
 )
 def q190_cms_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q104 spot-checks 8 probe words; this lane audits the whole
-    vocabulary at TWO widths, so the width/error trade-off is measured
-    the way q171 measures ANN probes: the shipped 2048-bucket sketch
-    should land almost everything in 'a_exact' while the narrow
-    256-bucket one visibly smears mass into collision buckets —
+    vocabulary across the width ladder, so the width/error trade-off is measured
+    the way q171 measures ANN probes: wider sketches land more of the vocabulary
+    in 'a_exact' while the narrow 256-bucket one smears mass into
+    collision buckets —
     evidence, not folklore, for the width choice.
 
     Scale shape: each sketch is the fixed <= d x w row table (map-side

@@ -1314,6 +1314,61 @@ def q168_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 KHOP_MAX = 3  # fixed hop budget → unrolled-SQL oracle (q129/q54 precedent)
 KHOP_SUPPORT = 2  # co-purchase edges need >= 2 distinct supporting orders
 
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped basket item set ``(ok, pk)`` (distinct order-part
+    pairs, baskets over MAX_BASKET distinct parts dropped) — persisted,
+    because every consumer reads it at least twice (self-join sides,
+    or item counts alongside pairs)."""
+    return scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+
+
+def _basket_pairs(
+    spark: SparkSession, sf_dir: str, support: int, items: DataFrame | None = None
+) -> DataFrame:
+    """Support-filtered co-purchase pairs ``(a, b, n_ab)`` with a < b —
+    the shared edge derivation of the basket/graph lanes (q169/q180/
+    q184/q186/q187/q192; q131 keeps its own inline copy as the lane
+    that DOCUMENTS the derivation). The pair counts are
+    scoped-persisted: every caller reads the pair list at least twice
+    (direction union, wedge walk, or rule relabel), and an un-persisted
+    frame re-runs the quadratic self-join per reference (observed:
+    ReusedExchange 0, the whole subtree doubled in q186's executed
+    plan). Pass ``items`` to share an already-built item set."""
+    if items is None:
+        items = _basket_items(spark, sf_dir)
+    a, b = items.alias("a"), items.alias("b")
+    return scoped_persist(
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= support)
+    )
+
+
+def _basket_pairs_sql(support: int) -> str:
+    """The oracle twin of ``_basket_pairs``: the items0/items/pairs CTE
+    prefix (MATERIALIZED — the q169 DuckDB inlining lesson), emitting
+    pairs(a, b, n_ab)."""
+    return f"""items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS MATERIALIZED (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b, cast(count(*) as bigint) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= {support}
+    )"""
+
+
 
 def _khop_oracle_sql() -> str:
     """Unrolled 3-hop BFS: seeds are the parts of the lexicographically
@@ -1326,17 +1381,7 @@ def _khop_oracle_sql() -> str:
     -- and the visited sets twice each, so the un-hinted plan
     -- re-evaluates the expensive join tree exponentially and spills
     -- past the host's disk at sf1.
-    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    items AS MATERIALIZED (
-      SELECT ok, pk FROM (
-        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
-      ) WHERE sz <= {MAX_BASKET}
-    ),
-    pairs AS MATERIALIZED (
-      SELECT a.pk AS a, b.pk AS b
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
-    ),
+    WITH {_basket_pairs_sql(KHOP_SUPPORT)},
     edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
     seed_brand AS (SELECT min(p_brand) AS sb FROM part),
     d0 AS MATERIALIZED (SELECT p_partkey AS pk FROM part, seed_brand WHERE p_brand = sb),
@@ -1385,22 +1430,7 @@ def q169_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no driver collect); at 100 TB the same plan is GraphFrames' BFS
     shape: iterate k times, each a keyed join, AQE-broadcast when the
     frontier is small."""
-    items = scoped_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= KHOP_SUPPORT)
-        .select("a", "b")
-    )
+    pairs = _basket_pairs(spark, sf_dir, KHOP_SUPPORT).select("a", "b")
     edges = scoped_persist(pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))))
 
     part = load_table(spark, sf_dir, "part")
@@ -1436,17 +1466,7 @@ def _sp_oracle_sql() -> str:
     co-purchase graph; edge distance = (max_support + 1 - support), so
     strong affinities are short hops — all exact integers."""
     return f"""
-    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    items AS MATERIALIZED (
-      SELECT ok, pk FROM (
-        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
-      ) WHERE sz <= {MAX_BASKET}
-    ),
-    pairs AS MATERIALIZED (
-      SELECT a.pk AS a, b.pk AS b, cast(count(*) as bigint) AS n_ab
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
-    ),
+    WITH {_basket_pairs_sql(KHOP_SUPPORT)},
     mx AS (SELECT max(n_ab) AS m FROM pairs),
     edges AS MATERIALIZED (
       SELECT a, b, (mx.m + 1 - n_ab) AS w FROM pairs, mx
@@ -1509,21 +1529,7 @@ def q180_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join. At 100 TB: identical to a Pregel superstep — and the
     support cap keeps degree bounded, so a round is O(frontier x
     avg-degree)."""
-    items = scoped_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .where(F.col("n_ab") >= KHOP_SUPPORT)
-    )
+    pairs = _basket_pairs(spark, sf_dir, KHOP_SUPPORT)
     mx = pairs.agg(F.max("n_ab").alias("m"))
     weighted = pairs.crossJoin(F.broadcast(mx)).select(
         "a", "b", (F.col("m") + 1 - F.col("n_ab")).alias("w")
@@ -1667,17 +1673,7 @@ def _lpa_oracle_sql() -> str:
     )""")
         prev = f"l{i}"
     return f"""
-    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    items AS MATERIALIZED (
-      SELECT ok, pk FROM (
-        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
-      ) WHERE sz <= {MAX_BASKET}
-    ),
-    pairs AS MATERIALIZED (
-      SELECT a.pk AS a, b.pk AS b
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
-    ),
+    WITH {_basket_pairs_sql(KHOP_SUPPORT)},
     edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
     l0 AS MATERIALIZED (SELECT DISTINCT a AS pk, a AS lbl FROM edges),
     {",".join(rounds)}
@@ -1715,22 +1711,7 @@ def q184_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the count agg is bounded by the same guard that bounds q131."""
     from pandamapreduce_spark.caching import release_one, scoped_checkpoint
 
-    items = scoped_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= KHOP_SUPPORT)
-        .select("a", "b")
-    )
+    pairs = _basket_pairs(spark, sf_dir, KHOP_SUPPORT).select("a", "b")
     edges = scoped_persist(pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     labels = edges.select(F.col("a").alias("pk")).distinct().withColumn("lbl", F.col("pk"))
     w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("lbl"))
@@ -1759,23 +1740,13 @@ RULES_TOPK = 100
 @query(
     "q186_association_rules",
     oracle=f"""
-    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    items AS MATERIALIZED (
-      SELECT ok, pk FROM (
-        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
-      ) WHERE sz <= {MAX_BASKET}
-    ),
+    WITH {_basket_pairs_sql(MIN_SUPPORT)},
     n AS (SELECT cast(count(DISTINCT ok) as bigint) AS n_orders FROM items),
     pc AS MATERIALIZED (SELECT pk, cast(count(*) as bigint) AS n_pk FROM items GROUP BY pk),
-    pairs AS MATERIALIZED (
-      SELECT a.pk AS pa, b.pk AS pb, cast(count(*) as bigint) AS n_ab
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
-    ),
     rules AS (
-      SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+      SELECT a AS antecedent, b AS consequent, n_ab FROM pairs
       UNION ALL
-      SELECT pb, pa, n_ab FROM pairs
+      SELECT b, a, n_ab FROM pairs
     )
     SELECT r.antecedent, r.consequent, r.n_ab,
            ca.n_pk AS n_ant, cc.n_pk AS n_con,
@@ -1812,27 +1783,14 @@ def q186_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     only integer ids shuffle) plus one UNION ALL relabel — rules are
     2x the pair rows, still ids+counts; the top-k is a
     TakeOrderedAndProject, never a global sort."""
-    items = scoped_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
+    items = _basket_items(spark, sf_dir)
     n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     pc = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_pk"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .where(F.col("n_ab") >= MIN_SUPPORT)
-    )
+    pairs = _basket_pairs(spark, sf_dir, MIN_SUPPORT, items=items)
     rules = pairs.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "n_ab"
     ).union(
-        pairs.select(F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab")
+        pairs.select(F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "n_ab")
     )
     ca = pc.select(F.col("pk").alias("antecedent"), F.col("n_pk").alias("n_ant"))
     cc = pc.select(F.col("pk").alias("consequent"), F.col("n_pk").alias("n_con"))
@@ -1875,17 +1833,7 @@ LINKPRED_TOPK = 100
     "q187_link_prediction",
     bench=True,  # per-round signal for the wedge-walk self-join
     oracle=f"""
-    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    items AS MATERIALIZED (
-      SELECT ok, pk FROM (
-        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
-      ) WHERE sz <= {MAX_BASKET}
-    ),
-    pairs AS MATERIALIZED (
-      SELECT a.pk AS a, b.pk AS b
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= {KHOP_SUPPORT}
-    ),
+    WITH {_basket_pairs_sql(KHOP_SUPPORT)},
     edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
     deg AS MATERIALIZED (SELECT a AS pk, cast(count(*) as bigint) AS deg FROM edges GROUP BY a),
     tri AS (
@@ -1936,22 +1884,7 @@ def q187_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing-edge exclusion is a left-anti join on canonical (u,w)
     pairs, and scoring is one (u,w) partial agg joined against the
     broadcast-able degree table. Top-k is TakeOrderedAndProject."""
-    items = scoped_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = scoped_persist(
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= KHOP_SUPPORT)
-        .select("a", "b")
-    )
+    pairs = _basket_pairs(spark, sf_dir, KHOP_SUPPORT).select("a", "b")
     edges = scoped_persist(pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     deg = edges.groupBy(F.col("a").alias("pk")).agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     e1, e2 = edges.alias("e1"), edges.alias("e2")
@@ -2002,26 +1935,16 @@ REC_TOPN = 3
 @query(
     "q192_recommendations",
     oracle=f"""
-    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-    items AS MATERIALIZED (
-      SELECT ok, pk FROM (
-        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
-      ) WHERE sz <= {MAX_BASKET}
-    ),
+    WITH {_basket_pairs_sql(MIN_SUPPORT)},
     pc AS (SELECT pk, cast(count(*) as bigint) AS n_pk FROM items GROUP BY pk),
-    pairs AS MATERIALIZED (
-      SELECT a.pk AS pa, b.pk AS pb, cast(count(*) as bigint) AS n_ab
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
-    ),
     rules AS MATERIALIZED (
       SELECT r.antecedent, r.consequent,
              cast(round(cast(r.n_ab as double) / cast(c.n_pk as double), 9)
                   as decimal(18,9)) AS conf
       FROM (
-        SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        SELECT a AS antecedent, b AS consequent, n_ab FROM pairs
         UNION ALL
-        SELECT pb, pa, n_ab FROM pairs
+        SELECT b, a, n_ab FROM pairs
       ) r JOIN pc c ON r.antecedent = c.pk
     ),
     owned AS MATERIALIZED (
@@ -2069,26 +1992,13 @@ def q192_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-reduced candidate scores. The eval cohort bound keeps THIS
     lane's output fixed; serving all customers is the same plan minus
     one filter."""
-    items = scoped_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
+    items = _basket_items(spark, sf_dir)
     pc = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_pk"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .where(F.col("n_ab") >= MIN_SUPPORT)
-    )
+    pairs = _basket_pairs(spark, sf_dir, MIN_SUPPORT, items=items)
     directed = pairs.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "n_ab"
     ).union(
-        pairs.select(F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab")
+        pairs.select(F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "n_ab")
     )
     rules = directed.join(
         pc.select(F.col("pk").alias("antecedent"), "n_pk"), "antecedent"
