@@ -81,4 +81,9 @@ def test_sidecar_merges_best_of_round(tmp_path):
     assert merged["value"] == round(sum(merged["queries"].values()), 3)
     # a strictly-better run passes through unlabeled
     best = dict(payload, queries={"q01": 0.5, "tera_10gb_pipeline": 40.0}, hsph_at_sf={"10gb": 30.0})
-    assert bench._merge_sidecar({"queries": {"q01": 1.0, "tera_10gb_pipeline": 43.0}, "hsph_at_sf": {"10gb": 25.8}}, best) is best
+    same_sf_prev = {"sf": 0.1, "queries": {"q01": 1.0, "tera_10gb_pipeline": 43.0}, "hsph_at_sf": {"10gb": 25.8}}
+    assert bench._merge_sidecar(same_sf_prev, best) is best
+    # a run at a DIFFERENT scale factor must never clobber the round's
+    # record for the original scale — the existing sidecar is kept
+    other_sf = dict(best, sf=1.0)
+    assert bench._merge_sidecar(same_sf_prev, other_sf) is same_sf_prev
