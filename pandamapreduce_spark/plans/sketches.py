@@ -244,7 +244,7 @@ CMS_EVAL_WIDTHS = (65536, 2048, 256)  # wide / shipped / deliberately narrow
 
 
 def _cms_eval_oracle() -> str:
-    from pandamapreduce_spark.functions import hex16_sql, tokens_sql
+    from pandamapreduce_spark.functions import hex16_sql, word_ngrams_sql
 
     sk_bucket = hex16_sql("concat('cms', cast(d as varchar), ':', token)")
     pb_bucket = hex16_sql("concat('cms', cast(ds.d as varchar), ':', v.token)")
@@ -264,7 +264,7 @@ def _cms_eval_oracle() -> str:
         for w in CMS_EVAL_WIDTHS
     )
     return f"""
-    WITH tok AS MATERIALIZED (SELECT unnest({tokens_sql("text")}) AS token FROM documents),
+    WITH tok AS MATERIALIZED (SELECT unnest({word_ngrams_sql("text", 3)}) AS token FROM documents),
     ds AS (SELECT unnest(range(0, {CMS_D})) AS d),
     vocab AS MATERIALIZED (
       SELECT token, cast(count(*) as bigint) AS exact_count FROM tok GROUP BY token
@@ -292,12 +292,12 @@ def _cms_eval_oracle() -> str:
 @query(
     "q190_cms_error_profile",
     oracle=_cms_eval_oracle(),
-    doc=f"Count-min sketch accuracy evaluation over the FULL vocabulary — the sketch twin of q171's ANN recall / q185's dedup eval: for widths {CMS_EVAL_WIDTHS} (d={CMS_D}), every distinct token's CMS estimate vs its exact count, bucketed by overestimate (exact / <10 / <100 / 100+) with counts, max error, and vocabulary share — the audit that prices a sketch width before anyone trusts it at production scale.",
+    doc=f"Count-min sketch accuracy evaluation over the FULL 3-gram shingle vocabulary — the sketch twin of q171's ANN recall / q185's dedup eval: for widths {CMS_EVAL_WIDTHS} (d={CMS_D}), every distinct shingle's CMS estimate vs its exact count, bucketed by overestimate (exact / <10 / <100 / 100+) with counts, max error, and vocabulary share. Shingles, not unigrams (q104's domain): the fixture's 31-word vocabulary never collides at any practical width, while the shingle space is thousands of keys — the load regime (keys/width) a production contamination/dup sketch actually runs at.",
     tags=("sketch", "cms", "evaluation"),
 )
 def q190_cms_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q104 spot-checks 8 probe words; this lane audits the whole
-    vocabulary across the width ladder, so the width/error trade-off is measured
+    3-GRAM SHINGLE vocabulary across the width ladder, so the width/error trade-off is measured
     the way q171 measures ANN probes: wider sketches land more of the vocabulary
     in 'a_exact' while the narrow 256-bucket one smears mass into
     collision buckets —
@@ -311,10 +311,10 @@ def q190_cms_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtractions (CMS never underestimates); the one double per row is
     the vocabulary-share division."""
     from pandamapreduce_spark.caching import scoped_persist
-    from pandamapreduce_spark.functions import tokens
+    from pandamapreduce_spark.functions import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    tok = scoped_persist(docs.select(F.explode(tokens("text")).alias("token")))
+    tok = scoped_persist(docs.select(F.explode(word_ngrams("text", 3)).alias("token")))
     vocab = scoped_persist(
         tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
     )
