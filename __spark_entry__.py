@@ -77,10 +77,13 @@ def _ledger_green_rounds() -> dict[str, int]:
         for name, rec in data.items():
             if not isinstance(rec, dict) or rec.get("err"):
                 continue
+            # Require explicit True on all three gates (ADVICE r7): a
+            # truncated row with the schema/hash keys absent must NOT
+            # count as green, or it would rotate out unverified.
             ok = (
-                rec.get("rows_match")
-                and rec.get("schema_match") is not False
-                and rec.get("hash_match") is not False
+                rec.get("rows_match") is True
+                and rec.get("schema_match") is True
+                and rec.get("hash_match") is True
             )
             if ok:
                 green[name] = max(green.get(name, 0), rnd)

@@ -373,6 +373,35 @@ def main() -> None:
             sided["raw_last_run"] = {
                 k: v for k, v in payload.items() if k != "raw_last_run"
             }
+        if sf_mismatch:
+            # ADVICE r7: the drop must be observable — announce it and
+            # park the discarded payload in an sf-suffixed sidecar so a
+            # scaling-study run at another sf still leaves a trace.
+            alt = side[:-5] + f"_sf{payload.get('sf')}.json"
+            print(
+                f"# sidecar sf mismatch (prev sf={prev.get('sf')}, "
+                f"run sf={payload.get('sf')}): kept previous sidecar; "
+                f"this run recorded at {alt}",
+                file=sys.stderr,
+            )
+            try:
+                alt_prev = None
+                if os.path.exists(alt):
+                    with open(alt) as fh:
+                        alt_prev = json.load(fh)
+                alt_out = (
+                    _merge_sidecar(alt_prev, payload) if alt_prev else payload
+                )
+                alt_pf = dict((alt_prev or {}).get("tera_preflight_steal") or {})
+                alt_pf.update(preflight)
+                if alt_pf:
+                    alt_out = dict(alt_out)
+                    alt_out["tera_preflight_steal"] = alt_pf
+                with open(alt, "w") as fh:
+                    json.dump(alt_out, fh, indent=1)
+                    fh.write("\n")
+            except Exception as e:
+                print(f"# sf-suffixed sidecar skipped: {e}", file=sys.stderr)
         # steal-gate provenance accumulates across the round's runs: a
         # later run without a >=10 GB scale must not erase run 1's record
         merged_pf = dict((prev or {}).get("tera_preflight_steal") or {})
