@@ -23,6 +23,7 @@ from pandamapreduce_spark.functions import (
     word_ngrams,
     word_ngrams_sql,
 )
+from pandamapreduce_spark.operators.prefix import range_prefix
 from pandamapreduce_spark.plans.dedup import MAX_BUCKET, _lsh_pairs_sql
 from pandamapreduce_spark.plans.numeric import davg, davg_sql
 from pandamapreduce_spark.plans.registry import query
@@ -283,8 +284,6 @@ def q100_global_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from pandamapreduce_spark.caching import scoped_persist
-
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -295,27 +294,10 @@ def q100_global_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1.0),
         ).alias("alpha_ratio"),
     )
-    parts = scoped_persist(
-        scored.repartitionByRange(RANK_RANGES, "alpha_ratio", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    # Bounded collect: (pid, n, min full rank key) per range; the head
-    # key must be the min of the FULL (alpha_ratio, doc_id) key so
-    # ranges splitting inside one score value still order correctly.
-    head = F.min(F.struct(F.col("alpha_ratio").alias("a"), F.col("doc_id").alias("d"))).alias("head")
-    per = sorted(
-        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
-        key=lambda r: (r["head"]["a"], r["head"]["d"]),
-    )
-    base = F.lit(0).cast("bigint")
-    acc = 0
-    for r in per:
-        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("bigint")).otherwise(base)
-        acc += r["n"]
-    total = acc
+    parts, total, _ = range_prefix(scored, ["alpha_ratio", "doc_id"], ranges=RANK_RANGES)
     tq, tr = total // 10, total % 10
-    w = Window.partitionBy("pid").orderBy("alpha_ratio", "doc_id")
-    rk = (F.row_number().over(w).cast("bigint") + base).alias("rk")
+    w = Window.partitionBy("_pid").orderBy("alpha_ratio", "doc_id")
+    rk = (F.row_number().over(w).cast("bigint") + F.col("_base")).alias("rk")
     big_cut = tr * (tq + 1)  # ranks ≤ big_cut land in the +1-sized buckets
     decile = (
         F.when(F.col("rk") <= big_cut, F.expr(f"(rk - 1) div {tq + 1}"))
@@ -1013,30 +995,11 @@ def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index algebra lifts to decimal unchanged."""
     from pyspark.sql import Window
 
-    from pandamapreduce_spark.caching import scoped_persist
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    parts = scoped_persist(
-        docs.repartitionByRange(RANK_RANGES, "n_chars", "doc_id").withColumn(
-            "pid", F.spark_partition_id()
-        )
-    )
-    head = F.min(
-        F.struct(F.col("n_chars").alias("c"), F.col("doc_id").alias("d"))
-    ).alias("head")
-    per = sorted(
-        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
-        key=lambda r: (r["head"]["c"], r["head"]["d"]),
-    )
-    base = F.lit(0).cast("bigint")
-    acc = 0
-    for r in per:
-        base = F.when(F.col("pid") == r["pid"], F.lit(acc).cast("bigint")).otherwise(base)
-        acc += r["n"]
-    total = acc
-    wg = Window.partitionBy("pid").orderBy("n_chars", "doc_id")
+    parts, total, _ = range_prefix(docs, ["n_chars", "doc_id"], ranges=RANK_RANGES)
+    wg = Window.partitionBy("_pid").orderBy("n_chars", "doc_id")
     glob = parts.select(
-        (F.row_number().over(wg).cast("bigint") + base).alias("grk"),
+        (F.row_number().over(wg).cast("bigint") + F.col("_base")).alias("grk"),
         F.col("n_chars").alias("norm_chars"),
     )
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -1069,34 +1032,17 @@ def q163_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _global_ntile(df: DataFrame, value_col: str, id_col: str, k: int, out: str) -> DataFrame:
     """Exact global ``ntile(k)`` over (value, id) WITHOUT a
-    single-partition window — q100's distributed-rank pattern as a
-    helper: range-partition on the full rank key, row_number within
-    each range in parallel, per-range base offsets from one bounded
-    driver collect (one row per range), then ntile as pure integer
+    single-partition window — the shared ``range_prefix`` machinery
+    (range-partition on the full rank key, row_number within each
+    range in parallel, per-range base offsets broadcast-joined back
+    from one bounded driver collect), then ntile as pure integer
     arithmetic on (rank, total) — bitwise DuckDB ntile semantics."""
     from pyspark.sql import Window
 
-    from pandamapreduce_spark.caching import scoped_persist
-
-    parts = scoped_persist(
-        df.repartitionByRange(RANK_RANGES, value_col, id_col).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
-    head = F.min(F.struct(F.col(value_col).alias("v"), F.col(id_col).alias("d"))).alias("head")
-    per = sorted(
-        parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
-        key=lambda r: (r["head"]["v"], r["head"]["d"]),
-    )
-    base = F.lit(0).cast("bigint")
-    acc = 0
-    for r in per:
-        base = F.when(F.col("_pid") == r["_pid"], F.lit(acc).cast("bigint")).otherwise(base)
-        acc += r["n"]
-    total = acc
+    parts, total, _ = range_prefix(df, [value_col, id_col], ranges=RANK_RANGES)
     tq, tr = total // k, total % k
     w = Window.partitionBy("_pid").orderBy(value_col, id_col)
-    rk = (F.row_number().over(w).cast("bigint") + base).alias("_rk")
+    rk = (F.row_number().over(w).cast("bigint") + F.col("_base")).alias("_rk")
     big_cut = tr * (tq + 1)
     bucket = (
         F.when(F.col("_rk") <= big_cut, F.expr(f"(_rk - 1) div {tq + 1}"))
@@ -1221,15 +1167,13 @@ def q189_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum distributes exactly like the rank: range-partition on
     the full order key (-cents, partkey), per-range running sums in
     parallel, and each range's BASE offset = the exact integer sum of
-    all earlier ranges, from the same one-row-per-range driver
-    collect that q100/q177 use. Class membership then never touches a
-    float: 100*cum <= pct*total in int64 (cents fit comfortably —
-    100*total ~ 1e17 at 100 TB vs 9.2e18 int64 max).
+    all earlier ranges, broadcast-joined back from the shared
+    ``range_prefix`` collect (one row per range). Class membership
+    then never touches a float: 100*cum <= pct*total in int64 (cents
+    fit comfortably — 100*total ~ 1e17 at 100 TB vs 9.2e18 int64 max).
 
     Scale shape: one partkey partial-agg exchange + one range exchange
     of (cents, partkey) pairs; the report is 3 rows."""
-    from pandamapreduce_spark.caching import scoped_persist
-
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
         li.groupBy("l_partkey")
@@ -1240,32 +1184,17 @@ def q189_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg", -F.col("cents"))
     )
-    parts = scoped_persist(
-        rev.repartitionByRange(RANK_RANGES, "neg", "l_partkey").withColumn(
-            "pid", F.spark_partition_id()
-        )
+    parts, _, total = range_prefix(
+        rev, ["neg", "l_partkey"], sum_col="cents", ranges=RANK_RANGES
     )
-    head = F.min(F.struct(F.col("neg").alias("v"), F.col("l_partkey").alias("d"))).alias("head")
-    per = sorted(
-        parts.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"), head)
-        .collect(),
-        key=lambda r: (r["head"]["v"], r["head"]["d"]),
-    )
-    base = F.lit(0).cast("bigint")
-    acc = 0
-    for r in per:
-        base = F.when(F.col("pid") == r["pid"], F.lit(int(acc)).cast("bigint")).otherwise(base)
-        acc += r["s"]
-    total = int(acc)
     from pyspark.sql import Window
 
     w = (
-        Window.partitionBy("pid")
+        Window.partitionBy("_pid")
         .orderBy("neg", "l_partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (F.sum("cents").over(w) + base).alias("cum")
+    cum = (F.sum("cents").over(w) + F.col("_base_sum")).alias("cum")
     cls = (
         F.when(100 * F.col("cum") <= F.lit(ABC_A_PCT * total), "A")
         .when(100 * F.col("cum") <= F.lit(ABC_B_PCT * total), "B")
@@ -1537,36 +1466,19 @@ def q202_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partkey partial agg, one range exchange of
     (cents, partkey) pairs, per-range ranks + one bounded offset
-    collect, a 3-value final aggregate."""
-    from pandamapreduce_spark.caching import scoped_persist
-
+    collect (broadcast-joined back, the shared ``range_prefix``), a
+    3-value final aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)"))
         .cast("bigint")
         .alias("cents")
     )
-    parts = scoped_persist(
-        rev.repartitionByRange(RANK_RANGES, "cents", "l_partkey").withColumn(
-            "pid", F.spark_partition_id()
-        )
-    )
-    head = F.min(F.struct(F.col("cents").alias("v"), F.col("l_partkey").alias("d"))).alias(
-        "head"
-    )
-    per = sorted(
-        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"), head).collect(),
-        key=lambda r: (r["head"]["v"], r["head"]["d"]),
-    )
-    base = F.lit(0).cast("bigint")
-    acc = 0
-    for r in per:
-        base = F.when(F.col("pid") == r["pid"], F.lit(int(acc)).cast("bigint")).otherwise(base)
-        acc += r["n"]
+    parts, _, _ = range_prefix(rev, ["cents", "l_partkey"], ranges=RANK_RANGES)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("pid").orderBy("cents", "l_partkey")
-    i = (F.row_number().over(w).cast("bigint") + base).alias("i")
+    w = Window.partitionBy("_pid").orderBy("cents", "l_partkey")
+    i = (F.row_number().over(w).cast("bigint") + F.col("_base")).alias("i")
     ranked = parts.select("cents", i)
     s = ranked.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),

@@ -828,3 +828,38 @@ def test_pareto_prefix_sum_is_distributed(spark):
     for frag in plan.split("windowspecdefinition(")[1:]:
         first_arg = frag.split(",", 1)[0]
         assert "ASC" not in first_arg and "DESC" not in first_arg, frag[:120]
+
+
+# --- round-8: shared distributed-prefix helper -----------------------------
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "q100_global_quality_deciles",
+        "q163_quantile_normalize",
+        "q177_rfm_segments",
+        "q189_pareto_abc",
+        "q202_gini",
+    ],
+)
+def test_prefix_offsets_are_broadcast_joined(spark, name):
+    """Every ``range_prefix`` lane ships its per-range base offsets as
+    a broadcast-joined one-row-per-range table: the plan must contain a
+    broadcast join keyed on ``_pid`` and must NOT contain the retired
+    chained CASE WHEN over range ids (whose expression tree grows with
+    RANK_RANGES — a cluster-size-dependent plan is the anti-pattern).
+    Composes with the existing no-partition-less-window guards."""
+    df = REGISTRY[name].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_pid" in plan, plan
+    # offsets arrive via a join (Catalyst plans the tiny side broadcast
+    # or AQE converts it); the retired form had NO join on _pid at all,
+    # it inlined a 64-branch CASE WHEN instead
+    assert plan.count("CASE WHEN (_pid") <= 1, plan
+    assert plan.count("CASE WHEN (pid") == 0, plan
+    joined = "Join Inner" in plan or "BroadcastHint" in plan or "ResolvedHint" in plan
+    assert joined, plan
