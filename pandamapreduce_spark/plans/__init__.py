@@ -28,6 +28,12 @@ from pandamapreduce_spark.plans import maintenance  # noqa: E402,F401
 REGISTRY["q171_ann_recall"].oracle = similarity._recall_oracle()
 REGISTRY["q172_entity_resolution"].oracle = similarity._entity_oracle()
 REGISTRY["q183_semdedup"].oracle = similarity._semdedup_oracle()
+REGISTRY["q203_semdedup_bucketed"].oracle = similarity._semdedup_oracle(
+    similarity._semdedup_bucketed_mutual_sql()
+)
 REGISTRY["q193_phash_neardup"].oracle = multimodal._phash_oracle()
+# q205 is q199's streaming twin: the BATCH oracle verbatim — parity of
+# the stream against the batch semantics IS the lane's claim.
+REGISTRY["q205_stream_abandonment"].oracle = REGISTRY["q199_abandonment"].oracle
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -586,3 +586,51 @@ def q178_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q205_stream_abandonment",
+    oracle=None,  # installed in plans/__init__: q199's batch oracle verbatim
+    doc="Streaming twin of q199's session abandonment (VERDICT r7 #6): session_window sessionization with per-session intent/conversion flags runs as a Structured Streaming job to completion; the 24-row hour rollup reduces the handover; oracle = the batch lane's SQL, proving stream/batch parity — additionally pytest-pinned on BOTH state-store backends (HDFS-backed and RocksDB).",
+    tags=("streaming", "sessionize", "analytics"),
+)
+def q205_stream_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The abandonment metric is exactly watermark-friendly: state per
+    (user, open session) only — three scalars (first ts, clicked,
+    purchased) — and a session closes (state evicted, row emitted) 30
+    minutes + watermark delay after its last event, so state is
+    bounded by concurrently-active users, not history. q61 already
+    proves ``session_window`` reproduces the batch lag/cumsum session
+    boundaries on this feed; this lane adds the per-session flag
+    aggregates and reuses q199's oracle UNCHANGED, so the hash gate
+    proves the streaming path end-to-end against the batch semantics.
+
+    Scale shape: ONE stateful operator keyed (session_window, user);
+    the post-handover rollup aggregates (hour, flag) pairs — 24 output
+    rows. In production the same plan reads Kafka and emits per-hour
+    abandonment continuously; here the finite file source runs to
+    completion (the q60/q61 harness)."""
+    stream = ev.events_stream(spark, sf_dir)
+    per = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), F.col("user_id"))
+        .agg(
+            F.hour(F.min("ts")).cast("int").alias("start_hour"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "has_purchase"
+            ),
+        )
+    )
+    out = ev.run_to_completion(per, spark)
+    ab = F.sum(F.when(F.col("has_purchase") == 0, 1).otherwise(0))
+    return (
+        out.where(F.col("has_click") == 1)
+        .groupBy("start_hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_click_sessions"),
+            ab.cast("bigint").alias("n_abandoned"),
+            (ab.cast("double") / F.count(F.lit(1)).cast("double")).alias("abandonment_rate"),
+        )
+        .orderBy("start_hour")
+    )

@@ -1840,3 +1840,133 @@ def q174_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q204: BPE merge-rule learning (unrolled fixed-round loop) --------------
+
+#: number of unrolled merge rounds — the q129/q184 fixed-round
+#: discipline: each round is one deterministic dataflow step, so the
+#: whole loop is oracle-able as K chained CTEs.
+BPE_MERGES = 6
+
+
+def _bpe_wrap_sql() -> str:
+    """Initial symbol sequence: each character of the normalized word
+    wrapped as ``(c)`` — the delimiter trick that makes one SQL/JVM
+    ``replace()`` call EXACTLY the BPE leftmost non-overlapping merge
+    scan: adjacent matches share no characters (unlike space-joined
+    symbols, where ``' a a '`` consumes the next match's leading
+    space), so left-to-right replacement can neither skip nor overlap.
+    ``(`` and ``)`` cannot collide: normalized words are [a-z0-9]+."""
+    return r"regexp_replace(word, '(.)', '(\1)', 'g')"
+
+
+def _bpe_oracle() -> str:
+    from pandamapreduce_spark.functions import normalize_text_sql
+
+    parts = [
+        f"""w0 AS (
+      SELECT word, cast(count(*) as bigint) AS cnt FROM (
+        SELECT unnest({tokens_sql(normalize_text_sql("text"), pattern=" ")}) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    r0 AS (SELECT cnt, {_bpe_wrap_sql()} AS seq FROM w0)"""
+    ]
+    selects = []
+    prev = "r0"
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{k} AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs, cast(sum(cnt) as bigint) AS c
+      FROM (
+        SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+        FROM (SELECT cnt, str_split(trim(seq, '()'), ')(') AS syms FROM {prev})
+      ) GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1),
+    r{k} AS (
+      SELECT w.cnt,
+             replace(w.seq, '(' || b.lhs || ')(' || b.rhs || ')',
+                     '(' || b.lhs || b.rhs || ')') AS seq
+      FROM {prev} w, b{k} b
+    )""")
+        selects.append(
+            f"SELECT {k} AS merge_round, lhs, rhs, c AS pair_count,"
+            f" lhs || rhs AS new_symbol FROM b{k}"
+        )
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY merge_round"
+    )
+
+
+@query(
+    "q204_bpe_merges",
+    oracle=_bpe_oracle(),
+    doc=f"BPE merge-rule learning over the corpus word-frequency table: {BPE_MERGES} unrolled merge rounds, each picking the highest-total-count adjacent symbol pair (ties: lexicographic on the pair) and applying the leftmost-non-overlapping merge to every word type — the missing loop between q96's frequency vocab and q107's encode (VERDICT r7 #4); output = the learned merge table (round, pair, count, new symbol), the artifact a BPE tokenizer ships.",
+    tags=("training", "vocab", "text", "iterative"),
+)
+def q204_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair encoding (Sennrich et al. 2016, public algorithm):
+    repeatedly merge the corpus's most frequent adjacent symbol pair.
+    The scale insight BPE implementations share: after the first
+    word-count pass, ALL state lives on the word-TYPE table (Zipf-
+    bounded — ~10^7-10^8 types at 100 TB, vs 10^12 corpus tokens), so
+    each round is a small-table dataflow: explode adjacent pairs
+    weighted by type count, one distributed TakeOrdered(1) for the
+    winner (never a global sort), one driver row per round, and a
+    map-only ``replace`` applying the merge to every type.
+
+    Exactness: pair counts are exact integers; the winning pair's
+    tie-break (count DESC, lhs, rhs) is a total order over ASCII
+    [a-z0-9] symbols, identical in both engines; and the wrapped
+    ``(sym)`` representation (see ``_bpe_wrap_sql``) makes Spark's and
+    DuckDB's left-to-right ``replace`` EXACTLY the BPE merge scan —
+    no overlap ambiguity, pytest-pinned against a pure-Python
+    reference implementation.
+
+    The merged symbol does not re-pair within its own round (the
+    standard semantics): round counts come from the PRE-merge
+    sequences, application is one literal replace."""
+    from pandamapreduce_spark.functions import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    words = (
+        docs.select(F.explode(tokens(normalize_text("text"), pattern=" ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cur = scoped_persist(
+        words.select("cnt", F.regexp_replace("word", "(.)", r"($1)").alias("seq"))
+    )
+    syms = F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\(")
+    adj = F.expr(
+        "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))"
+    )
+    merges: list[tuple[int, str, str, int, str]] = []
+    for k in range(1, BPE_MERGES + 1):
+        pairs = (
+            cur.select("cnt", syms.alias("syms"))
+            .where(F.size("syms") >= 2)  # sequence(0,-1) would DESCEND
+            .select("cnt", F.explode(adj).alias("p"))
+        )
+        best = (
+            pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()[0]
+        )
+        lhs, rhs, c = best["lhs"], best["rhs"], int(best["c"])
+        merges.append((k, lhs, rhs, c, lhs + rhs))
+        cur = cur.withColumn(
+            "seq", F.replace("seq", F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})"))
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, lhs string, rhs string, pair_count bigint, new_symbol string",
+    ).orderBy("merge_round")

@@ -1,0 +1,112 @@
+"""q204 BPE merge learning vs a pure-Python reference implementation.
+
+Two layers: (1) the wrapped-symbol ``replace()`` trick is proven equal
+to the explicit leftmost-non-overlapping merge scan on adversarial
+sequences (overlapping pairs, merged-symbol collisions); (2) the full
+Spark lane reproduces a from-scratch Python BPE (Sennrich et al. 2016
+semantics) on the real sf0.001 corpus, merge table equal to the row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from pandamapreduce_spark.plans import REGISTRY
+from pandamapreduce_spark.plans.training import BPE_MERGES
+
+from tests.conftest import SF_DIR
+
+
+# --- pure-Python reference -------------------------------------------------
+
+
+def merge_scan(syms: list[str], l: str, r: str) -> list[str]:
+    """The definitional BPE application: leftmost, non-overlapping."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def wrapped_replace(syms: list[str], l: str, r: str) -> list[str]:
+    """The engine's form: one string replace over ``(s1)(s2)...``."""
+    s = "".join(f"({x})" for x in syms)
+    s = s.replace(f"({l})({r})", f"({l}{r})")  # str.replace: leftmost, non-overlap
+    return s[1:-1].split(")(") if s else []
+
+
+def py_bpe(word_counts: dict[str, int], k: int) -> list[tuple]:
+    seqs: dict[str, list[str]] = {w: list(w) for w in word_counts}
+    merges = []
+    for rnd in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + c
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, c, l + r))
+        for w in seqs:
+            seqs[w] = merge_scan(seqs[w], l, r)
+    return merges
+
+
+# --- layer 1: the replace trick --------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "syms,l,r",
+    [
+        (list("aaaa"), "a", "a"),  # overlapping run: must merge (0,1),(2,3)
+        (list("aaa"), "a", "a"),  # odd run: (0,1) merges, trailing a stays
+        (list("ababa"), "a", "b"),  # alternating
+        (["ab", "a", "b"], "a", "b"),  # existing merged symbol 'ab' must NOT match
+        (["a", "ab", "b"], "a", "b"),  # pair split by a merged symbol
+        (["x", "a", "a", "a", "y"], "a", "a"),
+        (list("abcabc"), "b", "c"),
+        (["aa", "aa", "aa"], "aa", "aa"),  # multi-char symbols, overlapping run
+    ],
+)
+def test_wrapped_replace_equals_merge_scan(syms, l, r):
+    assert wrapped_replace(syms, l, r) == merge_scan(syms, l, r)
+
+
+def test_space_join_would_be_wrong():
+    """Documents WHY symbols are paren-wrapped: with space-joined
+    symbols, adjacent matches share the delimiter and a plain replace
+    under-merges ``a a a a`` (one merge instead of two)."""
+    s = " a a a a "
+    merged = s.replace(" a a ", " aa ")
+    assert merged != " aa aa "  # the space form loses the second merge
+    assert wrapped_replace(list("aaaa"), "a", "a") == ["aa", "aa"]
+
+
+# --- layer 2: the full lane vs from-scratch Python --------------------------
+
+
+def test_q204_equals_python_reference(spark):
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    counts: dict[str, int] = {}
+    for (text,) in texts:
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9]+", " ", text.lower())).strip()
+        for w in norm.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    expect = py_bpe(counts, BPE_MERGES)
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"], r["new_symbol"])
+        for r in REGISTRY["q204_bpe_merges"].build(spark, SF_DIR).collect()
+    ]
+    assert got == expect
