@@ -42,17 +42,20 @@ from pandamapreduce_spark.plans import REGISTRY
 # at sf0.001 and each session's full-registry emulation at sf0.01.
 
 #: Queries whose Spark plan or oracle changed this round — the only
-#: hand-maintained piece. Round 7: q178's oracle made µs-exact by
-#: construction (q182's too, but q182 is never-green so it leads the
-#: window regardless), and q94's CC loops gained eager superseded-round
-#: release (an execution-path change). The round's cache-hygiene edits
-#: (q171/q47/q54/q58/q59 scoped_persist) cannot change results and are
-#: covered by pytest + the full-registry emulation — windowing them
-#: would crowd out the r3-stale rotation the ledger ordering exists
-#: to finish (the 21 never-green lanes q182-q202 already take the window's head).
+#: hand-maintained piece. Round 8: q185's ORACLE was reformulated for
+#: sf1 feasibility (pair-aggregated candidates + doc-keyed gram-list
+#: verify) — its r7 green row hashed the OLD oracle text, so the new
+#: one must re-earn a driver row; q183 gained the extracted
+#: `_semdedup_verdict` tail (same plan, but it shares code with the
+#: new q203 now — cheap to re-pin). The q100/q163/q189/q202
+#: range-prefix helper refactor left every plan unchanged (hash
+#: parity re-verified on landing, commit 097f775) and is covered by
+#: pytest + the full-registry emulation — windowing all four would
+#: crowd out the r3/r4-stale rotation the ledger ordering exists to
+#: finish (q203-q205 already take the window's head as never-green).
 _WINDOW_OVERRIDE = [
-    "q178_lateness_audit",
-    "q94_dedup_clusters",
+    "q185_neardup_eval",
+    "q183_semdedup",
 ]
 
 
