@@ -598,6 +598,56 @@ def _knn_hof(emb: DataFrame) -> DataFrame:
     )
 
 
+def _block_topk_pdf(a_pdf, b_pdf):
+    """One Arrow task of the blocked kNN kernel: each left (query) row's
+    local top-MUTUAL_K against the right (candidate) rows, cosine with
+    the JVM fold's exact IEEE sequence (see ``_knn_blocked``). Shared
+    by q166's all-pairs block grid and q203's per-bucket cogroup —
+    extra key columns on either frame are ignored (only ``vec_id`` and
+    ``embedding`` are read)."""
+    import numpy as np
+    import pandas as pd
+
+    if a_pdf.empty or b_pdf.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+        )
+    A = np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+    B = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
+    aid = a_pdf["vec_id"].to_numpy()
+    bid = b_pdf["vec_id"].to_numpy()
+    nA, nB = len(aid), len(bid)
+    dot = np.zeros((nA, nB))
+    na = np.zeros(nA)
+    nb = np.zeros(nB)
+    for d in range(A.shape[1]):  # sequential fold, one rounded add per step
+        dot += A[:, d, None] * B[None, :, d]
+        na += A[:, d] * A[:, d]
+        nb += B[:, d] * B[:, d]
+    na, nb = np.sqrt(na), np.sqrt(nb)
+    denom = na[:, None] * nb[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom > 0, dot / denom, 0.0)
+    out_q, out_n, out_c = [], [], []
+    k = MUTUAL_K
+    for i in range(nA):
+        row = cos[i]
+        mask = bid != aid[i]
+        cand_ids = bid[mask]
+        cand_cos = row[mask]
+        order = np.lexsort((cand_ids, -cand_cos))[:k]
+        out_q.append(np.full(len(order), aid[i]))
+        out_n.append(cand_ids[order])
+        out_c.append(cand_cos[order])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q).astype("int64"),
+            "neighbor_id": np.concatenate(out_n).astype("int64"),
+            "cos_sim": np.concatenate(out_c),
+        }
+    )
+
+
 def _knn_blocked(emb: DataFrame) -> DataFrame:
     """All-pairs top-k via cogrouped Arrow block products: the corpus
     splits into MUTUAL_BLOCKS row-blocks, every block PAIR becomes one
@@ -609,59 +659,16 @@ def _knn_blocked(emb: DataFrame) -> DataFrame:
     arithmetic runs as numpy array ops instead of per-pair codegen
     rows.
 
-    Bitwise contract: inside each task the per-pair cosine reproduces
-    ``functions.vector.cosine`` EXACTLY — elements cast float32 ->
-    float64 first, products rounded one at a time, accumulated
-    SEQUENTIALLY over dimensions (a python loop over d of vectorized
-    adds: each += is one correctly-rounded IEEE add per element, same
-    order as the JVM fold and DuckDB's list_dot_product), norms the
-    same way, then cos = dot / (na * nb) with the identical two
-    roundings. NO np.dot/BLAS — pairwise summation would re-associate
-    the fold and could flip a rank at a 1-ulp tie."""
-    import pandas as pd
-
-    def block_topk(a_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
-
-        if a_pdf.empty or b_pdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
-            )
-        A = np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64)
-        B = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
-        aid = a_pdf["vec_id"].to_numpy()
-        bid = b_pdf["vec_id"].to_numpy()
-        nA, nB = len(aid), len(bid)
-        dot = np.zeros((nA, nB))
-        na = np.zeros(nA)
-        nb = np.zeros(nB)
-        for d in range(A.shape[1]):  # sequential fold, one rounded add per step
-            dot += A[:, d, None] * B[None, :, d]
-            na += A[:, d] * A[:, d]
-            nb += B[:, d] * B[:, d]
-        na, nb = np.sqrt(na), np.sqrt(nb)
-        denom = na[:, None] * nb[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(denom > 0, dot / denom, 0.0)
-        out_q, out_n, out_c = [], [], []
-        k = MUTUAL_K
-        for i in range(nA):
-            row = cos[i]
-            mask = bid != aid[i]
-            cand_ids = bid[mask]
-            cand_cos = row[mask]
-            order = np.lexsort((cand_ids, -cand_cos))[:k]
-            out_q.append(np.full(len(order), aid[i]))
-            out_n.append(cand_ids[order])
-            out_c.append(cand_cos[order])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q).astype("int64"),
-                "neighbor_id": np.concatenate(out_n).astype("int64"),
-                "cos_sim": np.concatenate(out_c),
-            }
-        )
-
+    Bitwise contract: inside each task the per-pair cosine
+    (``_block_topk_pdf``) reproduces ``functions.vector.cosine``
+    EXACTLY — elements cast float32 -> float64 first, products rounded
+    one at a time, accumulated SEQUENTIALLY over dimensions (a python
+    loop over d of vectorized adds: each += is one correctly-rounded
+    IEEE add per element, same order as the JVM fold and DuckDB's
+    list_dot_product), norms the same way, then cos = dot / (na * nb)
+    with the identical two roundings. NO np.dot/BLAS — pairwise
+    summation would re-associate the fold and could flip a rank at a
+    1-ulp tie."""
     nb_lit = F.lit(MUTUAL_BLOCKS)
     partners = F.array(*[F.lit(i) for i in range(MUTUAL_BLOCKS)])
     own = (F.col("vec_id") % nb_lit).cast("int")  # cast: the cogroup key
@@ -672,7 +679,7 @@ def _knn_blocked(emb: DataFrame) -> DataFrame:
     a_tag = emb.select("vec_id", "embedding", own.alias("ba"), F.explode(partners).alias("bb"))
     b_tag = emb.select("vec_id", "embedding", F.explode(partners).alias("ba"), own.alias("bb"))
     cands = a_tag.groupBy("ba", "bb").cogroup(b_tag.groupBy("ba", "bb")).applyInPandas(
-        lambda left, right: block_topk(left, right),
+        lambda left, right: _block_topk_pdf(left, right),
         schema="query_id long, neighbor_id long, cos_sim double",
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -1093,7 +1100,7 @@ def _semdedup_verdict(spark: SparkSession, sf_dir: str, mutual: DataFrame) -> Da
 # --- q203: bucketed SemDeDup — the production-scale candidate path ----------
 
 
-def _mutual_knn_bucketed(emb: DataFrame) -> DataFrame:
+def _mutual_knn_bucketed(emb: DataFrame, strategy: str = "blocked") -> DataFrame:
     """Directed top-k restricted to sign-LSH candidates, then q166's
     reciprocity join — the mutual edge frame (vec_a, vec_b, rank_ab,
     rank_ba, cos_sim) from a SUB-QUADRATIC candidate set.
@@ -1113,7 +1120,17 @@ def _mutual_knn_bucketed(emb: DataFrame) -> DataFrame:
     SAME 6/2 scheme reaches ~0.98, and 20 planes/radius 2 still holds
     ~0.85 while shrinking buckets 2^14-fold). Unlike the query-side
     lanes the probe side here is the WHOLE corpus, so nothing
-    broadcasts — both sides shuffle once on the bucket key."""
+    broadcasts — both sides shuffle once on the bucket key.
+
+    Two strategies, identical frame (pytest-pinned, the q166
+    discipline): ``blocked`` (default) runs each probe bucket as ONE
+    cogrouped Arrow task — left side the queries probing that bucket,
+    right side the corpus vectors stored in it, kernel shared with
+    q166 (`_block_topk_pdf`, same IEEE fold) — probe candidates are
+    disjoint across a query's buckets, so the final per-query window
+    over per-bucket top-ks is exact; ``hof`` keeps the per-pair
+    codegen expression join (zero Python, wins only on tiny buckets).
+    Measured at sf0.1: 18.3 s (hof) -> see PERF.md (blocked)."""
     b = emb.select(
         "vec_id", "embedding", _bucket_col("embedding", SEMDEDUP_PLANES).alias("bucket")
     )
@@ -1123,23 +1140,37 @@ def _mutual_knn_bucketed(emb: DataFrame) -> DataFrame:
             for m in _probe_masks(SEMDEDUP_PLANES, SEMDEDUP_RADIUS)
         ]
     )
-    q = b.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(probe_arr).alias("probe"),
-    )
-    c = b.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("bucket").alias("c_bucket"),
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    knn = (
-        q.join(c, (F.col("probe") == F.col("c_bucket")) & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= MUTUAL_K)
-    )
+    if strategy == "blocked":
+        q = b.select("vec_id", "embedding", F.explode(probe_arr).alias("probe"))
+        cands = q.groupBy("probe").cogroup(b.groupBy("bucket")).applyInPandas(
+            lambda left, right: _block_topk_pdf(left, right),
+            schema="query_id long, neighbor_id long, cos_sim double",
+        )
+        knn = cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= MUTUAL_K)
+    else:
+        q = b.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_arr).alias("probe"),
+        )
+        c = b.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("bucket").alias("c_bucket"),
+        )
+        knn = (
+            q.join(
+                c,
+                (F.col("probe") == F.col("c_bucket"))
+                & (F.col("query_id") != F.col("neighbor_id")),
+            )
+            .select(
+                "query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= MUTUAL_K)
+        )
     from pandamapreduce_spark.caching import scoped_persist
 
     knn = scoped_persist(knn)  # both sides of the reciprocity join read it

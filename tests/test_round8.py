@@ -161,3 +161,29 @@ def test_bucketed_semdedup_recall_vs_exact(spark):
         assert cos[ra, rb] >= SEMDEDUP_TAU, "bucketed path fabricated a sub-τ edge"
     recall = len(exact & bucketed) / len(exact)
     assert recall >= 0.5, f"bucketed recall collapsed: {recall:.2f} on {len(exact)} exact edges"
+
+
+def test_bucketed_knn_strategies_agree(spark):
+    """q166 discipline: the cogrouped-Arrow default and the zero-Python
+    HOF join must produce the identical mutual edge frame."""
+    from pandamapreduce_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings", spread=True)
+    blocked = sorted(map(tuple, _mutual_knn_bucketed(emb, "blocked").collect()))
+    hof = sorted(map(tuple, _mutual_knn_bucketed(emb, "hof").collect()))
+    assert blocked == hof
+    assert blocked, "fixture produced no mutual edges"
+
+
+def test_bucketed_knn_plan_uses_cogrouped_arrow(spark):
+    """q203's default candidate stage must run as the per-bucket
+    cogrouped Arrow kernel — never a nested-loop or cartesian join."""
+    from pandamapreduce_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings", spread=True)
+    df = _mutual_knn_bucketed(emb)
+    df.collect()  # finalize the adaptive plan (AQE) before inspecting
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
