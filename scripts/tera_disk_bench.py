@@ -43,6 +43,7 @@ def main() -> None:
     os.environ["SPARK_LOCAL_DIRS"] = local
 
     sys.path.insert(0, "/root/repo")
+    from bench import _preflight_steal_gate
     from pandamapreduce_spark.operators import tera
     from pandamapreduce_spark.session import get_spark
 
@@ -53,6 +54,10 @@ def main() -> None:
         for gb in scales:
             n = int(gb * 1e9) // tera.RECORD_LEN
             parts = max(32, int(32 * gb))
+            # VERDICT r6 #4 / r7 #7: measure co-tenant steal BEFORE the
+            # long disk pipeline and carry it as provenance, exactly
+            # like bench.py's tmpfs tera loop.
+            steal = round(_preflight_steal_gate(f"tera_disk_{gb:g}gb"), 4)
             t0 = time.perf_counter()
             gen = tera.teragen(spark, n, parts)
             verdict = tera.teravalidate(tera.terasort(gen, parts))
@@ -69,12 +74,45 @@ def main() -> None:
                 "hsph_at_sf": round(sf_bytes / (el / 3600), 2),
                 "valid": valid,
                 "local_dirs": "virtio-disk",
+                "preflight_steal": steal,
             }
             results.append(rec)
             print(json.dumps(rec))
     finally:
         spark.stop()
         shutil.rmtree(local, ignore_errors=True)
+    if results:
+        _record_sidecar(results)
+
+
+def _record_sidecar(results: list[dict]) -> None:
+    """Append this run's records to docs/TERA_DISK.json so the
+    disk-backed scaling series stays current round over round (VERDICT
+    r7 #7) — prior rounds' series are kept under ``history``; the
+    top-level ``runs`` always shows the latest measurement per scale."""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "TERA_DISK.json")
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        doc = {}
+    prev_runs = doc.get("runs", [])
+    if prev_runs:
+        hist = doc.setdefault("history", [])
+        hist.append({"recorded": doc.get("recorded", "unknown"), "runs": prev_runs})
+    doc["recorded"] = time.strftime("%Y-%m-%d")
+    doc["runs"] = [
+        {k: r[k] for k in ("gb", "value", "hsph_at_sf", "valid", "preflight_steal") if k in r}
+        | {"sec": r["value"]}
+        for r in results
+    ]
+    for r in doc["runs"]:
+        r.pop("value", None)
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+        fh.write("\n")
+    print(f"# sidecar updated: {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
