@@ -1198,6 +1198,7 @@ def _mutual_knn_bucketed(emb: DataFrame, strategy: str = "blocked") -> DataFrame
 
 @query(
     "q203_semdedup_bucketed",
+    bench=True,  # per-round signal for the bucketed-candidate Arrow kernel
     doc=f"Bucketed SemDeDup — q183's production-scale candidate path made executable: sign-LSH multi-probe candidate generation ({SEMDEDUP_PLANES} planes, all buckets within Hamming radius {SEMDEDUP_RADIUS} — q74's shape with the whole corpus as queries) replaces the exact all-pairs mutual k-NN; the τ={SEMDEDUP_TAU} cut, connected components, and keep-longest survivorship are the IDENTICAL shared tail. What semantic dedup runs when 100 TB cannot afford all-pairs; its recall vs the exact q183 verdict is measured in PERF.md.",
     oracle=None,  # installed in plans/__init__ (bucketed mutual SQL into the shared composition)
     tags=("dedup", "similarity", "lsh", "iterative"),
