@@ -23,7 +23,7 @@ from pandamapreduce_spark.functions import (
     word_ngrams,
     word_ngrams_sql,
 )
-from pandamapreduce_spark.operators.prefix import range_prefix
+from pandamapreduce_spark.operators.prefix import PREFIX_RANGES, range_prefix
 from pandamapreduce_spark.plans.dedup import MAX_BUCKET, _lsh_pairs_sql
 from pandamapreduce_spark.plans.numeric import davg, davg_sql
 from pandamapreduce_spark.plans.registry import query
@@ -240,7 +240,10 @@ def q86_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- global quality deciles (distributed exact rank) ----------------------
 
-RANK_RANGES = 64  # range partitions for the global-rank exchange
+# Range partitions for the global-rank exchange — ONE knob: the
+# operator's own default, aliased here so retuning PREFIX_RANGES
+# retunes every prefix lane (a second 64 here went stale-prone).
+RANK_RANGES = PREFIX_RANGES
 
 
 @query(

@@ -954,14 +954,14 @@ SEMDEDUP_RADIUS = 2  # probe all buckets within Hamming distance 2
 
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
     """XOR masks for every bucket within the given Hamming radius —
-    the multi-probe schedule (own bucket first, then 1-flip, 2-flip)."""
+    the multi-probe schedule (own bucket first, then 1-flip, 2-flip,
+    ...). Generalized over radius so the docstring's tuning knob is
+    real: radius 3 probes 3-flip buckets too, not a silent cap."""
+    from itertools import combinations
+
     masks = [0]
-    if radius >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if radius >= 2:
-        masks += [
-            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
-        ]
+    for r in range(1, radius + 1):
+        masks += [sum(1 << i for i in c) for c in combinations(range(n_planes), r)]
     return masks
 
 

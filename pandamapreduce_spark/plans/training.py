@@ -1948,6 +1948,7 @@ def q204_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))"
     )
     merges: list[tuple[int, str, str, int, str]] = []
+    prev: DataFrame | None = None
     for k in range(1, BPE_MERGES + 1):
         pairs = (
             cur.select("cnt", syms.alias("syms"))
@@ -1961,11 +1962,21 @@ def q204_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()[0]
         )
+        if prev is not None:
+            # this round's collect just materialized cur's own cache,
+            # so the superseded round's blocks are no longer read —
+            # the q94 eager-release discipline; without per-round
+            # persistence each round would replay ALL prior replaces
+            # from the base (O(K^2) passes over the word-type table).
+            release_one(prev)
         lhs, rhs, c = best["lhs"], best["rhs"], int(best["c"])
         merges.append((k, lhs, rhs, c, lhs + rhs))
-        cur = cur.withColumn(
-            "seq", F.replace("seq", F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})"))
-        )
+        if k < BPE_MERGES:  # the post-final-round state is never read
+            prev, cur = cur, scoped_persist(
+                cur.withColumn(
+                    "seq", F.replace("seq", F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})"))
+                )
+            )
     return spark.createDataFrame(
         merges,
         "merge_round int, lhs string, rhs string, pair_count bigint, new_symbol string",

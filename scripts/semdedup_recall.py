@@ -68,10 +68,11 @@ def main() -> None:
     de = {d for d, k in exact_v.items() if not k}
     db = {d for d, k in buck_v.items() if not k}
     inter = de & db
+    rec = f"{len(inter) / len(de):.3f}" if de else "n/a (no exact drops)"
+    prec = f"{len(inter) / len(db):.3f}" if db else "n/a (no bucketed drops)"
     print(
         f"{sf_dir} verdict level: exact_dropped={len(de)} bucketed_dropped={len(db)} "
-        f"drop_recall={len(inter) / len(de):.3f} drop_precision={len(inter) / len(db):.3f} "
-        f"spurious_drops={len(db - de)}"
+        f"drop_recall={rec} drop_precision={prec} spurious_drops={len(db - de)}"
     )
     spark.stop()
 

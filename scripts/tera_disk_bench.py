@@ -102,13 +102,20 @@ def _record_sidecar(results: list[dict]) -> None:
         hist = doc.setdefault("history", [])
         hist.append({"recorded": doc.get("recorded", "unknown"), "runs": prev_runs})
     doc["recorded"] = time.strftime("%Y-%m-%d")
-    doc["runs"] = [
+    new = [
         {k: r[k] for k in ("gb", "value", "hsph_at_sf", "valid", "preflight_steal") if k in r}
         | {"sec": r["value"]}
         for r in results
     ]
-    for r in doc["runs"]:
+    for r in new:
         r.pop("value", None)
+    # per-scale merge: a partial run (one scale) must not erase the
+    # other scales' latest points from the top-level series — prior
+    # points for UNMEASURED scales carry over; re-measured scales are
+    # replaced (the full superseded series is already in history).
+    by_gb = {r["gb"]: r for r in prev_runs}
+    by_gb.update({r["gb"]: r for r in new})
+    doc["runs"] = sorted(by_gb.values(), key=lambda r: r["gb"])
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=2)
         fh.write("\n")
