@@ -187,3 +187,57 @@ def test_bucketed_knn_plan_uses_cogrouped_arrow(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_prefix_exact_global_rank_and_sum(spark):
+    """Unit contract of the shared prefix operator (q100/q163/q177/
+    q189/q202's machinery): _base + per-range row_number == the naive
+    single-partition global rank, and _base_sum prefixes exactly —
+    on synthetic data WITH heavy duplicate keys, at a range count
+    that forces splits."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pandamapreduce_spark.operators.prefix import range_prefix
+
+    rows = [(i % 7, i, (i * 13) % 101) for i in range(500)]  # dup-heavy key0
+    df = spark.createDataFrame(rows, "k int, id bigint, v bigint")
+    parts, n_total, s_total = range_prefix(df, ["k", "id"], sum_col="v", ranges=5)
+    assert n_total == 500
+    assert s_total == sum(r[2] for r in rows)
+    w = W.partitionBy("_pid").orderBy("k", "id")
+    got = {
+        (r.k, r.id): (r.rank, r.psum)
+        for r in parts.withColumn("rank", F.row_number().over(w) + F.col("_base"))
+        .withColumn(
+            "psum",
+            F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)) + F.col("_base_sum"),
+        )
+        .collect()
+    }
+    ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+    acc = 0
+    for rank0, (k, i, v) in enumerate(ordered, start=1):
+        acc += v
+        assert got[(k, i)] == (rank0, acc), (k, i)
+
+
+def test_range_prefix_empty_input(spark):
+    from pandamapreduce_spark.operators.prefix import range_prefix
+
+    df = spark.createDataFrame([], "k int, v bigint")
+    parts, n_total, s_total = range_prefix(df, ["k"], sum_col="v", ranges=4)
+    assert n_total == 0 and s_total == 0 and parts.count() == 0
+
+
+def test_probe_mask_schedule_properties():
+    """Masks are unique, radius-bounded, complete per radius tier, and
+    the shipped radius-2 schedule is exactly own+flip1+flip2."""
+    import math
+
+    for n, r in [(6, 1), (6, 2), (6, 3), (8, 2)]:
+        masks = _probe_masks(n, r)
+        assert len(masks) == len(set(masks))
+        assert all(m < (1 << n) for m in masks)
+        assert len(masks) == sum(math.comb(n, i) for i in range(r + 1))
+        assert all(bin(m).count("1") <= r for m in masks)
