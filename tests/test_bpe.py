@@ -110,3 +110,22 @@ def test_q204_equals_python_reference(spark):
         for r in REGISTRY["q204_bpe_merges"].build(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+# --- layer 1b: property form (hypothesis) -----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SYM = st.sampled_from(["a", "b", "c", "ab", "bc", "aa", "abc", "0", "a0"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(syms=st.lists(_SYM, max_size=14), l=_SYM, r=_SYM)
+def test_wrapped_replace_equals_merge_scan_property(syms, l, r):
+    """For ANY symbol sequence over paren-free symbols and ANY merge
+    pair, the wrapped one-call replace equals the definitional
+    leftmost non-overlapping scan — the paren delimiters make symbol
+    boundaries unambiguous ('(ab)(c)' never matches '(a)(bc)'), so
+    the equivalence is structural, not fixture luck."""
+    assert wrapped_replace(syms, l, r) == merge_scan(syms, l, r)
