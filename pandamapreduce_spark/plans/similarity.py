@@ -1213,8 +1213,9 @@ def q203_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     of sub-quadratic candidates (see PERF.md; the q185/q171 pattern).
 
     Scale: candidate join is bucket-keyed equi-join (no broadcast —
-    both sides are the corpus); the probe explode is 9× the id+vector
-    stream, NOT 9× storage; top-k window partitions by query_id;
-    reciprocity/CC/survivorship move n·k id pairs."""
+    both sides are the corpus); the probe explode is 22× the id+vector
+    stream (len(_probe_masks(6, 2)) = 1+6+15 masks), NOT 22× storage;
+    top-k window partitions by query_id; reciprocity/CC/survivorship
+    move n·k id pairs."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return _semdedup_verdict(spark, sf_dir, _mutual_knn_bucketed(emb))
