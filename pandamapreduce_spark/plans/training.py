@@ -1861,7 +1861,12 @@ def _bpe_wrap_sql() -> str:
     return r"regexp_replace(word, '(.)', '(\1)', 'g')"
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_parts() -> tuple[list[str], list[str], str]:
+    """The shared BPE merge-learning CTE chain (w0 word counts, r0
+    wrapped sequences, then per round: pair counts p{k}, winner b{k},
+    post-merge state r{k}). Returns (parts, per-round merge selects,
+    name of the final state CTE) — q204's oracle unions the selects,
+    q206's encode oracle reads the final state."""
     from pandamapreduce_spark.functions import normalize_text_sql
 
     parts = [
@@ -1895,6 +1900,11 @@ def _bpe_oracle() -> str:
             f" lhs || rhs AS new_symbol FROM b{k}"
         )
         prev = f"r{k}"
+    return parts, selects, prev
+
+
+def _bpe_oracle() -> str:
+    parts, selects, _ = _bpe_cte_parts()
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -1932,14 +1942,33 @@ def q204_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The merged symbol does not re-pair within its own round (the
     standard semantics): round counts come from the PRE-merge
     sequences, application is one literal replace."""
+    merges, _ = _bpe_learn(_bpe_words(load_table(spark, sf_dir, "documents", spread=True)))
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, lhs string, rhs string, pair_count bigint, new_symbol string",
+    ).orderBy("merge_round")
+
+
+def _bpe_words(docs: DataFrame) -> DataFrame:
+    """The corpus word-TYPE frequency table all BPE state lives on."""
     from pandamapreduce_spark.functions import normalize_text
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    words = (
+    return (
         docs.select(F.explode(tokens(normalize_text("text"), pattern=" ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def _bpe_learn(
+    words: DataFrame, need_final: bool = False
+) -> tuple[list[tuple[int, str, str, int, str]], DataFrame]:
+    """The BPE_MERGES-round merge-learning loop over the (word, cnt)
+    type table (shared by q204 and q206). Returns the learned merge
+    list and the final wrapped-sequence state; the FINAL round's
+    ``replace`` is applied (and its state persisted) only under
+    ``need_final`` — q204 never reads the post-final-round state,
+    q206's encode is defined by it."""
     cur = scoped_persist(
         words.select("cnt", F.regexp_replace("word", "(.)", r"($1)").alias("seq"))
     )
@@ -1971,13 +2000,100 @@ def q204_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_one(prev)
         lhs, rhs, c = best["lhs"], best["rhs"], int(best["c"])
         merges.append((k, lhs, rhs, c, lhs + rhs))
-        if k < BPE_MERGES:  # the post-final-round state is never read
+        if k < BPE_MERGES or need_final:
             prev, cur = cur, scoped_persist(
                 cur.withColumn(
                     "seq", F.replace("seq", F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})"))
                 )
             )
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, lhs string, rhs string, pair_count bigint, new_symbol string",
-    ).orderBy("merge_round")
+    return merges, cur
+
+
+# --- q206: BPE encode with the learned merges -------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    from pandamapreduce_spark.functions import normalize_text_sql
+
+    parts, _, final = _bpe_cte_parts()
+    toks = tokens_sql(normalize_text_sql("text"), pattern=" ")
+    parts.append(f"""enc AS (
+      SELECT replace(replace(seq, '(', ''), ')', '') AS word,
+             cast(len(str_split(trim(seq, '()'), ')(')) as bigint) AS n_sym
+      FROM {final}
+    ),
+    dw AS (
+      SELECT doc_id, word, cast(count(*) as bigint) AS occ FROM (
+        SELECT doc_id, unnest({toks}) AS word FROM documents
+      ) GROUP BY doc_id, word
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT d.doc_id,
+           cast(sum(d.occ) as bigint) AS n_words,
+           cast(sum(d.occ * length(d.word)) as bigint) AS n_word_chars,
+           cast(sum(d.occ * e.n_sym) as bigint) AS n_bpe_tokens
+    FROM dw d JOIN enc e USING (word)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
+
+
+@query(
+    "q206_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc=f"BPE ENCODE with q204's learned merges — the tokenizer loop closed (VERDICT r8 #5): the {BPE_MERGES} learned merge rules are applied to every corpus word type (same wrapped-representation replace chain, so application IS the leftmost non-overlapping merge scan), then each document is priced against the encoded type table: words, pre-BPE characters, and post-BPE token count per document. vocab (q96) -> merges (q204) -> encode (q206) is now a complete, oracle-checked tokenizer pipeline; oracle = the identical chained-CTE learn chain plus one encode join.",
+    tags=("training", "vocab", "text", "iterative"),
+)
+def q206_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding throughput is why BPE state lives on the word-TYPE
+    table: the merge chain is applied once per TYPE (Zipf-bounded,
+    ~10^7-10^8 rows at 100 TB), and documents join against the encoded
+    table instead of re-running merges per token occurrence (10^12
+    rows). Per-document output: n_words, n_word_chars (pre-BPE symbol
+    count = characters), n_bpe_tokens (post-merge symbol count) — the
+    sequence-length/compression numbers a packing stage (q90) and a
+    token-budget mixture (q99/q110) consume.
+
+    Scale shape: the (doc_id, word) aggregation is one map-side-
+    combined exchange of per-doc DISTINCT words (sub-token-stream);
+    the encode join keys on the word type — Zipf-skewed ('the' is
+    hot), which AQE's skew split handles, and the per-type payload is
+    two ints, so skewed keys are wide, not deep. The final per-doc agg
+    re-uses the dw exchange's partitioning. Learned state: the
+    {BPE_MERGES}-round loop is q204's shared ``_bpe_learn`` (one
+    bounded driver row per round); encode itself adds NO new driver
+    state.
+
+    Exactness: all outputs are exact integers; the replace-chain
+    equivalence to the definitional merge scan is the same pytest-
+    pinned wrapped-representation argument as q204 (tests/test_bpe.py
+    covers the encode path against a from-scratch Python encoder)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    _, final = _bpe_learn(_bpe_words(docs), need_final=True)
+    enc = final.select(
+        F.regexp_replace("seq", r"[()]", "").alias("word"),
+        F.size(F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\("))
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    from pandamapreduce_spark.functions import normalize_text
+
+    dw = (
+        docs.select(
+            "doc_id", F.explode(tokens(normalize_text("text"), pattern=" ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    return (
+        dw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("occ") * F.length("word")).cast("bigint").alias("n_word_chars"),
+            F.sum(F.col("occ") * F.col("n_sym")).cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

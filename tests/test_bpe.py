@@ -43,7 +43,9 @@ def wrapped_replace(syms: list[str], l: str, r: str) -> list[str]:
     return s[1:-1].split(")(") if s else []
 
 
-def py_bpe(word_counts: dict[str, int], k: int) -> list[tuple]:
+def py_bpe(word_counts: dict[str, int], k: int) -> tuple[list[tuple], dict[str, list[str]]]:
+    """Returns (merge table, final per-word symbol sequences) — the
+    sequences are the from-scratch ENCODE reference for q206."""
     seqs: dict[str, list[str]] = {w: list(w) for w in word_counts}
     merges = []
     for rnd in range(1, k + 1):
@@ -57,7 +59,7 @@ def py_bpe(word_counts: dict[str, int], k: int) -> list[tuple]:
         merges.append((rnd, l, r, c, l + r))
         for w in seqs:
             seqs[w] = merge_scan(seqs[w], l, r)
-    return merges
+    return merges, seqs
 
 
 # --- layer 1: the replace trick --------------------------------------------
@@ -93,22 +95,52 @@ def test_space_join_would_be_wrong():
 # --- layer 2: the full lane vs from-scratch Python --------------------------
 
 
-def test_q204_equals_python_reference(spark):
+def _corpus_counts() -> tuple[dict[str, int], dict[int, list[str]]]:
+    """(word-type counts, per-doc normalized word lists) from sf0.001."""
     con = duckdb.connect()
-    texts = con.execute(
-        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchall()
     counts: dict[str, int] = {}
-    for (text,) in texts:
+    doc_words: dict[int, list[str]] = {}
+    for doc_id, text in rows:
         norm = re.sub(" +", " ", re.sub("[^a-z0-9]+", " ", text.lower())).strip()
-        for w in norm.split(" "):
-            if w:
-                counts[w] = counts.get(w, 0) + 1
-    expect = py_bpe(counts, BPE_MERGES)
+        words = [w for w in norm.split(" ") if w]
+        doc_words[doc_id] = words
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+    return counts, doc_words
+
+
+def test_q204_equals_python_reference(spark):
+    counts, _ = _corpus_counts()
+    expect, _ = py_bpe(counts, BPE_MERGES)
     got = [
         (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"], r["new_symbol"])
         for r in REGISTRY["q204_bpe_merges"].build(spark, SF_DIR).collect()
     ]
+    assert got == expect
+
+
+def test_q206_encode_equals_python_reference(spark):
+    """q206 per-document encode vs the from-scratch reference: learn
+    merges in Python, apply them per word via the definitional merge
+    scan, then aggregate per document."""
+    counts, doc_words = _corpus_counts()
+    _, seqs = py_bpe(counts, BPE_MERGES)
+    expect = {
+        doc_id: (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(seqs[w]) for w in words),
+        )
+        for doc_id, words in doc_words.items()
+        if words  # wordless docs don't survive the encode join
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_word_chars"], r["n_bpe_tokens"])
+        for r in REGISTRY["q206_bpe_encode"].build(spark, SF_DIR).collect()
+    }
     assert got == expect
 
 
