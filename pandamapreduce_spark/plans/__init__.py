@@ -32,8 +32,10 @@ REGISTRY["q203_semdedup_bucketed"].oracle = similarity._semdedup_oracle(
     similarity._semdedup_bucketed_mutual_sql()
 )
 REGISTRY["q193_phash_neardup"].oracle = multimodal._phash_oracle()
-# q205 is q199's streaming twin: the BATCH oracle verbatim — parity of
-# the stream against the batch semantics IS the lane's claim.
+# q205/q207 are q199's/q198's streaming twins: the BATCH oracle
+# verbatim — parity of the stream against the batch semantics IS the
+# lane's claim.
 REGISTRY["q205_stream_abandonment"].oracle = REGISTRY["q199_abandonment"].oracle
+REGISTRY["q207_stream_ship_sla"].oracle = REGISTRY["q198_ship_sla"].oracle
 
 __all__ = ["REGISTRY", "Query", "query"]

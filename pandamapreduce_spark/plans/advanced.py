@@ -2947,6 +2947,15 @@ def q198_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay")
     )
     hist = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return sla_histogram_report(hist)
+
+
+def sla_histogram_report(hist: DataFrame) -> DataFrame:
+    """Shared SLA percentile tail over the (priority, delay, c) value
+    histogram — q198 (batch) and q207 (streaming twin) diverge only in
+    how the histogram is produced; the nearest-rank selections and the
+    within-SLA share are computed HERE, identically, over ~120 rows
+    per priority."""
     wcum = (
         Window.partitionBy("priority")
         .orderBy("delay")

@@ -634,3 +634,43 @@ def q205_stream_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("start_hour")
     )
+
+
+@query(
+    "q207_stream_ship_sla",
+    oracle=None,  # installed in plans/__init__: q198's batch oracle verbatim
+    doc="Streaming twin of q198's order-to-ship SLA percentiles (VERDICT r8 #7): the lineitem shipment feed stream-static joins the orders dim, a complete-mode (priority, delay-days) value-histogram aggregation holds the ENTIRE streaming state — bounded by the calendar-bounded delay domain (~5×120 cells), never by event count — and q198's shared percentile tail (`sla_histogram_report`) reduces the handover; oracle = the batch lane's SQL verbatim, proving stream/batch parity; additionally parity pytest-pinned on BOTH state-store backends.",
+    tags=("streaming", "sla", "stats"),
+)
+def q207_stream_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLA monitor is the canonical streaming VALUE-HISTOGRAM
+    pattern: the sufficient statistic for exact nearest-rank
+    percentiles is the (priority, delay) count grid — q198's insight,
+    unchanged by streaming — and the grid's key domain is calendar-
+    bounded, so the streaming state IS the histogram: a few hundred
+    cells at any event volume, no watermark needed (state growth is
+    zero, eviction has nothing to evict; complete-mode re-emission
+    rewrites a table the size of the ANSWER, not of the feed). Each
+    arriving shipment row costs one stream-static join probe against
+    the orders dim plus one histogram-cell increment.
+
+    Scale shape: the stream-static join keys on l_orderkey with the
+    static side re-planned per micro-batch (broadcast at dim scale;
+    partition-pruned scan when orders is itself large); the stateful
+    exchange carries (priority, delay) keys only. The percentile tail
+    is q198's ``sla_histogram_report`` verbatim — reusing q198's
+    oracle UNCHANGED makes the hash gate prove the streaming path
+    end-to-end against the batch semantics (the q205 discipline)."""
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.advanced import sla_histogram_report
+    from pandamapreduce_spark.streaming.lineitem import lineitem_stream
+
+    li = lineitem_stream(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("priority")
+    )
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "priority", F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay")
+    )
+    hist = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return sla_histogram_report(ev.run_to_completion(hist, spark))

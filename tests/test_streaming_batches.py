@@ -259,3 +259,32 @@ def test_stream_abandonment_parity_on_both_state_store_backends(spark):
         finally:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
         assert got == batch, provider
+
+
+def test_stream_ship_sla_parity_on_both_state_store_backends(spark):
+    """q207 must reproduce q198's batch SLA report EXACTLY under BOTH
+    state-store providers (HDFS-backed default and the production
+    RocksDB backend) — the complete-mode histogram state's answer
+    cannot depend on durability plumbing (VERDICT r8 #7)."""
+    from pandamapreduce_spark.plans import REGISTRY
+
+    canon = lambda rows: sorted(  # noqa: E731
+        (r.priority, r.n_lineitems, r.p50_days, r.p90_days, r.p99_days, r.within_7d)
+        for r in rows
+    )
+    batch = canon(REGISTRY["q198_ship_sla"].build(spark, SF_DIR).collect())
+    assert batch, "batch SLA report is empty on this fixture"
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    for provider in (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ):
+        try:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+            got = canon(REGISTRY["q207_stream_ship_sla"].build(spark, SF_DIR).collect())
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+        assert got == batch, provider
