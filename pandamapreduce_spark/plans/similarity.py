@@ -1117,8 +1117,10 @@ def _mutual_knn_bucketed(emb: DataFrame, strategy: str = "blocked") -> DataFrame
     by the hyperplane math P(bit agrees) = 1 − θ/π: the fixture's
     τ=0.40 edges sit at θ≈66° (per-bit 0.63 → radius-2 recall ~0.65),
     while production SemDeDup τ≈0.95 is θ≈18° (per-bit 0.90 → the
-    SAME 6/2 scheme reaches ~0.98, and 20 planes/radius 2 still holds
-    ~0.85 while shrinking buckets 2^14-fold). Unlike the query-side
+    SAME 6/2 scheme prices at 0.984 and MEASURES 0.983–0.988 on
+    planted near-dup geometry — PERF.md's production-τ table,
+    tests/test_round9.py's pinned floor; 20 planes/radius 2 still
+    holds ~0.85 while shrinking buckets 2^14-fold). Unlike the query-side
     lanes the probe side here is the WHOLE corpus, so nothing
     broadcasts — both sides shuffle once on the bucket key.
 

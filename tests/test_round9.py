@@ -1,0 +1,139 @@
+"""Round-9 checks: q203's recall at PRODUCTION similarity, measured.
+
+The fixture embeddings are near-isotropic, so q203's recall there
+(~0.65) is sign-LSH's hard regime (τ=0.40, θ≈66°, per-bit hyperplane
+agreement 1−θ/π≈0.63). The lane's central production claim — the SAME
+6-plane/radius-2 scheme reaches ~0.98 recall at SemDeDup's τ≈0.95
+(θ≈18°, per-bit 0.90, P(Hamming≤2)≈0.984) — was priced from the
+hyperplane math but never MEASURED (VERDICT r8 #1). These tests plant
+a high-similarity cohort geometry (near-dup pairs at cosine ≈0.94–
+0.97 over an isotropic background), measure edge recall of the
+bucketed candidate path against the exact all-pairs mutual-kNN
+τ-edges, and pin a floor. ``scripts/semdedup_recall_hightau.py``
+reruns the same measurement at larger n for the PERF.md row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pandamapreduce_spark.plans.similarity import (
+    DIM,
+    MUTUAL_K,
+    _mutual_knn_bucketed,
+)
+
+from tests.test_round8 import _python_bucketed_mutual, _sequential_cosine_matrix
+
+
+def planted_embeddings(
+    n_background: int,
+    n_cohorts: int,
+    cohort_size: int,
+    target_cos: float,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Isotropic background + planted near-dup cohorts: each cohort is
+    one unit base vector plus (cohort_size−1) copies rotated by
+    ≈arccos(target_cos) in a random orthogonal direction (angle
+    jittered ±~15% so pairs straddle the τ cut both ways — recall is
+    then measured over genuine, not constructed, τ-edges). Vectors
+    round-trip float32 like the parquet fixture."""
+    rng = np.random.default_rng(seed)
+    vecs = []
+    base = rng.standard_normal((n_cohorts, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    theta0 = float(np.arccos(target_cos))
+    for i in range(n_cohorts):
+        vecs.append(base[i])
+        for _ in range(cohort_size - 1):
+            g = rng.standard_normal(DIM)
+            g -= (g @ base[i]) * base[i]
+            g /= np.linalg.norm(g)
+            theta = theta0 * rng.uniform(0.85, 1.15)
+            vecs.append(np.cos(theta) * base[i] + np.sin(theta) * g)
+    bg = rng.standard_normal((n_background, DIM))
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+    V = np.vstack([np.array(vecs), bg]).astype(np.float32).astype(np.float64)
+    return np.arange(len(V), dtype=np.int64), V
+
+
+def exact_mutual_tau_edges(ids: np.ndarray, V: np.ndarray, tau: float) -> set[tuple[int, int]]:
+    """Exact all-pairs mutual top-MUTUAL_K pairs with cosine ≥ τ —
+    q183's edge contract (the recall denominator)."""
+    cos = _sequential_cosine_matrix(V, V)
+    n = len(ids)
+    topk: dict[int, set[int]] = {}
+    for row in range(n):
+        key_cos = cos[row].copy()
+        key_cos[row] = -np.inf  # exclude self
+        order = np.lexsort((ids, -key_cos))[:MUTUAL_K]
+        topk[int(ids[row])] = {int(ids[r]) for r in order}
+    idx = {int(v): i for i, v in enumerate(ids)}
+    return {
+        (a, b)
+        for a, nbrs in topk.items()
+        for b in nbrs
+        if a < b and a in topk[b] and cos[idx[a], idx[b]] >= tau
+    }
+
+
+def bucketed_tau_edges(ids: np.ndarray, V: np.ndarray, tau: float) -> set[tuple[int, int]]:
+    return {p for p, (_, _, c) in _python_bucketed_mutual(ids, V).items() if c >= tau}
+
+
+def measure_recall(
+    n_background: int, n_cohorts: int, cohort_size: int, tau: float, seed: int = 42
+) -> tuple[int, int, float]:
+    """(n exact τ-edges, n bucketed τ-edges, edge recall) on the
+    planted geometry with target cosine = τ."""
+    ids, V = planted_embeddings(n_background, n_cohorts, cohort_size, tau, seed)
+    exact = exact_mutual_tau_edges(ids, V, tau)
+    buck = bucketed_tau_edges(ids, V, tau)
+    return len(exact), len(buck), (len(exact & buck) / len(exact)) if exact else float("nan")
+
+
+def test_production_tau_recall_floor():
+    """The measured production-τ claim: at τ=0.95 planted geometry the
+    shipped 6-plane/radius-2 scheme must clear 0.90 edge recall (the
+    hyperplane math prices 0.984; the floor leaves jitter room while
+    excluding anything resembling the fixture's 0.65 hard-regime
+    number, and precision stays 1.0 because cosines are exact)."""
+    n_exact, n_buck, rec = measure_recall(400, 80, 2, tau=0.95)
+    assert n_exact >= 30, f"planted regime produced too few τ-edges ({n_exact})"
+    assert rec >= 0.90, f"edge recall {rec:.3f} below the production-τ floor"
+
+
+def test_planted_bucketed_edges_every_one_genuine():
+    """Approximation lives ONLY in candidate generation: every bucketed
+    τ-edge on the planted geometry must be a genuine exact-cosine
+    τ-pair (subset of the exact mutual frame is not required — top-k
+    fill-in is documented — but cosine exactness is)."""
+    ids, V = planted_embeddings(200, 40, 2, target_cos=0.95, seed=7)
+    cos = _sequential_cosine_matrix(V, V)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for (a, b) in bucketed_tau_edges(ids, V, 0.95):
+        assert cos[idx[a], idx[b]] >= 0.95
+
+
+def test_spark_bucketed_lane_matches_python_on_planted_geometry(spark):
+    """The Spark lane itself, not just the Python twin, measured in the
+    production regime: `_mutual_knn_bucketed` on the planted vectors
+    must emit exactly the Python reference's mutual edge frame (same
+    pairs, ranks, cosines) — so the recall row measured here is a
+    property of the SHIPPED plan."""
+    ids, V = planted_embeddings(150, 30, 2, target_cos=0.95, seed=11)
+    want = _python_bucketed_mutual(ids, V)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in np.asarray(v, dtype=np.float32)]) for i, v in zip(ids, V)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    got = {
+        (r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba, r.cos_sim)
+        for r in _mutual_knn_bucketed(emb).collect()
+    }
+    assert set(got) == set(want)
+    for pair, (rank_ab, rank_ba, c) in want.items():
+        g = got[pair]
+        assert (g[0], g[1]) == (rank_ab, rank_ba)
+        assert abs(g[2] - c) < 1e-12
