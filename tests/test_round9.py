@@ -15,7 +15,10 @@ reruns the same measurement at larger n for the PERF.md row.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pytest
 
 from pandamapreduce_spark.plans.similarity import (
     DIM,
@@ -137,3 +140,31 @@ def test_spark_bucketed_lane_matches_python_on_planted_geometry(spark):
         g = got[pair]
         assert (g[0], g[1]) == (rank_ab, rank_ba)
         assert abs(g[2] - c) < 1e-12
+
+
+SF1_DIR = "/root/repo/.bench/sf1"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF1_PARITY"),
+    reason="sf1-scale run (~30 s); opt in with SPARK_GRAFT_SF1_PARITY=1",
+)
+def test_q203_equals_q183_verdict_at_sf1(spark):
+    """q203's sf1 ORACLE is excluded by DuckDB spill (SF1_PARITY.md),
+    so pin the exclusion with a spark-vs-spark equality instead of
+    prose (VERDICT r8 #2): at sf1 the FK-copy fixture's duplicate
+    vectors are byte-identical → always co-bucketed → the bucketed
+    path cannot miss a true-duplicate edge, and the full verdict
+    frame (cluster, n_chars, keep) must equal q183's exact contract
+    row-for-row."""
+    from pandamapreduce_spark.plans import REGISTRY
+
+    if not os.path.exists(f"{SF1_DIR}/embeddings.parquet"):
+        pytest.skip("sf1 fixture not materialized (scripts/make_scaled_fixture.py)")
+    canon = lambda rows: sorted(  # noqa: E731
+        (r.cluster_id, r.doc_id, r.n_chars, r.keep) for r in rows
+    )
+    exact = canon(REGISTRY["q183_semdedup"].build(spark, SF1_DIR).collect())
+    buck = canon(REGISTRY["q203_semdedup_bucketed"].build(spark, SF1_DIR).collect())
+    assert len(exact) >= 10_000, "sf1 regime unexpectedly sparse — parity would be vacuous"
+    assert buck == exact
