@@ -42,21 +42,19 @@ from pandamapreduce_spark.plans import REGISTRY
 # at sf0.001 and each session's full-registry emulation at sf0.01.
 
 #: Queries whose Spark plan or oracle changed this round — the only
-#: hand-maintained piece. Round 8: q185's ORACLE was reformulated for
-#: sf1 feasibility (pair-aggregated candidates + doc-keyed gram-list
-#: verify) — its r7 green row hashed the OLD oracle text, so the new
-#: one must re-earn a driver row; q183 gained the extracted
-#: `_semdedup_verdict` tail (same plan, but it shares code with the
-#: new q203 now — cheap to re-pin). The q100/q163/q189/q202
-#: range-prefix helper refactor left every plan unchanged (hash
-#: parity re-verified on landing, commit 097f775) and is covered by
-#: pytest + the full-registry emulation — windowing all four would
-#: crowd out the r3/r4-stale rotation the ledger ordering exists to
-#: finish (q203-q205 already take the window's head as never-green).
-_WINDOW_OVERRIDE = [
-    "q185_neardup_eval",
-    "q183_semdedup",
-]
+#: hand-maintained piece. Round 9: EMPTY. The two refactors that
+#: touched existing lanes are hash-verified pure: q204's loop moved
+#: into the shared `_bpe_learn`/`_bpe_words` helpers with its oracle
+#: text proven byte-identical to the pre-refactor string and its
+#: execution path unchanged (need_final=False reproduces the old loop
+#: exactly; re-MATCHed at sf0.001/0.01 on landing), and q198's
+#: percentile tail moved into `sla_histogram_report` with identical
+#: ops and an unchanged oracle (re-MATCHed at sf0.001/0.01 on
+#: landing). Windowing either would crowd out the r4/r5-stale
+#: rotation (VERDICT r8 #3); both stay covered by pytest + the
+#: full-registry emulation. q206/q207 take the window's head as
+#: never-green.
+_WINDOW_OVERRIDE: list[str] = []
 
 
 def _ledger_green_rounds() -> dict[str, int]:

@@ -133,23 +133,24 @@ def _merge_sidecar(prev: dict, payload: dict) -> dict:
     return out
 
 
+def _stat_sample() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from /proc/stat's cpu line.
+    Fields 8-9 (guest, guest_nice) are already folded into user/nice —
+    summing them would double-count guest time and understate the
+    steal fraction."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
+
+
 def _steal_fraction(sample_s: float = 5.0) -> float:
     """Fraction of host CPU time stolen by co-tenants over a sample
     window (the 8th /proc/stat field) — OUR load contributes nothing,
     so this is the clean pre-flight signal loadavg isn't (loadavg
     would still be integrating the bench's own just-finished stages)."""
-
-    def read() -> tuple[int, int]:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-        # fields 8-9 (guest, guest_nice) are already folded into
-        # user/nice — summing them would double-count guest time and
-        # understate the steal fraction
-        return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
-
-    t0, s0 = read()
+    t0, s0 = _stat_sample()
     time.sleep(sample_s)
-    t1, s1 = read()
+    t1, s1 = _stat_sample()
     dt = t1 - t0
     return (s1 - s0) / dt if dt else 0.0
 
@@ -179,6 +180,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # VERDICT r8 #4: record steal across the WHOLE run, not just the
+    # tera preflight — a round of uniform 1.2-1.5x raw deltas is then
+    # machine-attributable to the host instead of judged by eyeball.
+    run_t0, run_s0 = _stat_sample()
     spark = get_spark("pandamapreduce-bench")
 
     bench_queries = {name: q for name, q in REGISTRY.items() if q.bench}
@@ -319,6 +324,10 @@ def main() -> None:
     # outgrow the driver's tail capture and lose the whole round's
     # history (VERDICT r4 wrong#1). The result line must stay compact.
     total = round(sum(timings.values()), 3)
+    run_t1, run_s1 = _stat_sample()
+    run_dt = run_t1 - run_t0
+    run_steal = round((run_s1 - run_s0) / run_dt, 4) if run_dt else 0.0
+    print(f"# whole-run steal: {run_steal:.2%}", file=sys.stderr)
     payload = {
         "metric": "headline_queries_elapsed",
         "value": total,
@@ -327,6 +336,7 @@ def main() -> None:
         "sf": sf_val,
         "hsph_at_sf": hsph,
         "deltas_vs_prev": deltas,
+        "run_steal": run_steal,
     }
     line = json.dumps(payload)
 
@@ -410,6 +420,14 @@ def main() -> None:
         if merged_pf:
             sided = dict(sided)
             sided["tera_preflight_steal"] = merged_pf
+        # whole-run steal history: one entry per recorded run of the
+        # round, so per-query minima stay attributable to the host
+        # conditions of SOME specific run
+        if not sf_mismatch:
+            runs_rs = list((prev or {}).get("run_steal_runs") or [])
+            runs_rs.append(run_steal)
+            sided = dict(sided)
+            sided["run_steal_runs"] = runs_rs
         with open(side, "w") as fh:
             json.dump(sided, fh, indent=1)
             fh.write("\n")
