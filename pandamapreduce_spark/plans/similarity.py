@@ -1119,8 +1119,12 @@ def _mutual_knn_bucketed(emb: DataFrame, strategy: str = "blocked") -> DataFrame
     while production SemDeDup τ≈0.95 is θ≈18° (per-bit 0.90 → the
     SAME 6/2 scheme prices at 0.984 and MEASURES 0.983–0.988 on
     planted near-dup geometry — PERF.md's production-τ table,
-    tests/test_round9.py's pinned floor; 20 planes/radius 2 still
-    holds ~0.85 while shrinking buckets 2^14-fold). Unlike the query-side
+    tests/test_round9.py's pinned floor). The corpus-scale settings
+    are measured too (same harness, same τ=0.95 geometry): 20 planes/
+    radius 2 — 2^14× smaller buckets — measures 0.78 (independence
+    pricing 0.67, conservative because plane responses correlate);
+    16/2 measures 0.86; 20/3 measures 0.92 (priced 0.86). Pick the
+    radius to buy back what extra planes cost. Unlike the query-side
     lanes the probe side here is the WHOLE corpus, so nothing
     broadcasts — both sides shuffle once on the bucket key.
 

@@ -36,6 +36,13 @@ def priced_recall(tau: float) -> float:
     )
 
 
+def priced_at(n_planes: int, radius: int, tau: float) -> float:
+    p = math.acos(tau) / math.pi
+    return sum(
+        math.comb(n_planes, d) * p**d * (1 - p) ** (n_planes - d) for d in range(radius + 1)
+    )
+
+
 def main() -> None:
     print(f"scheme: {SEMDEDUP_PLANES} planes, probe radius {SEMDEDUP_RADIUS}")
     for tau, n_bg, n_cohorts, size in (
@@ -49,6 +56,25 @@ def main() -> None:
             f"tau={tau:.2f} n={n} (cohorts {n_cohorts}x{size}): "
             f"exact_edges={n_exact} bucketed_edges={n_buck} "
             f"measured_recall={rec:.3f} priced={priced_recall(tau):.3f}"
+        )
+
+    # Corpus-scale knob sweep (PERF.md round-9 table): same geometry,
+    # arbitrary (planes, radius) via the generalized reference.
+    from tests.test_round9 import (
+        exact_mutual_tau_edges,
+        general_bucketed_tau_edges,
+        planted_embeddings,
+    )
+
+    ids, V = planted_embeddings(3000, 400, 3, 0.95)
+    exact = exact_mutual_tau_edges(ids, V, 0.95)
+    print(f"knob sweep at tau=0.95, n={len(ids)}: exact_edges={len(exact)}")
+    for planes, radius in ((16, 2), (20, 2), (20, 3)):
+        buck = general_bucketed_tau_edges(ids, V, planes, radius, 0.95)
+        rec = len(exact & buck) / len(exact)
+        print(
+            f"planes={planes} radius={radius}: bucketed={len(buck)} "
+            f"measured={rec:.3f} priced={priced_at(planes, radius, 0.95):.3f}"
         )
 
 

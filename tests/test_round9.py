@@ -85,6 +85,56 @@ def bucketed_tau_edges(ids: np.ndarray, V: np.ndarray, tau: float) -> set[tuple[
     return {p for p, (_, _, c) in _python_bucketed_mutual(ids, V).items() if c >= tau}
 
 
+def general_bucketed_tau_edges(
+    ids: np.ndarray, V: np.ndarray, n_planes: int, radius: int, tau: float
+) -> set[tuple[int, int]]:
+    """The q203 candidate scheme at ARBITRARY (planes, radius) — the
+    corpus-scale knobs the lane docstring prices. Same md5-seeded
+    hyperplane family (`_plane_component`), same mutual-top-k + τ-cut
+    contract; used to MEASURE the knob settings' recall instead of
+    trusting the independence pricing (which runs conservative: bucket
+    membership correlates across nearby planes)."""
+    import collections
+
+    from pandamapreduce_spark.plans.similarity import _plane_component
+
+    P = np.array(
+        [[_plane_component(pl, d) for d in range(DIM)] for pl in range(n_planes)]
+    )
+    bits = (V @ P.T) >= 0
+    codes = np.zeros(len(ids), dtype=np.int64)
+    for b in range(n_planes):
+        codes |= bits[:, b].astype(np.int64) << b
+    masks = [0] + [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    if radius >= 3:
+        masks += [
+            (1 << i) | (1 << j) | (1 << k)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+            for k in range(j + 1, n_planes)
+        ]
+    by = collections.defaultdict(list)
+    for r, c in enumerate(codes):
+        by[int(c)].append(r)
+    cos = _sequential_cosine_matrix(V, V)
+    topk: dict[int, set[int]] = {}
+    for r in range(len(ids)):
+        cand = [x for m in masks for x in by.get(int(codes[r]) ^ m, []) if x != r]
+        ranked = sorted(cand, key=lambda x: (-cos[r, x], ids[x]))[:MUTUAL_K]
+        topk[int(ids[r])] = {int(ids[x]) for x in ranked}
+    idx = {int(v): i for i, v in enumerate(ids)}
+    return {
+        (a, b)
+        for a, nbrs in topk.items()
+        for b in nbrs
+        if a < b and a in topk.get(b, set()) and cos[idx[a], idx[b]] >= tau
+    }
+
+
 def measure_recall(
     n_background: int, n_cohorts: int, cohort_size: int, tau: float, seed: int = 42
 ) -> tuple[int, int, float]:
@@ -105,6 +155,23 @@ def test_production_tau_recall_floor():
     n_exact, n_buck, rec = measure_recall(400, 80, 2, tau=0.95)
     assert n_exact >= 30, f"planted regime produced too few τ-edges ({n_exact})"
     assert rec >= 0.90, f"edge recall {rec:.3f} below the production-τ floor"
+
+
+def test_corpus_scale_knob_recall_floor():
+    """The 100 TB knob settings, measured (not just priced): at
+    τ=0.95 planted geometry, 20 planes / radius 2 (2^14× smaller
+    buckets than the shipped 6/2) must clear 0.70 edge recall
+    (measured 0.78 at n=4200, independence pricing 0.67 — the pricing
+    runs conservative because md5-seeded plane responses correlate),
+    and 20 planes / radius 3 must clear 0.85 (measured 0.92, priced
+    0.86)."""
+    ids, V = planted_embeddings(1500, 250, 2, target_cos=0.95)
+    exact = exact_mutual_tau_edges(ids, V, 0.95)
+    assert len(exact) >= 30
+    r2 = general_bucketed_tau_edges(ids, V, 20, 2, 0.95)
+    r3 = general_bucketed_tau_edges(ids, V, 20, 3, 0.95)
+    assert len(exact & r2) / len(exact) >= 0.70
+    assert len(exact & r3) / len(exact) >= 0.85
 
 
 def test_planted_bucketed_edges_every_one_genuine():
