@@ -2012,7 +2012,10 @@ def _bpe_learn(
 # --- q206: BPE encode with the learned merges -------------------------------
 
 
-def _bpe_encode_oracle() -> str:
+def _bpe_enc_dw_parts() -> list[str]:
+    """The learn chain plus the two encode CTEs both encode lanes
+    share: ``enc`` (word type → post-merge symbol count) and ``dw``
+    (per-doc distinct words with occurrence counts)."""
     from pandamapreduce_spark.functions import normalize_text_sql
 
     parts, _, final = _bpe_cte_parts()
@@ -2027,9 +2030,13 @@ def _bpe_encode_oracle() -> str:
         SELECT doc_id, unnest({toks}) AS word FROM documents
       ) GROUP BY doc_id, word
     )""")
+    return parts
+
+
+def _bpe_encode_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_bpe_enc_dw_parts())
         + """
     SELECT d.doc_id,
            cast(sum(d.occ) as bigint) AS n_words,
@@ -2072,28 +2079,134 @@ def q206_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the encode path against a from-scratch Python encoder)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     _, final = _bpe_learn(_bpe_words(docs), need_final=True)
-    enc = final.select(
-        F.regexp_replace("seq", r"[()]", "").alias("word"),
-        F.size(F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\("))
-        .cast("bigint")
-        .alias("n_sym"),
-    )
-    from pandamapreduce_spark.functions import normalize_text
-
-    dw = (
-        docs.select(
-            "doc_id", F.explode(tokens(normalize_text("text"), pattern=" ")).alias("word")
-        )
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
-    )
     return (
-        dw.join(enc, "word")
+        _bpe_doc_words(docs)
+        .join(_bpe_enc_table(final), "word")
         .groupBy("doc_id")
         .agg(
             F.sum("occ").cast("bigint").alias("n_words"),
             F.sum(F.col("occ") * F.length("word")).cast("bigint").alias("n_word_chars"),
             F.sum(F.col("occ") * F.col("n_sym")).cast("bigint").alias("n_bpe_tokens"),
         )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_enc_table(final: DataFrame) -> DataFrame:
+    """(word, n_sym): each word TYPE's post-merge symbol count, with
+    the word recovered from its wrapped sequence (parens only ever
+    come from wrapping — normalized words are [a-z0-9]+)."""
+    return final.select(
+        F.regexp_replace("seq", r"[()]", "").alias("word"),
+        F.size(F.split(F.expr("trim(BOTH '()' FROM seq)"), r"\)\("))
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+
+
+def _bpe_doc_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, occ): per-document distinct words with counts —
+    the map-side-combined reduction of the token stream both encode
+    lanes join against the type table."""
+    from pandamapreduce_spark.functions import normalize_text
+
+    return (
+        docs.select(
+            "doc_id", F.explode(tokens(normalize_text("text"), pattern=" ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+
+
+# --- q208: sequence packing by LEARNED-BPE token counts ---------------------
+
+
+def _bpe_pack_oracle() -> str:
+    parts = _bpe_enc_dw_parts()
+    parts.append("""per AS (
+      SELECT d.doc_id, cast(sum(d.occ * e.n_sym) as bigint) AS n_tokens
+      FROM dw d JOIN enc e USING (word) GROUP BY d.doc_id
+    ),
+    t AS (
+      SELECT doc_id, cast(coalesce(p.n_tokens, 0) as bigint) AS n_tokens
+      FROM documents LEFT JOIN per p USING (doc_id)
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start_offset
+      FROM t
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {PACK_TOKENS} AS pack_first,
+           (start_offset + greatest(n_tokens, 1) - 1) // {PACK_TOKENS} AS pack_last,
+           ((start_offset + greatest(n_tokens, 1) - 1) // {PACK_TOKENS})
+             - (start_offset // {PACK_TOKENS}) + 1 AS n_packs
+    FROM o ORDER BY doc_id"""
+    )
+
+
+@query(
+    "q208_bpe_pack",
+    oracle=_bpe_pack_oracle(),
+    doc=f"Sequence packing by LEARNED-BPE token counts — the tokenizer pipeline's last stage run with its own tokenizer: q206's encoded type table prices every document in post-merge tokens (wordless docs kept at 0 via left join), the shared distributed prefix machinery (`range_prefix`) assigns exact global token offsets, and each doc maps to its {PACK_TOKENS}-token pack span. q90 packs by whitespace tokens (the pre-tokenizer approximation); this lane packs by what the trained model actually consumes. vocab -> merges -> encode -> PACK, all oracle-checked end-to-end.",
+    tags=("training", "packing", "vocab", "iterative"),
+)
+def q208_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GPT-style pretraining batch is sized in TOKENIZER tokens, not
+    whitespace words — packing with q90's whitespace counts missizes
+    every sequence by the corpus's BPE compression ratio. This lane
+    composes the shipped pieces: q206's type-table encode join (per
+    TYPE, never per occurrence) produces per-doc BPE token counts, and
+    the global running sum is the `range_prefix` distributed prefix —
+    range-partition by doc_id, ONE bounded row per range collected,
+    base offsets broadcast back (the flat q100/q189 plan, not a
+    single-partition window, not a when-chain).
+
+    Scale shape: everything before the prefix is q206's audited plan;
+    the prefix adds one range exchange + a {PACK_RANGES}-row driver
+    collect + a broadcast join; pack arithmetic is map-only integer
+    div. Offsets are invariant to range boundaries (range_prefix
+    contract, pytest-pinned there), so cluster-size changes move no
+    pack assignment.
+
+    Exactness: all columns are exact bigints; the oracle reproduces
+    the SAME chained-CTE learn/encode chain plus a window-based prefix
+    — parity proves the distributed prefix rewrite."""
+    from pandamapreduce_spark.operators.prefix import range_prefix
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    _, final = _bpe_learn(_bpe_words(docs), need_final=True)
+    per = (
+        _bpe_doc_words(docs)
+        .join(_bpe_enc_table(final), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("occ") * F.col("n_sym")).cast("bigint").alias("n_tokens"))
+    )
+    t = (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"))
+    )
+    parts, _, _ = range_prefix(t, ["doc_id"], sum_col="n_tokens", ranges=PACK_RANGES)
+    w = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        parts.select(
+            "doc_id",
+            "n_tokens",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_base_sum"))
+            .cast("bigint")
+            .alias("start_offset"),
+        )
+        .withColumn("pack_first", F.expr(f"start_offset div {PACK_TOKENS}"))
+        .withColumn(
+            "pack_last", F.expr(f"(start_offset + greatest(n_tokens, 1) - 1) div {PACK_TOKENS}")
+        )
+        .withColumn("n_packs", F.col("pack_last") - F.col("pack_first") + F.lit(1).cast("bigint"))
         .orderBy("doc_id")
     )

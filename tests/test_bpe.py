@@ -144,6 +144,36 @@ def test_q206_encode_equals_python_reference(spark):
     assert got == expect
 
 
+def test_q208_pack_equals_python_reference(spark):
+    """q208 end-to-end vs from-scratch Python: learn merges, encode
+    each doc, prefix-sum token counts in doc_id order, assign packs —
+    including the distributed-prefix invariance (the reference prefix
+    is a plain sequential scan)."""
+    from pandamapreduce_spark.plans.training import PACK_TOKENS
+
+    counts, doc_words = _corpus_counts()
+    _, seqs = py_bpe(counts, BPE_MERGES)
+    expect = {}
+    offset = 0
+    for doc_id in sorted(doc_words):
+        n = sum(len(seqs[w]) for w in doc_words[doc_id])
+        first = offset // PACK_TOKENS
+        last = (offset + max(n, 1) - 1) // PACK_TOKENS
+        expect[doc_id] = (n, offset, first, last, last - first + 1)
+        offset += n
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_offset"],
+            r["pack_first"],
+            r["pack_last"],
+            r["n_packs"],
+        )
+        for r in REGISTRY["q208_bpe_pack"].build(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
 # --- layer 1b: property form (hypothesis) -----------------------------------
 
 from hypothesis import given, settings
