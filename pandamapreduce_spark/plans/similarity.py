@@ -1225,3 +1225,84 @@ def q203_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     move n·k id pairs."""
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return _semdedup_verdict(spark, sf_dir, _mutual_knn_bucketed(emb))
+
+
+# --- q209: semantic (embedding-level) contamination -------------------------
+
+#: vec_id < SEM_EVAL_VECS plays the benchmark/eval embedding set —
+#: q88's EVAL_DOCS convention carried to the embedding table.
+SEM_EVAL_VECS = 50
+
+
+@query(
+    "q209_semantic_contamination",
+    oracle=f"""
+    WITH pair AS (
+      SELECT t.vec_id, e.vec_id AS eval_id,
+             {cosine_sql("t.embedding", "e.embedding")} AS cos_sim
+      FROM embeddings t JOIN embeddings e
+        ON e.vec_id < {SEM_EVAL_VECS} AND t.vec_id >= {SEM_EVAL_VECS}
+    ),
+    best AS (
+      SELECT vec_id, eval_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos_sim DESC, eval_id) AS rn
+      FROM pair
+    )
+    SELECT vec_id, eval_id, cos_sim FROM best
+    WHERE rn = 1 AND cos_sim >= {SEMDEDUP_TAU}
+    ORDER BY cos_sim DESC, vec_id LIMIT 50
+    """,
+    doc=f"Semantic benchmark-contamination scan — q88's decontamination check at the EMBEDDING level: every train vector's single nearest eval-set vector by exact cosine (ties to the smallest eval id), flagged leaked at cosine >= {SEMDEDUP_TAU}; top-50 leaked train docs by similarity. An n-gram check (q88) misses PARAPHRASED benchmark leakage; this lane is the semantic complement a real decontamination pass runs alongside it, and its keep=false complement is what q106's final-corpus filter anti-joins.",
+    tags=("similarity", "contamination", "pipeline"),
+)
+def q209_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-test leakage survives paraphrase: the benchmark answer
+    reworded shares no 4-gram with the original (invisible to q88) but
+    sits at high embedding cosine. The standard recipe is exactly
+    this scan: score every training document against the eval set's
+    embeddings and drop what lands above a similarity threshold.
+
+    Scale shape (q88's premise, embedding edition): the EVAL side is
+    small by definition — benchmarks are thousands of rows — so it
+    BROADCASTS; the corpus streams once through a broadcast
+    nested-loop join with no corpus shuffle, and the per-train top-1
+    is a partial-aggregable struct-max fold (cos, -eval_id): each
+    corpus partition collapses its |eval| candidate rows per doc to
+    ONE map-side, so the only exchange carries |train| single rows.
+    Contrast q203, where BOTH sides are the corpus and candidates
+    must be bucketed; here brute force is the right plan until the
+    eval set itself is huge, at which point candidate generation
+    swaps to q41/q55 buckets (the q166 discipline). The top-50 report
+    is a TakeOrdered, never a global sort.
+
+    Exactness: cosine is the shared IEEE-pinned fold (one rounded add
+    per dimension, identical in DuckDB's list_dot_product); struct
+    lexicographic max with negated eval id reproduces the oracle's
+    (cos DESC, eval_id ASC) rank-1 row bit-for-bit, float ties (sf1's
+    byte-identical FK copies) broken identically."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    ev = emb.where(F.col("vec_id") < SEM_EVAL_VECS).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    train = emb.where(F.col("vec_id") >= SEM_EVAL_VECS)
+    pair = train.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        F.col("eval_id"),
+        cosine(F.col("embedding"), F.col("e_emb")).alias("cos_sim"),
+    )
+    best = pair.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"), (-F.col("eval_id")).alias("neg"), F.col("eval_id")
+            )
+        ).alias("b")
+    )
+    return (
+        best.select(
+            "vec_id", F.col("b.eval_id").alias("eval_id"), F.col("b.cos_sim").alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(50)
+    )

@@ -209,6 +209,44 @@ def test_spark_bucketed_lane_matches_python_on_planted_geometry(spark):
         assert abs(g[2] - c) < 1e-12
 
 
+def test_q209_semantic_contamination_equals_numpy(spark):
+    """q209 vs a from-scratch numpy reference on the real fixture:
+    exact per-train top-1 eval cosine (IEEE sequential fold), tie to
+    smallest eval id, τ cut, (cos DESC, vec_id) top-50 — and the
+    fixture must produce a NON-VACUOUS leaked set (an empty report
+    would prove nothing about the flag path)."""
+    import pandas as pd
+
+    from pandamapreduce_spark.plans import REGISTRY
+    from pandamapreduce_spark.plans.similarity import (
+        SEM_EVAL_VECS,
+        SEMDEDUP_TAU,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ev = ids < SEM_EVAL_VECS
+    cos = _sequential_cosine_matrix(V[~ev], V[ev])
+    eval_ids = ids[ev]
+    rows = []
+    for i, tid in enumerate(ids[~ev]):
+        order = np.lexsort((eval_ids, -cos[i]))[0]
+        if cos[i, order] >= SEMDEDUP_TAU:
+            rows.append((int(tid), int(eval_ids[order]), float(cos[i, order])))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    expect = rows[:50]
+    assert expect, "fixture produced no leaked train docs — flag path untested"
+    got = [
+        (r.vec_id, r.eval_id, r.cos_sim)
+        for r in REGISTRY["q209_semantic_contamination"].build(spark, SF_DIR).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, g), (_, _, w) in zip(got, expect):
+        assert abs(g - w) < 1e-12
+
+
 SF1_DIR = "/root/repo/.bench/sf1"
 
 
