@@ -130,6 +130,9 @@ def _merge_sidecar(prev: dict, payload: dict) -> dict:
     # them verbatim made the merged record internally inconsistent
     # (ADVICE r6). The raw per-run payload below carries its own.
     out.pop("deltas_vs_prev", None)
+    # a subset re-record's label belongs to the raw run, not to the
+    # merged record (whose queries are the round's full best-of set)
+    out.pop("subset", None)
     return out
 
 
@@ -153,6 +156,31 @@ def _steal_fraction(sample_s: float = 5.0) -> float:
     t1, s1 = _stat_sample()
     dt = t1 - t0
     return (s1 - s0) / dt if dt else 0.0
+
+
+def _triad_gbps(n: int = int(4e7), rounds: int = 3) -> float:
+    """Single-thread DRAM-bandwidth probe (triad a = b + c over a
+    ~1 GB working set, far beyond LLC), recorded as tera preflight
+    provenance. Preallocated ``out=`` + a warm first round, NOT a
+    timed fresh allocation: allocation+page-fault inside the measured
+    region under-reads a healthy host by ~30% (7.8 vs 11.3 GB/s
+    measured back-to-back), which would misattribute every tera run
+    to a 'degraded-bandwidth phase' vs the documented healthy
+    10-11 GB/s range. scripts/host_bandwidth_probe.py delegates here
+    so the methodology can never fork again. Best-of-rounds GB/s."""
+    import numpy as np
+
+    a = np.empty(n)
+    b = np.ones(n)
+    c = np.ones(n)
+    np.add(b, c, out=a)  # warm: touch every page of a before timing
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        np.add(b, c, out=a)
+        dt = time.perf_counter() - t0
+        best = max(best, 3 * n * 8 / dt / 1e9)
+    return round(best, 2)
 
 
 def _preflight_steal_gate(key: str, threshold: float = 0.05, tries: int = 3) -> float:
@@ -187,6 +215,29 @@ def main() -> None:
     spark = get_spark("pandamapreduce-bench")
 
     bench_queries = {name: q for name, q in REGISTRY.items() if q.bench}
+    # Subset re-record (round 9): SPARK_GRAFT_BENCH_ONLY=key1,key2
+    # restricts the run to named bench keys (query names and/or
+    # tera_Ngb_pipeline keys). The host's bandwidth-contention phases
+    # flip within minutes (docs/PERF.md round-9 finding), so the only
+    # way to land the long tera pipelines inside a measured-healthy
+    # window is to re-run JUST them; the sidecar merge keeps per-query
+    # minima across the round either way, and the payload is labeled
+    # with the subset so a partial run can never read as a full one.
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+    if only:
+        known = set(bench_queries) | {
+            f"tera_{g:g}gb_pipeline"
+            for g in (
+                float(x)
+                for x in os.environ.get("SPARK_GRAFT_TERA_SCALES", "1,10").split(",")
+                if x
+            )
+        }
+        unknown = only - known
+        if unknown:
+            # fail loudly: a typo'd subset would otherwise run nothing
+            sys.exit(f"SPARK_GRAFT_BENCH_ONLY unknown keys: {sorted(unknown)}")
+        bench_queries = {n: q for n, q in bench_queries.items() if n in only}
     timings: dict[str, float] = {}
 
     # Warm the JVM/session on a trivial action so q1 isn't charged startup.
@@ -238,8 +289,11 @@ def main() -> None:
     scales_gb = [
         float(x) for x in os.environ.get("SPARK_GRAFT_TERA_SCALES", "1,10").split(",") if x
     ]
+    if only:
+        scales_gb = [g for g in scales_gb if f"tera_{g:g}gb_pipeline" in only]
     hsph: dict[str, float] = {}
     preflight: dict[str, float] = {}
+    preflight_bw: dict[str, float] = {}
     for gb in scales_gb:
         n_tera = int(gb * 1e9) // tera.RECORD_LEN
         parts = max(32, int(32 * gb))  # ~31 MB of records per partition
@@ -248,6 +302,17 @@ def main() -> None:
             # co-tenant steal to dominate the record (r5/r6 evidence:
             # tera_10gb 22.6 s capability recorded at 43-235 s)
             preflight[f"tera_{gb:g}gb"] = round(_preflight_steal_gate(f"tera_{gb:g}gb"), 4)
+            # Round-9 finding (docs/PERF.md): the second, steal-INVISIBLE
+            # noise channel on this host is memory-bandwidth contention.
+            # Record a ~2 s triad probe next to the steal number so a
+            # slow tera record is attributable to a degraded-bandwidth
+            # phase (healthy ~10-11 GB/s single-thread) after the fact.
+            preflight_bw[f"tera_{gb:g}gb"] = _triad_gbps()
+            print(
+                f"# tera_{gb:g}gb: pre-flight triad "
+                f"{preflight_bw[f'tera_{gb:g}gb']:.1f} GB/s",
+                file=sys.stderr,
+            )
         def one_run() -> tuple[float, bool]:
             # Persist the gen stage across the run, as the reference's
             # harness does by materializing teragen output to files
@@ -338,6 +403,8 @@ def main() -> None:
         "deltas_vs_prev": deltas,
         "run_steal": run_steal,
     }
+    if only:
+        payload["subset"] = sorted(timings)
     line = json.dumps(payload)
 
     # Capture-proofing (VERDICT r5 wrong#3): (a) persist the full
@@ -407,6 +474,11 @@ def main() -> None:
                 if alt_pf:
                     alt_out = dict(alt_out)
                     alt_out["tera_preflight_steal"] = alt_pf
+                alt_bw = dict((alt_prev or {}).get("tera_preflight_triad_gbps") or {})
+                alt_bw.update(preflight_bw)
+                if alt_bw:
+                    alt_out = dict(alt_out)
+                    alt_out["tera_preflight_triad_gbps"] = alt_bw
                 with open(alt, "w") as fh:
                     json.dump(alt_out, fh, indent=1)
                     fh.write("\n")
@@ -420,6 +492,14 @@ def main() -> None:
         if merged_pf:
             sided = dict(sided)
             sided["tera_preflight_steal"] = merged_pf
+        # bandwidth provenance, same accumulation rule (separate map:
+        # GB/s and steal fractions must not share a units namespace)
+        merged_bw = dict((prev or {}).get("tera_preflight_triad_gbps") or {})
+        if not sf_mismatch:
+            merged_bw.update(preflight_bw)
+        if merged_bw:
+            sided = dict(sided)
+            sided["tera_preflight_triad_gbps"] = merged_bw
         # whole-run steal history: one entry per recorded run of the
         # round, so per-query minima stay attributable to the host
         # conditions of SOME specific run

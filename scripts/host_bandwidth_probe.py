@@ -31,37 +31,23 @@ Prints one JSON line: {"triad_gbps": ..., "steal_frac": ..., "load1": ...}
 from __future__ import annotations
 
 import json
-import time
+import sys
 
-import numpy as np
+sys.path.insert(0, "/root/repo")
+# Single-source the measurements: bench.py records the same triad +
+# steal numbers as tera preflight provenance, and the two copies had
+# already diverged once (timed fresh allocation vs warmed out= —
+# ~30% apart on a healthy host). bench is import-safe (__main__
+# guard) and importing it starts no JVM.
+from bench import _steal_fraction, _triad_gbps  # noqa: E402
 
 
 def triad_gbps(n: int = int(5e7), rounds: int = 5) -> float:
-    b = np.ones(n)
-    c = np.ones(n)
-    a = np.empty(n)
-    for _ in range(2):  # warm page-in
-        np.add(b, c, out=a)
-    best = 0.0
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        np.add(b, c, out=a)
-        dt = time.perf_counter() - t0
-        best = max(best, 3 * n * 8 / dt / 1e9)
-    return best
+    return _triad_gbps(n, rounds)
 
 
 def steal_fraction(sample_s: float = 5.0) -> float:
-    def read() -> tuple[int, int]:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-        return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
-
-    t0, s0 = read()
-    time.sleep(sample_s)
-    t1, s1 = read()
-    dt = t1 - t0
-    return (s1 - s0) / dt if dt else 0.0
+    return _steal_fraction(sample_s)
 
 
 def main() -> None:
