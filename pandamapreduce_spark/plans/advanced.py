@@ -2940,14 +2940,21 @@ def q198_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic anywhere; the single double per row is the SLA share
     division."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return sla_histogram_report(ship_delay_histogram(spark, sf_dir, li))
+
+
+def ship_delay_histogram(spark: SparkSession, sf_dir: str, li: DataFrame) -> DataFrame:
+    """Shared (priority, delay, c) value-histogram front half — q198
+    (batch) and q207 (streaming twin) differ ONLY in the lineitem
+    source they pass in; the orders-dim join, the delay definition,
+    and the histogram grouping live here so the twins cannot diverge."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("priority")
     )
     d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         "priority", F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay")
     )
-    hist = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    return sla_histogram_report(hist)
+    return d.groupBy("priority", "delay").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
 
 
 def sla_histogram_report(hist: DataFrame) -> DataFrame:

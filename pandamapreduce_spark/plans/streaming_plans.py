@@ -661,16 +661,8 @@ def q207_stream_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     is q198's ``sla_histogram_report`` verbatim — reusing q198's
     oracle UNCHANGED makes the hash gate prove the streaming path
     end-to-end against the batch semantics (the q205 discipline)."""
-    from pandamapreduce_spark.catalog import load_table
-    from pandamapreduce_spark.plans.advanced import sla_histogram_report
+    from pandamapreduce_spark.plans.advanced import ship_delay_histogram, sla_histogram_report
     from pandamapreduce_spark.streaming.lineitem import lineitem_stream
 
-    li = lineitem_stream(spark, sf_dir)
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("priority")
-    )
-    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "priority", F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay")
-    )
-    hist = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = ship_delay_histogram(spark, sf_dir, lineitem_stream(spark, sf_dir))
     return sla_histogram_report(ev.run_to_completion(hist, spark))

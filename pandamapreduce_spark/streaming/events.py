@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandamapreduce_spark.plans.numeric import DEC
+from pandamapreduce_spark.streaming.staging import stage_stream_dir
 
 # The driver has shipped events.ts as TIMESTAMP(NANOS) (readable only
 # as a nanos-long, see session.py nanosAsLong) and as naive
@@ -51,15 +52,8 @@ def _ts_is_nanos(path: str) -> bool:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The file stream source requires a directory; stage a symlink dir
-    # (testdata is read-only). In production this is the landing dir /
-    # Kafka topic.
     src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join("/tmp", "spark_stream_stage", sf_dir.strip("/").replace("/", "_"))
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = stage_stream_dir(sf_dir, "events")
     if _ts_is_nanos(src):
         raw = spark.readStream.schema(_EVENTS_SCHEMA_NANOS).parquet(stage)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -9,9 +9,9 @@ parquet file drives the stream (file source + ``processAllAvailable``)
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+from pandamapreduce_spark.streaming.staging import stage_stream_dir
 
 #: The SLA lane needs only the join key and the ship time; a subset
 #: schema prunes the remaining 9 columns at the parquet scan (the
@@ -22,21 +22,11 @@ _LINEITEM_SLA_SCHEMA = "l_orderkey bigint, l_shipdate timestamp_ntz"
 def lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of shipment rows (l_orderkey, l_shipdate).
 
-    Mirrors ``events.events_stream``'s staging: the file stream source
-    needs a directory and testdata is read-only, so stage a symlink —
-    in a lineitem-SPECIFIC stage dir (each stream source reads its
-    WHOLE directory, so tables can never share one). l_shipdate is
-    naive TIMESTAMP(MICROS) → TIMESTAMP_NTZ, exactly the batch
-    reader's type, so date arithmetic agrees with q198 by
-    construction (no tz re-anchoring: the lane only ever DIFFERENCES
-    two ntz values).
+    Staging via the shared ``stage_stream_dir`` (table-specific dir,
+    dangling-link re-point). l_shipdate is naive TIMESTAMP(MICROS) →
+    TIMESTAMP_NTZ, exactly the batch reader's type, so date arithmetic
+    agrees with q198 by construction (no tz re-anchoring: the lane
+    only ever DIFFERENCES two ntz values).
     """
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    stage = os.path.join(
-        "/tmp", "spark_stream_stage", sf_dir.strip("/").replace("/", "_") + "_lineitem"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "lineitem.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stage = stage_stream_dir(sf_dir, "lineitem")
     return spark.readStream.schema(_LINEITEM_SLA_SCHEMA).parquet(stage)

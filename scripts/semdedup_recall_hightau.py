@@ -26,21 +26,17 @@ from pandamapreduce_spark.plans.similarity import (  # noqa: E402
 from tests.test_round9 import measure_recall  # noqa: E402
 
 
-def priced_recall(tau: float) -> float:
+def priced_at(n_planes: int, radius: int, tau: float) -> float:
     """P(Hamming distance of the 2 codes <= radius) under independent
     hyperplanes: per-bit disagreement p = theta/pi."""
     p = math.acos(tau) / math.pi
     return sum(
-        math.comb(SEMDEDUP_PLANES, d) * p**d * (1 - p) ** (SEMDEDUP_PLANES - d)
-        for d in range(SEMDEDUP_RADIUS + 1)
-    )
-
-
-def priced_at(n_planes: int, radius: int, tau: float) -> float:
-    p = math.acos(tau) / math.pi
-    return sum(
         math.comb(n_planes, d) * p**d * (1 - p) ** (n_planes - d) for d in range(radius + 1)
     )
+
+
+def priced_recall(tau: float) -> float:
+    return priced_at(SEMDEDUP_PLANES, SEMDEDUP_RADIUS, tau)
 
 
 def main() -> None:

@@ -288,3 +288,44 @@ def test_stream_ship_sla_parity_on_both_state_store_backends(spark):
         finally:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
         assert got == batch, provider
+
+
+def test_stage_stream_dir_repoints_dangling_and_wrong_target(tmp_path):
+    """A dangling staged symlink passes ``not exists`` but still blocks
+    ``os.symlink`` (FileExistsError) — the staging helper must re-point
+    it instead of crashing every stream build until the stage dir is
+    hand-deleted; same for a link left behind by a RELOCATED fixture."""
+    from pandamapreduce_spark.streaming.staging import stage_stream_dir
+
+    sf_a = tmp_path / "a" / "sf9"
+    sf_b = tmp_path / "b" / "sf9"
+    for d in (sf_a, sf_b):
+        os.makedirs(d)
+        (d / "events.parquet").write_bytes(b"PAR1")
+
+    stage = stage_stream_dir(str(sf_a), "events")
+    link = os.path.join(stage, "events.parquet")
+    assert os.path.realpath(link) == os.path.realpath(str(sf_a / "events.parquet"))
+
+    # fixture deleted -> dangling link -> next build must re-point, not raise
+    shutil.rmtree(sf_a)
+    os.makedirs(sf_a)
+    (sf_a / "events.parquet").write_bytes(b"PAR1")
+    assert stage_stream_dir(str(sf_a), "events") == stage
+    assert os.path.realpath(link) == os.path.realpath(str(sf_a / "events.parquet"))
+
+    # link left pointing at a path that no longer exists ANYWHERE
+    # (fixture regenerated under a new mount): lexists-true,
+    # exists-false — the exact FileExistsError trap
+    os.unlink(link)
+    os.symlink(str(tmp_path / "gone" / "events.parquet"), link)
+    assert not os.path.exists(link) and os.path.lexists(link)
+    assert stage_stream_dir(str(sf_a), "events") == stage
+    assert os.path.realpath(link) == os.path.realpath(str(sf_a / "events.parquet"))
+
+    # different sf_dir -> its own stage dir, never shared
+    stage_b = stage_stream_dir(str(sf_b), "events")
+    assert stage_b != stage
+    # same stage dir, different table -> also its own dir
+    (sf_b / "lineitem.parquet").write_bytes(b"PAR1")
+    assert stage_stream_dir(str(sf_b), "lineitem") != stage_b
