@@ -53,7 +53,14 @@ from pandamapreduce_spark.plans import REGISTRY
 #: landing). Windowing either would crowd out the r4/r5-stale
 #: rotation (VERDICT r8 #3); both stay covered by pytest + the
 #: full-registry emulation. q206/q207 take the window's head as
-#: never-green.
+#: never-green. Late round 9, same class (hash-verified pure, kept
+#: out of the window for the same reason): q198's histogram front
+#: half moved into the shared `ship_delay_histogram` (identical ops,
+#: oracle unchanged, re-MATCHed at sf0.01 in a targeted emulation AND
+#: the post-change 209/209 full sweep), and every streaming lane's
+#: source staging moved to `streaming/staging.py::stage_stream_dir`
+#: (plan-identical — only the symlink bookkeeping changed; q60/q61/
+#: q198/q205/q207 re-MATCHed targeted, full registry re-swept green).
 _WINDOW_OVERRIDE: list[str] = []
 
 
