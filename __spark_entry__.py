@@ -61,7 +61,24 @@ from pandamapreduce_spark.plans import REGISTRY
 #: source staging moved to `streaming/staging.py::stage_stream_dir`
 #: (plan-identical — only the symlink bookkeeping changed; q60/q61/
 #: q198/q205/q207 re-MATCHed targeted, full registry re-swept green).
-_WINDOW_OVERRIDE: list[str] = []
+#: Final round-9 change that DOES take window rows (the q185-in-r8
+#: precedent — ORACLE TEXT changed): the q166/q183/q203 oracles'
+#: ranked all-pairs window is now query-sharded into a UNION ALL of
+#: 16 disjoint `vec_id % 16` branches (value-identical by
+#: construction — ranks are per-query and the per-pair cosine
+#: expression is unchanged; proven identical old-vs-new in DuckDB at
+#: sf0.001/0.01 for all three and at sf0.1 for q166) so the oracle
+#: streams instead of materializing 4e8 pairs — this closes the
+#: documented q166/q183/q203 sf1 oracle exclusions (SF1_PARITY.md).
+#: q136's oracle got the same treatment (wedge join sharded by hub,
+#: e/deg/oe MATERIALIZED; identical results at sf0.01/sf0.1, 17-26x
+#: faster, and in-budget at sf1 where the monolithic form spilled).
+_WINDOW_OVERRIDE: list[str] = [
+    "q136_triangle_count",
+    "q166_mutual_knn",
+    "q183_semdedup",
+    "q203_semdedup_bucketed",
+]
 
 
 def _ledger_green_rounds() -> dict[str, int]:

@@ -687,17 +687,44 @@ def _knn_blocked(emb: DataFrame) -> DataFrame:
 
 
 
+#: Query-side shard count for the all-pairs ranked-window ORACLES
+#: (q166 and q203's bucketed twin). One monolithic window over the
+#: n^2 pair stream makes DuckDB materialize every pair before ranking
+#: — at sf1 (20k vectors, 4x10^8 pairs) that spilled past the host's
+#: 79 GB free disk and was the documented q166/q183/q203 sf1
+#: exclusion. Sharding the QUERY side into disjoint `vec_id % S`
+#: branches is value-identical (ranks are per-query; partitions are
+#: disjoint across shards; the per-pair cosine expression is
+#: unchanged) and bounds each branch's window at 1/S of the pairs —
+#: measured 634 s -> 8.9 s at sf0.1 and in-budget at sf1. Same
+#: unrolled-oracle discipline as q54's iterations / q169's hops.
+_ORACLE_KNN_SHARDS = 16
+
+
+def _allpairs_knn_ranked_sql() -> str:
+    """The directed exact cosine top-K subquery, query-sharded (see
+    `_ORACLE_KNN_SHARDS`). Emits the UNION ALL text that replaces the
+    single ranked window over `embeddings a JOIN embeddings b`."""
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return "\n        UNION ALL\n".join(
+        f"""
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {cos} AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % {_ORACLE_KNN_SHARDS} = {s}"""
+        for s in range(_ORACLE_KNN_SHARDS)
+    )
+
+
 @query(
     "q166_mutual_knn",
     bench=True,  # per-round signal for the Arrow block-product kernel
     oracle=f"""
     WITH knn AS (
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               {cosine_sql("a.embedding", "b.embedding")} AS cos_sim,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY {cosine_sql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      {_allpairs_knn_ranked_sql()}
       ) WHERE rank <= {MUTUAL_K}
     )
     SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
@@ -977,21 +1004,34 @@ def _semdedup_bucketed_mutual_sql() -> str:
     probes = ", ".join(
         f"xor(bucket, {m})" for m in _probe_masks(SEMDEDUP_PLANES, SEMDEDUP_RADIUS)
     )
+    cos = cosine_sql("q.embedding", "c.embedding")
+    # Query-side sharding of the ranked window, same reasoning and
+    # shard count as q166's exact oracle (`_ORACLE_KNN_SHARDS`): the
+    # bucketed candidate set at sf1 is ~1.4e8 pairs and a monolithic
+    # window spilled past the host disk. b/probes are MATERIALIZED so
+    # the 16 branches share one bucket computation (q169's CTE-hint
+    # lesson) instead of inlining it per branch.
+    ranked = "\n        UNION ALL\n".join(
+        f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos} AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, c.vec_id) AS rank
+        FROM probes q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % {_ORACLE_KNN_SHARDS} = {s}"""
+        for s in range(_ORACLE_KNN_SHARDS)
+    )
     return f"""
-    WITH b AS (
+    WITH b AS MATERIALIZED (
       SELECT vec_id, embedding, {_bucket_sql("embedding", SEMDEDUP_PLANES)} AS bucket
       FROM embeddings
     ),
-    probes AS (
+    probes AS MATERIALIZED (
       SELECT vec_id, embedding, unnest([{probes}]) AS probe FROM b
     ),
     knn AS (
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {cosine_sql("q.embedding", "c.embedding")} AS cos_sim,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY {cosine_sql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
-        FROM probes q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+      {ranked}
       ) WHERE rank <= {MUTUAL_K}
     )
     SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,

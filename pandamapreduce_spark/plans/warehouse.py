@@ -745,6 +745,30 @@ def q137_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q136: triangle counting (degree-oriented wedge join) -----------------
 
 
+def _wedge_shards_sql(shards: int = 16) -> str:
+    """The q136 oracle's wedge join + closure count, sharded by the
+    wedge HUB (`e1.src % shards`) into a UNION ALL of per-shard
+    COUNTs summed by the caller — value-identical (each wedge has
+    exactly one hub, so shards partition the wedge set) while
+    bounding any one hash join's probe stream at ~1/shards of the
+    ~4e8 sf1 wedges. One monolithic wedge join made DuckDB spill past
+    the host disk at sf1 (the documented q136 SF1_PARITY exclusion —
+    same fix as q166's sharded ranked window). e/deg/oe are
+    MATERIALIZED so the branches share one edge orientation."""
+    return "\n        UNION ALL\n".join(
+        f"""
+        SELECT cast(count(*) as bigint) AS tri_s
+        FROM (
+          SELECT e1.dst AS b, e2.dst AS c
+          FROM oe e1 JOIN oe e2
+            ON e1.src = e2.src
+           AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+          WHERE e1.src % {shards} = {s}
+        ) w JOIN oe ON oe.src = w.b AND oe.dst = w.c"""
+        for s in range(shards)
+    )
+
+
 @query(
     "q136_triangle_count",
     bench=True,  # per-round signal for the edge-iterator triangle census
@@ -755,28 +779,26 @@ def q137_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
       ) WHERE sz <= {MAX_BASKET}
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT DISTINCT a.pk AS u, b.pk AS v
       FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, cast(count(*) as bigint) AS d FROM (
         SELECT u AS node FROM e UNION ALL SELECT v FROM e
       ) GROUP BY node
     ),
-    oe AS (
+    oe AS MATERIALIZED (
       SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
              CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst,
              CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS dd
       FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
     ),
-    w AS (
-      SELECT e1.dst AS b, e2.dst AS c
-      FROM oe e1 JOIN oe e2
-        ON e1.src = e2.src
-       AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
-    ),
-    t AS (SELECT cast(count(*) as bigint) AS tri FROM w JOIN oe ON oe.src = w.b AND oe.dst = w.c)
+    t AS (
+      SELECT cast(sum(tri_s) as bigint) AS tri FROM (
+        {_wedge_shards_sql()}
+      )
+    )
     SELECT (SELECT cast(count(*) as bigint) FROM deg) AS n_nodes,
            (SELECT cast(count(*) as bigint) FROM e) AS n_edges,
            t.tri AS n_triangles,

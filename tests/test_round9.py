@@ -273,3 +273,110 @@ def test_q203_equals_q183_verdict_at_sf1(spark):
     buck = canon(REGISTRY["q203_semdedup_bucketed"].build(spark, SF1_DIR).collect())
     assert len(exact) >= 10_000, "sf1 regime unexpectedly sparse — parity would be vacuous"
     assert buck == exact
+
+
+# --- sharded ranked-window oracles (q166/q183/q203 sf1 exclusion closure) ---
+
+
+def test_sharded_knn_oracle_equals_monolithic_window():
+    """The q166/q183/q203 oracles' all-pairs ranked window is sharded
+    into a UNION ALL of `vec_id % {S}` branches so DuckDB streams
+    1/S-sized windows instead of materializing 4e8 pairs at sf1 (the
+    documented SF1_PARITY exclusions). Sharding is value-identical BY
+    CONSTRUCTION — ranks are per-query, shards partition the query
+    side, the per-pair cosine expression is unchanged — and this test
+    pins that: the shipped sharded q166 oracle must equal the
+    monolithic single-window form row-for-row (and q203's bucketed
+    twin likewise) on the driver fixture."""
+    import duckdb
+
+    from pandamapreduce_spark.functions.vector import cosine_sql
+    from pandamapreduce_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    cos = cosine_sql("a.embedding", "b.embedding")
+    monolithic = f"""
+    WITH knn AS (
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {cos} AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rank <= {MUTUAL_K}
+    )
+    SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
+           f.rank AS rank_ab, r.rank AS rank_ba, f.cos_sim
+    FROM knn f JOIN knn r
+      ON f.query_id = r.neighbor_id AND f.neighbor_id = r.query_id
+    WHERE f.query_id < f.neighbor_id
+    ORDER BY vec_a, vec_b
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sharded = con.sql(REGISTRY["q166_mutual_knn"].oracle).fetchall()
+    assert len(sharded) > 0
+    assert sharded == con.sql(monolithic).fetchall()
+    # the shipped sharded text really is sharded (not a silent revert)
+    assert REGISTRY["q166_mutual_knn"].oracle.count("UNION ALL") == 15
+    assert REGISTRY["q203_semdedup_bucketed"].oracle.count("UNION ALL") >= 15
+
+
+def test_sharded_wedge_oracle_equals_monolithic():
+    """Same pin for q136: the sharded-by-hub wedge census must equal
+    the monolithic wedge join + closure count on the driver fixture
+    (per-shard COUNTs sum to the global triangle count because every
+    wedge has exactly one hub)."""
+    import duckdb
+
+    from pandamapreduce_spark.plans.registry import REGISTRY
+    from pandamapreduce_spark.plans.warehouse import MAX_BASKET
+    from tests.conftest import SF_DIR
+
+    monolithic = f"""
+    WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS sz FROM items0
+      ) WHERE sz <= {MAX_BASKET}
+    ),
+    e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, cast(count(*) as bigint) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    oe AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS dd
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    w AS (
+      SELECT e1.dst AS b, e2.dst AS c
+      FROM oe e1 JOIN oe e2
+        ON e1.src = e2.src
+       AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+    ),
+    t AS (SELECT cast(count(*) as bigint) AS tri FROM w JOIN oe ON oe.src = w.b AND oe.dst = w.c)
+    SELECT (SELECT cast(count(*) as bigint) FROM deg) AS n_nodes,
+           (SELECT cast(count(*) as bigint) FROM e) AS n_edges,
+           t.tri AS n_triangles,
+           (SELECT cast(sum(d * (d - 1)) / 2 as bigint) FROM deg) AS n_wedges,
+           CASE WHEN (SELECT sum(d * (d - 1)) FROM deg) = 0 THEN cast(0 as double)
+                ELSE cast(6 * t.tri as double) / cast((SELECT sum(d * (d - 1)) FROM deg) as double)
+           END AS global_cc
+    FROM t
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    sharded = con.sql(REGISTRY["q136_triangle_count"].oracle).fetchall()
+    assert len(sharded) == 1 and sharded[0][2] >= 0
+    assert sharded == con.sql(monolithic).fetchall()
