@@ -704,16 +704,27 @@ _ORACLE_KNN_SHARDS = 16
 def _allpairs_knn_ranked_sql() -> str:
     """The directed exact cosine top-K subquery, query-sharded (see
     `_ORACLE_KNN_SHARDS`). Emits the UNION ALL text that replaces the
-    single ranked window over `embeddings a JOIN embeddings b`."""
+    single ranked window over `embeddings a JOIN embeddings b`.
+
+    cos_sim is PRE-PROJECTED in an inner subquery and the window
+    orders by the COLUMN: with the raw expression in ORDER BY, DuckDB
+    carries both 64-dim embedding arrays (~1 KB/pair) into the window
+    materialization — that, not the pair count alone, is what spilled
+    past the host disk at sf1. The projected form is value-identical
+    (same expression, evaluated once per pair) with a 24-byte window
+    row."""
     cos = cosine_sql("a.embedding", "b.embedding")
     return "\n        UNION ALL\n".join(
         f"""
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               {cos} AS cos_sim,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY {cos} DESC, b.vec_id) AS rank
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        WHERE a.vec_id % {_ORACLE_KNN_SHARDS} = {s}"""
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {cos} AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % {_ORACLE_KNN_SHARDS} = {s}
+        )"""
         for s in range(_ORACLE_KNN_SHARDS)
     )
 
@@ -722,7 +733,7 @@ def _allpairs_knn_ranked_sql() -> str:
     "q166_mutual_knn",
     bench=True,  # per-round signal for the Arrow block-product kernel
     oracle=f"""
-    WITH knn AS (
+    WITH knn AS MATERIALIZED (
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
       {_allpairs_knn_ranked_sql()}
       ) WHERE rank <= {MUTUAL_K}
@@ -1008,17 +1019,23 @@ def _semdedup_bucketed_mutual_sql() -> str:
     # Query-side sharding of the ranked window, same reasoning and
     # shard count as q166's exact oracle (`_ORACLE_KNN_SHARDS`): the
     # bucketed candidate set at sf1 is ~1.4e8 pairs and a monolithic
-    # window spilled past the host disk. b/probes are MATERIALIZED so
-    # the 16 branches share one bucket computation (q169's CTE-hint
-    # lesson) instead of inlining it per branch.
+    # window spilled past the host disk. cos_sim is pre-projected so
+    # the window row is 24 bytes, not two 64-dim arrays (see
+    # `_allpairs_knn_ranked_sql`); b/probes/knn are MATERIALIZED so
+    # the 16 branches share one bucket computation and the
+    # reciprocity self-join doesn't recompute the union (q169's
+    # CTE-hint lesson).
     ranked = "\n        UNION ALL\n".join(
         f"""
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {cos} AS cos_sim,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY {cos} DESC, c.vec_id) AS rank
-        FROM probes q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
-        WHERE q.vec_id % {_ORACLE_KNN_SHARDS} = {s}"""
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos} AS cos_sim
+          FROM probes q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % {_ORACLE_KNN_SHARDS} = {s}
+        )"""
         for s in range(_ORACLE_KNN_SHARDS)
     )
     return f"""
@@ -1029,7 +1046,7 @@ def _semdedup_bucketed_mutual_sql() -> str:
     probes AS MATERIALIZED (
       SELECT vec_id, embedding, unnest([{probes}]) AS probe FROM b
     ),
-    knn AS (
+    knn AS MATERIALIZED (
       SELECT query_id, neighbor_id, cos_sim, rank FROM (
       {ranked}
       ) WHERE rank <= {MUTUAL_K}

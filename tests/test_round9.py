@@ -255,13 +255,15 @@ SF1_DIR = "/root/repo/.bench/sf1"
     reason="sf1-scale run (~30 s); opt in with SPARK_GRAFT_SF1_PARITY=1",
 )
 def test_q203_equals_q183_verdict_at_sf1(spark):
-    """q203's sf1 ORACLE is excluded by DuckDB spill (SF1_PARITY.md),
-    so pin the exclusion with a spark-vs-spark equality instead of
-    prose (VERDICT r8 #2): at sf1 the FK-copy fixture's duplicate
-    vectors are byte-identical → always co-bucketed → the bucketed
-    path cannot miss a true-duplicate edge, and the full verdict
-    frame (cluster, n_chars, keep) must equal q183's exact contract
-    row-for-row."""
+    """Spark-vs-spark sf1 equality of the bucketed and exact SemDeDup
+    verdicts (VERDICT r8 #2). Originally this pinned q203's sf1
+    ORACLE exclusion; that exclusion was CLOSED later in round 9 (the
+    sharded-window oracle MATCHes at sf1, SF1_PARITY.md) — the test
+    stays because the cross-lane invariant is stronger than either
+    oracle run: at sf1 the FK-copy fixture's duplicate vectors are
+    byte-identical → always co-bucketed → the bucketed path cannot
+    miss a true-duplicate edge, and the full verdict frame (cluster,
+    n_chars, keep) must equal q183's exact contract row-for-row."""
     from pandamapreduce_spark.plans import REGISTRY
 
     if not os.path.exists(f"{SF1_DIR}/embeddings.parquet"):
