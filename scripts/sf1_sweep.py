@@ -40,6 +40,19 @@ from pandamapreduce_spark.session import get_spark  # noqa: E402
 #: — no engine should materialize it (docs/SF1_PARITY.md).
 SEMANTIC_EXCLUSIONS = {"q147_set_similarity_join"}
 
+#: Lanes whose ORACLE VALIDITY is bounded by a documented exactness
+#: regime that the 10x PERF fixture exceeds (SF1_PARITY.md r5 notes
+#: these were deliberately excluded from sf1 gating from the start):
+#: q64 — sparse-mode HLL is the exact answer only below ~12k distinct
+#: (fixtures <= 1.5k; sf1 is 10x past it, so the estimate lawfully
+#: diverges from DuckDB's exact count); q66 — the GK summary is exact
+#: only while per-group n < 50k; q59 — the oracle is a per-fixture
+#: PINNED literal row (exp/ln ulp divergence rules out a computed
+#: cross-engine oracle), so it only exists for the driver fixtures.
+#: Their behavior at scale is covered by the error-bound pytests
+#: (tests/test_sketches.py) and q59's determinism/monotonicity tests.
+REGIME_EXCLUSIONS = {"q59_gmm_em", "q64_sketch_distinct_rollup", "q66_approx_quantiles"}
+
 
 def canon(df, places=6):
     df = df[sorted(df.columns)]
@@ -92,12 +105,27 @@ def main() -> None:
     ap.add_argument("sf_dir", nargs="?", default="/root/repo/.bench/sf1")
     ap.add_argument("--budget", type=float, default=300.0)
     ap.add_argument("--out", default="/root/repo/docs/sf1_sweep.jsonl")
+    ap.add_argument(
+        "--retry-over-budget",
+        action="store_true",
+        help="re-run names whose recorded status is OVER_BUDGET (their "
+        "old rows are dropped from the JSONL first); use with a higher "
+        "--budget on a quiet host",
+    )
     args = ap.parse_args()
 
     done_names = set()
     if os.path.exists(args.out):
         with open(args.out) as f:
-            done_names = {json.loads(line)["name"] for line in f if line.strip()}
+            rows = [json.loads(line) for line in f if line.strip()]
+        if args.retry_over_budget:
+            keep = [r for r in rows if r.get("status") != "OVER_BUDGET"]
+            if len(keep) != len(rows):
+                with open(args.out, "w") as f:
+                    for r in keep:
+                        f.write(json.dumps(r) + "\n")
+                rows = keep
+        done_names = {r["name"] for r in rows}
 
     spark = get_spark("sf1-sweep")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
@@ -108,6 +136,11 @@ def main() -> None:
             rec = {"name": name, "sf_dir": args.sf_dir}
             if name in SEMANTIC_EXCLUSIONS:
                 rec["status"] = "EXCLUDED_FIXTURE_SEMANTICS"
+                out.write(json.dumps(rec) + "\n")
+                out.flush()
+                continue
+            if name in REGIME_EXCLUSIONS:
+                rec["status"] = "EXCLUDED_EXACTNESS_REGIME"
                 out.write(json.dumps(rec) + "\n")
                 out.flush()
                 continue
