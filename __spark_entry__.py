@@ -73,7 +73,14 @@ from pandamapreduce_spark.plans import REGISTRY
 #: q136's oracle got the same treatment (wedge join sharded by hub,
 #: e/deg/oe MATERIALIZED; identical results at sf0.01/sf0.1, 17-26x
 #: faster, and in-budget at sf1 where the monolithic form spilled).
+#: q83 is the round's one REAL cross-engine bug, caught by the new
+#: full-registry sf1 sweep: the RANGE frame keyed Spark-side on
+#: truncated seconds (unix_timestamp) vs DuckDB's fractional epoch —
+#: the engines disagreed on same-user events < 1 s apart, a regime no
+#: driver fixture reaches. Both sides now key on exact integer epoch
+#: MICROSECONDS; re-MATCHed at sf0.001/0.01/0.1/sf1.
 _WINDOW_OVERRIDE: list[str] = [
+    "q83_range_frame_window",
     "q136_triangle_count",
     "q166_mutual_knn",
     "q183_semdedup",

@@ -78,26 +78,37 @@ def q82_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER w AS n_last_hour,
            cast(sum(cast(value as decimal(18,6))) OVER w as double) AS sum_last_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY event_id
     """,
-    doc="Time-RANGE window frame: per-user trailing 1-hour count/sum (peers included by event time, not row position).",
+    doc="Time-RANGE window frame: per-user trailing 1-hour count/sum (peers included by event time, not row position); the frame key is exact integer epoch MICROSECONDS on both engines.",
     tags=("window", "timeseries"),
 )
 def q83_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE (not ROWS) frame over epoch seconds: simultaneous events
-    are frame peers, so the result is partitioning- and tie-order-
-    independent. One shuffle on user_id; the frame is a sliding scan
-    within each sorted partition."""
+    """RANGE (not ROWS) frame over exact epoch MICROSECONDS:
+    simultaneous events are frame peers, so the result is
+    partitioning- and tie-order-independent. One shuffle on user_id;
+    the frame is a sliding scan within each sorted partition.
+
+    The frame key must be the same exact integer on both engines:
+    the original second-granularity form (`unix_timestamp` vs
+    DuckDB's fractional `epoch`) silently disagreed on events less
+    than a second apart — Spark truncated them into RANGE peers,
+    DuckDB's exact fractions kept them 59 ms apart and outside the
+    boundary. The driver fixtures never place two same-user events
+    inside one second so all three MATCHed; the round-9 full-registry
+    sf1 sweep caught it (one base row × 10 FK copies). unix_micros /
+    epoch_us are the lossless keys (the fixture's parquet is
+    microsecond-precision after load_table's NANOS bridge)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
     )
     return (
         ev.select(
