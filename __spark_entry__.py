@@ -79,7 +79,13 @@ from pandamapreduce_spark.plans import REGISTRY
 #: the engines disagreed on same-user events < 1 s apart, a regime no
 #: driver fixture reaches. Both sides now key on exact integer epoch
 #: MICROSECONDS; re-MATCHed at sf0.001/0.01/0.1/sf1.
+#: q35's default strategy is now the cogrouped Arrow block grid (the
+#: sweep exposed the HOF label join collapsing to ~2 AQE-coalesced
+#: tasks at sf1 — 35+ min for seconds of numpy); bitwise-identical
+#: output (planted-geometry strategy-equality pytest + sf0.01/0.1
+#: re-MATCH + sf1 sweep row), windowed anyway as a default-plan swap.
 _WINDOW_OVERRIDE: list[str] = [
+    "q35_embedding_neardup",
     "q83_range_frame_window",
     "q136_triangle_count",
     "q166_mutual_knn",

@@ -365,6 +365,53 @@ def q34b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sub-block grid width for q35's blocked strategy: each label's pair
+#: scan splits into EMB_PAIR_BLOCKS^2 cogrouped Arrow tasks.
+EMB_PAIR_BLOCKS = 4
+
+
+def _emb_pairs_pdf(a_pdf, b_pdf, tau: float = 0.93):
+    """One Arrow task of q35's blocked pair scan: every (left, right)
+    pair with left.vec_id < right.vec_id and cosine >= tau. Cosine is
+    the q166 kernel's exact IEEE sequence (float32 -> float64 casts,
+    one correctly-rounded add per dimension, cos = dot/(na*nb) with
+    the identical two roundings) so the emitted values are bitwise
+    equal to the JVM HOF fold and DuckDB's list_dot_product."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+    )
+    if a_pdf.empty or b_pdf.empty:
+        return empty
+    A = np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+    B = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
+    aid = a_pdf["vec_id"].to_numpy()
+    bid = b_pdf["vec_id"].to_numpy()
+    dot = np.zeros((len(aid), len(bid)))
+    na = np.zeros(len(aid))
+    nb = np.zeros(len(bid))
+    for d in range(A.shape[1]):  # sequential fold, one rounded add per step
+        dot += A[:, d, None] * B[None, :, d]
+        na += A[:, d] * A[:, d]
+        nb += B[:, d] * B[:, d]
+    na, nb = np.sqrt(na), np.sqrt(nb)
+    denom = na[:, None] * nb[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom > 0, dot / denom, 0.0)
+    ii, jj = np.nonzero((aid[:, None] < bid[None, :]) & (cos >= tau))
+    if not len(ii):
+        return empty
+    return pd.DataFrame(
+        {
+            "vec_a": aid[ii].astype("int64"),
+            "vec_b": bid[jj].astype("int64"),
+            "cos_sim": cos[ii, jj],
+        }
+    )
+
+
 @query(
     "q35_embedding_neardup",
     oracle=f"""
@@ -378,19 +425,64 @@ def q34b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-dup: label-blocked pair scan, cosine >= 0.93.",
     tags=("dedup", "embedding"),
 )
-def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_embedding_neardup(
+    spark: SparkSession, sf_dir: str, strategy: str = "blocked"
+) -> DataFrame:
     """Scale: blocking on label turns O(n²) into Σ O(n_b²); for real
     corpora the block key is an LSH bucket (q41) — same plan shape.
-    Cosine is the bitwise-reproducible fold from ``functions.vector``."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.93)
-        .orderBy("vec_a", "vec_b")
+
+    Two strategies, identical frame (pytest-pinned, the q166
+    discipline): ``hof`` is the original codegen label self-join —
+    correct but a scale trap the round-9 full-registry sf1 sweep
+    exposed: with 10 labels the join's effective parallelism is the
+    label-bucket count, AQE's coalesce then merges those partitions
+    BY INPUT BYTES (20k embedding rows look tiny) into ~2 tasks, and
+    the ~44M per-pair HOF cosine folds that EXPLODE INSIDE the join
+    grind near-single-threaded — 35+ min at sf1 for what is seconds
+    of numpy arithmetic. ``blocked`` (default) splits each label into
+    an EMB_PAIR_BLOCKS x EMB_PAIR_BLOCKS cogroup grid keyed
+    (label, left vec_id%B, right vec_id%B) — each unordered pair
+    meets in exactly ONE task (the left<right filter dedups the p=q
+    diagonal), tasks are labels x B^2, and the per-task cosine matrix
+    is the q166 kernel's bitwise IEEE fold (``_emb_pairs_pdf``), so
+    the emitted values are unchanged."""
+    return _emb_neardup_pairs(load_table(spark, sf_dir, "embeddings"), strategy)
+
+
+def _emb_neardup_pairs(emb: DataFrame, strategy: str = "blocked") -> DataFrame:
+    """q35's pair scan over any (vec_id, embedding, label) frame —
+    split out so the strategy-equality pytest can feed a PLANTED
+    high-similarity frame (the driver fixtures are near-isotropic and
+    emit zero >= 0.93 pairs there, which would make the equality
+    vacuous)."""
+    if strategy == "hof":
+        a, b = emb.alias("a"), emb.alias("b")
+        cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+        return (
+            a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos_sim"))
+            .where(F.col("cos_sim") >= 0.93)
+            .orderBy("vec_a", "vec_b")
+        )
+    nb_lit = F.lit(EMB_PAIR_BLOCKS)
+    partners = F.array(*[F.lit(i) for i in range(EMB_PAIR_BLOCKS)])
+    own = (F.col("vec_id") % nb_lit).cast("int")  # q166's type lesson: the
+    # cogroup key must be the same TYPE on both sides
+    a_tag = emb.select(
+        "vec_id", "embedding", "label", own.alias("ba"), F.explode(partners).alias("bb")
     )
+    b_tag = emb.select(
+        "vec_id", "embedding", "label", F.explode(partners).alias("ba"), own.alias("bb")
+    )
+    pairs = (
+        a_tag.groupBy("label", "ba", "bb")
+        .cogroup(b_tag.groupBy("label", "ba", "bb"))
+        .applyInPandas(
+            lambda left, right: _emb_pairs_pdf(left, right),
+            schema="vec_a long, vec_b long, cos_sim double",
+        )
+    )
+    return pairs.orderBy("vec_a", "vec_b")
 
 
 # --- q116: incremental (delta-vs-base) near-dup ---------------------------

@@ -38,6 +38,10 @@ from pandamapreduce_spark.session import get_spark  # noqa: E402
 #: the FK-copy fixture replicates every document 10x byte-identically,
 #: so q147's TRUE pair count itself grows quadratically (~700M pairs)
 #: — no engine should materialize it (docs/SF1_PARITY.md).
+#: (q34b was briefly suspected of joining this class — its per-token
+#: SimHash is rotation-invariant, so the FK copies share fingerprints
+#: — but its bucket caps, mirrored in the oracle, bound the blowup:
+#: MATCH at sf1 in 9.7 s Spark / 32 s oracle, 119,520 pairs.)
 SEMANTIC_EXCLUSIONS = {"q147_set_similarity_join"}
 
 #: Lanes whose ORACLE VALIDITY is bounded by a documented exactness

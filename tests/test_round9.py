@@ -382,3 +382,31 @@ def test_sharded_wedge_oracle_equals_monolithic():
     sharded = con.sql(REGISTRY["q136_triangle_count"].oracle).fetchall()
     assert len(sharded) == 1 and sharded[0][2] >= 0
     assert sharded == con.sql(monolithic).fetchall()
+
+
+def test_q35_blocked_equals_hof_on_planted_geometry(spark):
+    """q35's blocked cogroup-grid strategy vs the original HOF label
+    self-join, on a planted high-similarity frame (the driver
+    fixtures are near-isotropic and both strategies emit ZERO >= 0.93
+    pairs there — equality would be vacuous; at sf1 only the blocked
+    path is practical, which is the point of the strategy). Pairs,
+    ids, and bitwise cosines must agree, and the planted cohorts must
+    produce a non-trivial pair count."""
+    from pandamapreduce_spark.plans.dedup import _emb_neardup_pairs
+
+    ids, V = planted_embeddings(120, 25, 3, target_cos=0.96, seed=7)
+    emb = spark.createDataFrame(
+        [
+            # label = i//3 % 5: cohort members are CONSECUTIVE ids, so
+            # integer-dividing by the cohort size keeps each planted
+            # cohort inside one label block (i % 5 scattered them and
+            # produced zero same-label pairs — vacuous again)
+            (int(i), [float(x) for x in np.asarray(v, dtype=np.float32)], int(i) // 3 % 5)
+            for i, v in zip(ids, V)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).repartition(8)
+    blocked = [tuple(r) for r in _emb_neardup_pairs(emb, "blocked").collect()]
+    hof = [tuple(r) for r in _emb_neardup_pairs(emb, "hof").collect()]
+    assert len(blocked) >= 10, "planted cohorts produced no pairs — vacuous"
+    assert blocked == hof
