@@ -79,18 +79,46 @@ from pandamapreduce_spark.plans import REGISTRY
 #: the engines disagreed on same-user events < 1 s apart, a regime no
 #: driver fixture reaches. Both sides now key on exact integer epoch
 #: MICROSECONDS; re-MATCHed at sf0.001/0.01/0.1/sf1.
-#: q35's default strategy is now the cogrouped Arrow block grid (the
-#: sweep exposed the HOF label join collapsing to ~2 AQE-coalesced
-#: tasks at sf1 — 35+ min for seconds of numpy); bitwise-identical
-#: output (planted-geometry strategy-equality pytest + sf0.01/0.1
-#: re-MATCH + sf1 sweep row), windowed anyway as a default-plan swap.
+#: Round 10: q87's semantic side swapped from the label self-join
+#: (the r9 verdict's one scale-weak: 1548 s at sf1) to q35's blocked
+#: cogroup grid — a real default-plan swap, windowed (re-MATCHed at
+#: sf0.001/0.01/0.1 on landing). q35 is windowed for its kernel-guard
+#: alignment ((na>0)&(nb>0), ADVICE r9 — bitwise-identical on the
+#: fixtures, pinned by pytest) riding the same kernel. The round's
+#: OTHER change is hash-verified pure and stays out of the window
+#: (the r9 refactor precedent): every SELF-cogroup's right side now
+#: goes through lineage.detach (a no-op identity projection that
+#: breaks attribute sharing) after the round found Spark 4.1 pruning
+#: the right side's payload columns under count()-shaped downstream
+#: plans — no ledger/oracle path triggers it (they collect), q35/q87/
+#: q166/q183/q203/q43/q43b/q45 all re-MATCHed targeted at sf0.001/
+#: 0.01 (+0.1 for the embedding lanes); tests/test_round10.py pins
+#: the count() trigger.
+#: Round 10's big ORACLE TEXT change (q185-in-r8 precedent — all take
+#: window rows): the MinHash signature CTE shared by the md5-recompute
+#: oracle class is now the distinct-shingle join-back form
+#: (`plans/dedup.py::minhash_sigs_sql`) — md5 once per DISTINCT
+#: shingle instead of 2×12 per occurrence. Value-identical by
+#: construction (min is duplicate-invariant; the h1+i*h2 family is
+#: unchanged) and PROVEN: sigs CTE row-identical old-vs-new at
+#: sf0.001/0.01/0.1, full q32 oracle row-identical at sf0.1 (25.9×
+#: faster: 168.1 s → 6.5 s), and all 12 affected lanes re-MATCHed vs
+#: the new oracles at sf0.001/0.01. This closes the documented sf1
+#: OVER_BUDGET oracle class (sf1 sigs: ~53 s vs ~40 min).
 _WINDOW_OVERRIDE: list[str] = [
+    "q87_hybrid_neardup",
     "q35_embedding_neardup",
-    "q83_range_frame_window",
-    "q136_triangle_count",
-    "q166_mutual_knn",
-    "q183_semdedup",
-    "q203_semdedup_bucketed",
+    "q32_minhash_lsh_candidates",
+    "q33_neardup_verified",
+    "q69_stream_neardup",
+    "q80_clean_corpus",
+    "q87b_hybrid_neardup_ann",
+    "q94_dedup_clusters",
+    "q103_dedup_keep_best",
+    "q106_final_corpus",
+    "q116_incremental_neardup",
+    "q124_corpus_merge",
+    "q185_neardup_eval",
 ]
 
 

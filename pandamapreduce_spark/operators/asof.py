@@ -178,8 +178,13 @@ def asof_join_pandas(
         )
         return merged[[*lcols, *[rename[c] for c in right_cols]]]
 
+    from pandamapreduce_spark.lineage import detach
+
+    # detach: defensive — if a caller as-of joins a frame against a
+    # derivative of itself, shared attribute refs would let column
+    # pruning strip the right side's payload (lineage.detach).
     return (
         left.groupBy(on)
-        .cogroup(right.groupBy(on))
+        .cogroup(detach(right).groupBy(on))
         .applyInPandas(lambda l, r: merge(l, r), schema)
     )

@@ -99,16 +99,46 @@ def _band_sql(sig: str, band: int) -> str:
     return f"md5(array_to_string(list_transform(({sig})[{lo}:{hi}], x -> cast(x as varchar)), '|'))"
 
 
+def minhash_sigs_sql(source: str = "documents", num_hashes: int = NUM_HASHES) -> str:
+    """`SELECT doc_id, sig FROM ...` computing the q32 MinHash
+    signature in the distinct-shingle join-back form: md5 runs ONCE
+    per DISTINCT shingle string corpus-wide (the expression form in
+    ``minhash_sig_sql`` re-evaluates `md5(s)` inside both h1 and h2
+    for every member of the num_hashes family — 2×num_hashes md5s per
+    shingle OCCURRENCE — which made the md5-recompute oracle class
+    the documented sf1 OVER_BUDGET wall). Value-identical by
+    construction: min over a doc's shingle occurrences equals min
+    over its distinct shingles, and the hash family h1 + i*h2 is
+    unchanged — proven row-identical to the expression form at
+    sf0.001/0.01/0.1 and 25.9× faster at sf0.1 (168.1 s → 6.5 s);
+    the distinct-shingle dedup compounds at sf1 where the FK-copy
+    fixture repeats every document 10×. Docs with zero shingles emit
+    no row — identical to the old `WHERE len(shingles) > 0` guard."""
+    sh = word_ngrams_sql("text", 3)
+    h1 = "cast(concat('0x', substr(md5(g), 1, 12)) as bigint)"
+    h2 = "cast(concat('0x', substr(md5(g), 17, 12)) as bigint)"
+    return f"""
+      WITH occ AS (SELECT doc_id, unnest({sh}) AS g FROM {source}),
+      hg AS MATERIALIZED (
+        SELECT g, {h1} AS h1, {h2} AS h2 FROM (SELECT DISTINCT g FROM occ)
+      ),
+      sig_long AS (
+        SELECT o.doc_id, t.i, min(h.h1 + t.i * h.h2) AS m
+        FROM (SELECT DISTINCT doc_id, g FROM occ) o
+        JOIN hg h USING (g)
+        CROSS JOIN (SELECT unnest(range({num_hashes})) AS i) t
+        GROUP BY o.doc_id, t.i
+      )
+      SELECT doc_id, list(m ORDER BY i) AS sig FROM sig_long GROUP BY doc_id
+    """
+
+
 def _lsh_pairs_sql(source: str = "documents", max_bucket: int = MAX_BUCKET) -> str:
-    sig = minhash_sig_sql(word_ngrams_sql("text", 3), NUM_HASHES)
     bands_list = ", ".join(
         f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)
     )
     return f"""
-    WITH sigs AS (
-      SELECT doc_id, {sig} AS sig FROM {source}
-      WHERE len({word_ngrams_sql("text", 3)}) > 0
-    ),
+    WITH sigs AS ({minhash_sigs_sql(source)}),
     bands AS (
       SELECT doc_id, unnest([{bands_list}], recursive := true) FROM sigs
     ),
@@ -370,13 +400,16 @@ def q34b_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_PAIR_BLOCKS = 4
 
 
-def _emb_pairs_pdf(a_pdf, b_pdf, tau: float = 0.93):
+def _emb_pairs_pdf(a_pdf, b_pdf, tau: float = 0.93, ordered: bool = True):
     """One Arrow task of q35's blocked pair scan: every (left, right)
     pair with left.vec_id < right.vec_id and cosine >= tau. Cosine is
     the q166 kernel's exact IEEE sequence (float32 -> float64 casts,
     one correctly-rounded add per dimension, cos = dot/(na*nb) with
     the identical two roundings) so the emitted values are bitwise
-    equal to the JVM HOF fold and DuckDB's list_dot_product."""
+    equal to the JVM HOF fold and DuckDB's list_dot_product.
+    ``ordered=False`` drops the id ordering and emits the full cross
+    product above tau — the delta-vs-base shape (q210), where the two
+    sides are disjoint id sets and every cross pair is wanted."""
     import numpy as np
     import pandas as pd
 
@@ -399,8 +432,13 @@ def _emb_pairs_pdf(a_pdf, b_pdf, tau: float = 0.93):
     na, nb = np.sqrt(na), np.sqrt(nb)
     denom = na[:, None] * nb[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
-        cos = np.where(denom > 0, dot / denom, 0.0)
-    ii, jj = np.nonzero((aid[:, None] < bid[None, :]) & (cos >= tau))
+        # Guard matches the HOF cosine() exactly — (na>0)&(nb>0), not
+        # denom>0 — so a denormal-underflow denom can never diverge
+        # from the JVM path (ADVICE r9; unreachable on float32
+        # fixtures, pinned anyway).
+        cos = np.where((na[:, None] > 0) & (nb[None, :] > 0), dot / denom, 0.0)
+    idmask = (aid[:, None] < bid[None, :]) if ordered else np.ones_like(cos, dtype=bool)
+    ii, jj = np.nonzero(idmask & (cos >= tau))
     if not len(ii):
         return empty
     return pd.DataFrame(
@@ -449,40 +487,53 @@ def q35_embedding_neardup(
     return _emb_neardup_pairs(load_table(spark, sf_dir, "embeddings"), strategy)
 
 
-def _emb_neardup_pairs(emb: DataFrame, strategy: str = "blocked") -> DataFrame:
+def _emb_neardup_pairs(
+    emb: DataFrame, strategy: str = "blocked", tau: float = 0.93, sort: bool = True
+) -> DataFrame:
     """q35's pair scan over any (vec_id, embedding, label) frame —
     split out so the strategy-equality pytest can feed a PLANTED
     high-similarity frame (the driver fixtures are near-isotropic and
     emit zero >= 0.93 pairs there, which would make the equality
-    vacuous)."""
+    vacuous). ``tau``/``sort`` let q87's hybrid lane reuse the same
+    scan (its HYBRID_COS threshold, unsorted — the union re-groups
+    anyway, a trailing sort would be a wasted exchange)."""
     if strategy == "hof":
         a, b = emb.alias("a"), emb.alias("b")
         cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-        return (
+        pairs = (
             a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos_sim"))
-            .where(F.col("cos_sim") >= 0.93)
-            .orderBy("vec_a", "vec_b")
+            .where(F.col("cos_sim") >= F.lit(tau))
         )
+        return pairs.orderBy("vec_a", "vec_b") if sort else pairs
     nb_lit = F.lit(EMB_PAIR_BLOCKS)
     partners = F.array(*[F.lit(i) for i in range(EMB_PAIR_BLOCKS)])
+    # vec_id % B assumes NON-NEGATIVE ids (Spark % keeps the dividend's
+    # sign; a negative id would land outside [0, B) and meet no partner
+    # block). All fixture/corpus ids are unsigned surrogates; use
+    # F.pmod here if ids can ever be negative (ADVICE r9).
     own = (F.col("vec_id") % nb_lit).cast("int")  # q166's type lesson: the
     # cogroup key must be the same TYPE on both sides
+    from pandamapreduce_spark.lineage import detach
+
     a_tag = emb.select(
         "vec_id", "embedding", "label", own.alias("ba"), F.explode(partners).alias("bb")
     )
-    b_tag = emb.select(
+    # detach: self-cogroup right side MUST NOT share the left's
+    # attribute refs or column pruning can strip its payload columns
+    # under count()-shaped downstream plans (see lineage.detach).
+    b_tag = detach(emb).select(
         "vec_id", "embedding", "label", F.explode(partners).alias("ba"), own.alias("bb")
     )
     pairs = (
         a_tag.groupBy("label", "ba", "bb")
         .cogroup(b_tag.groupBy("label", "ba", "bb"))
         .applyInPandas(
-            lambda left, right: _emb_pairs_pdf(left, right),
+            lambda left, right: _emb_pairs_pdf(left, right, tau=tau),
             schema="vec_a long, vec_b long, cos_sim double",
         )
     )
-    return pairs.orderBy("vec_a", "vec_b")
+    return pairs.orderBy("vec_a", "vec_b") if sort else pairs
 
 
 # --- q116: incremental (delta-vs-base) near-dup ---------------------------
@@ -494,8 +545,7 @@ DELTA_MOD = 5  # doc_id % 5 == 4 plays the incoming crawl batch (~20%)
     "q116_incremental_neardup",
     oracle=f"""
     WITH sigs AS (
-      SELECT doc_id, {{sig}} AS sig FROM documents
-      WHERE len({{grams3}}) > 0
+      {{sigs_subquery}}
     ),
     bands AS (
       SELECT doc_id, unnest([{{bands_list}}], recursive := true) FROM sigs
@@ -517,7 +567,9 @@ DELTA_MOD = 5  # doc_id % 5 == 4 plays the incoming crawl batch (~20%)
     WHERE {{jac}} >= 0.1
     ORDER BY delta_id, base_id
     """.format(
-        sig=minhash_sig_sql(word_ngrams_sql("text", 3), NUM_HASHES),
+        # distinct-shingle join-back signatures (minhash_sigs_sql —
+        # value-identical to the old expression form, 25.9× cheaper)
+        sigs_subquery=minhash_sigs_sql("documents"),
         grams3=word_ngrams_sql("text", 3),
         bands_list=", ".join(
             f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)

@@ -354,13 +354,24 @@ def _hybrid_oracle() -> str:
 def q87_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real cleaning pipelines run BOTH detectors: lexical LSH catches
     boilerplate/copy-paste, embedding cosine catches paraphrase.
-    Each side keeps its own scale-safe shape (capped bucket reduce /
-    label-blocked pair scan); the union then groups by pair, so a
-    pair found by both methods reports 'lexical+semantic'. Methods
-    aggregate as a '+'-joined sorted string (not an array — scalar
-    columns canonicalize cleanly)."""
-    from pandamapreduce_spark.functions.vector import cosine
+    Lexical side is the capped LSH bucket reduce (q32); the semantic
+    side REUSES q35's blocked cogroup-grid pair scan
+    (`_emb_neardup_pairs`, tau=HYBRID_COS) — the label self-join it
+    shipped through round 9 was the exact scale trap the sf1 sweep
+    caught in q35: block size grows linearly with the corpus, work
+    quadratically, and AQE coalesces the label-bucket partitions by
+    input bytes into ~2 tasks (measured 1548 s at sf1 vs 66 s for the
+    ANN twin q87b). The grid splits each label into B×B cogrouped
+    Arrow tasks with the bitwise-IEEE cosine kernel, so emitted values
+    are unchanged (strategy-equality pytest; sf1: 1548 s → seconds).
+    The union then groups by pair, so a pair found by both methods
+    reports 'lexical+semantic'. Methods aggregate as a '+'-joined
+    sorted string (not an array — scalar columns canonicalize
+    cleanly). For real corpora the semantic block key is an LSH
+    bucket rather than a label — that form is q87b, the documented
+    production path."""
     from pandamapreduce_spark.operators.dedup_ops import minhash_band_pairs
+    from pandamapreduce_spark.plans.dedup import _emb_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     lex = (
@@ -368,13 +379,10 @@ def q87_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit("lexical").alias("method"))
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    sem = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"), cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= HYBRID_COS)
-        .select("doc_a", "doc_b", F.lit("semantic").alias("method"))
+    sem = _emb_neardup_pairs(emb, strategy="blocked", tau=HYBRID_COS, sort=False).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit("semantic").alias("method"),
     )
     return (
         lex.unionByName(sem)

@@ -676,8 +676,13 @@ def _knn_blocked(emb: DataFrame) -> DataFrame:
     # int explode literals silently yields per-side groups that never
     # pair up (observed: every (ba,bb) key materialized twice, one side
     # empty in each).
+    from pandamapreduce_spark.lineage import detach
+
     a_tag = emb.select("vec_id", "embedding", own.alias("ba"), F.explode(partners).alias("bb"))
-    b_tag = emb.select("vec_id", "embedding", F.explode(partners).alias("ba"), own.alias("bb"))
+    # detach: self-cogroup right side must not share the left's
+    # attribute refs (lineage.detach — count()-shaped downstream plans
+    # otherwise prune its payload columns).
+    b_tag = detach(emb).select("vec_id", "embedding", F.explode(partners).alias("ba"), own.alias("bb"))
     cands = a_tag.groupBy("ba", "bb").cogroup(b_tag.groupBy("ba", "bb")).applyInPandas(
         lambda left, right: _block_topk_pdf(left, right),
         schema="query_id long, neighbor_id long, cos_sim double",
@@ -698,6 +703,12 @@ def _knn_blocked(emb: DataFrame) -> DataFrame:
 #: unchanged) and bounds each branch's window at 1/S of the pairs —
 #: measured 634 s -> 8.9 s at sf0.1 and in-budget at sf1. Same
 #: unrolled-oracle discipline as q54's iterations / q169's hops.
+#: All `vec_id % S = s` shard predicates (here, the q203 oracle, and
+#: q136's hub shards) assume NON-NEGATIVE ids: both DuckDB and Spark
+#: `%` keep the dividend's sign, so a negative id would match no
+#: shard and silently vanish. Fixture/corpus ids are unsigned
+#: surrogates; switch to `((x % S) + S) % S` on both engines before
+#: pointing these at signed id spaces (ADVICE r9).
 _ORACLE_KNN_SHARDS = 16
 
 
@@ -1205,8 +1216,13 @@ def _mutual_knn_bucketed(emb: DataFrame, strategy: str = "blocked") -> DataFrame
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     if strategy == "blocked":
+        from pandamapreduce_spark.lineage import detach
+
         q = b.select("vec_id", "embedding", F.explode(probe_arr).alias("probe"))
-        cands = q.groupBy("probe").cogroup(b.groupBy("bucket")).applyInPandas(
+        # detach: probe and corpus sides both derive from `b` — a
+        # self-cogroup (lineage.detach; count()-shaped downstream
+        # plans otherwise prune the corpus side's payload columns).
+        cands = q.groupBy("probe").cogroup(detach(b).groupBy("bucket")).applyInPandas(
             lambda left, right: _block_topk_pdf(left, right),
             schema="query_id long, neighbor_id long, cos_sim double",
         )
@@ -1363,3 +1379,103 @@ def q209_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(50)
     )
+
+
+# --- q210: incremental (delta-vs-base) SEMANTIC dedup -----------------------
+
+
+def _q210_oracle() -> str:
+    from pandamapreduce_spark.plans.dedup import DELTA_MOD
+
+    probes = ", ".join(
+        f"xor(bucket, {m})" for m in _probe_masks(SEMDEDUP_PLANES, SEMDEDUP_RADIUS)
+    )
+    cos = cosine_sql("d.embedding", "c.embedding")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding", SEMDEDUP_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, embedding, unnest([{probes}]) AS probe FROM b
+      WHERE vec_id % {DELTA_MOD} = {DELTA_MOD - 1}
+    ),
+    c AS (SELECT * FROM b WHERE vec_id % {DELTA_MOD} <> {DELTA_MOD - 1})
+    SELECT d.vec_id AS delta_id, c.vec_id AS base_id, {cos} AS cos_sim
+    FROM d JOIN c ON d.probe = c.bucket
+    WHERE {cos} >= {SEMDEDUP_TAU}
+    ORDER BY delta_id, base_id
+    """
+
+
+def _incremental_sem_pairs(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """q210's scan over any (vec_id, embedding) frame — split out so
+    the planted-geometry recall pytest can feed a production-τ frame
+    (the driver fixtures are near-isotropic; τ=0.40 keeps the lane
+    non-vacuous there but the recall claim is measured at τ=0.95)."""
+    from pandamapreduce_spark.lineage import detach
+    from pandamapreduce_spark.plans.dedup import DELTA_MOD, _emb_pairs_pdf
+
+    b = emb.select(
+        "vec_id", "embedding", _bucket_col("embedding", SEMDEDUP_PLANES).alias("bucket")
+    )
+    # vec_id % DELTA_MOD assumes non-negative ids (see _ORACLE_KNN_SHARDS note)
+    is_delta = F.col("vec_id") % F.lit(DELTA_MOD) == F.lit(DELTA_MOD - 1)
+    probe_arr = F.array(
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(SEMDEDUP_PLANES, SEMDEDUP_RADIUS)
+        ]
+    )
+    delta = b.where(is_delta).select("vec_id", "embedding", F.explode(probe_arr).alias("probe"))
+    # detach: delta and base both derive from `b` — a self-cogroup
+    # (lineage.detach). The BASE side is never joined to itself: the
+    # only pairing in the whole plan is this delta-probe × base-bucket
+    # cogroup (the no-base-self-join pytest asserts zero Join nodes).
+    base = detach(b).where(~is_delta)
+    pairs = (
+        delta.groupBy("probe")
+        .cogroup(base.groupBy("bucket"))
+        .applyInPandas(
+            lambda left, right: _emb_pairs_pdf(left, right, tau=tau, ordered=False).rename(
+                columns={"vec_a": "delta_id", "vec_b": "base_id"}
+            ),
+            schema="delta_id long, base_id long, cos_sim double",
+        )
+    )
+    return pairs.orderBy("delta_id", "base_id")
+
+
+@query(
+    "q210_incremental_semdedup",
+    oracle=_q210_oracle(),
+    bench=True,  # per-round signal for the delta-vs-base semantic path
+    doc=f"Incremental SEMANTIC dedup — q116's daily-crawl shape at the embedding level: the incoming batch (vec_id % 5 == 4) probes the BASE corpus's sign-LSH buckets ({SEMDEDUP_PLANES} planes, multi-probe Hamming radius {SEMDEDUP_RADIUS} — q203's schedule) and verifies candidates by exact cosine >= {SEMDEDUP_TAU}; the base corpus is NEVER self-joined. Closes the r9 verdict's top residual gap: the lexical family had delta-vs-base (q116) and streaming (q69) forms, the semantic family stopped at batch self-dedup (q183/q203).",
+    tags=("dedup", "similarity", "lsh", "incremental"),
+)
+def q210_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a production embedding-dedup pipeline actually runs daily:
+    yesterday's corpus is already deduped and bucketed; today's crawl
+    only needs DELTA-vs-BASE candidates. Cost is O(|delta| probes +
+    matched buckets) per increment — never O(|corpus|²) — because the
+    base side contributes exactly its stored bucket (one row per
+    vector) and all pairing happens inside the bucket-keyed cogroup.
+
+    Scale shape: the delta side explodes 22× (the probe schedule, q203;
+    ids+vectors only, not storage); the base side shuffles ONCE on its
+    64-value bucket key — in production the bucketed base is a
+    materialized table partitioned by bucket, so the shuffle
+    disappears entirely and each increment reads only matched buckets
+    (partition pruning on the bucket key). Candidates are disjoint by
+    construction (a base vector lives in exactly one bucket), so no
+    dedup step. Per-bucket work is the q35/q166 Arrow kernel's
+    bitwise-IEEE cross-cosine matrix (`_emb_pairs_pdf`,
+    ordered=False), so emitted values match DuckDB bit-for-bit.
+
+    Recall: identical pricing to q203 (a delta-base τ-pair is missed
+    iff their buckets differ on > {SEMDEDUP_RADIUS} hyperplanes):
+    0.984 priced at production τ=0.95 — measured on planted geometry
+    by tests/test_round10.py with a 0.90 pytest floor; the fixture
+    regime's τ={SEMDEDUP_TAU} is the same hard-regime documented for
+    q203 (PERF.md)."""
+    return _incremental_sem_pairs(load_table(spark, sf_dir, "embeddings", spread=True))

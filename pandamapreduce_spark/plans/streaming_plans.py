@@ -160,18 +160,13 @@ HORIZON_MIN = 120
 
 
 def _stream_lsh_oracle() -> str:
-    from pandamapreduce_spark.functions import minhash_sig_sql, word_ngrams_sql
-    from pandamapreduce_spark.plans.dedup import NUM_BANDS, NUM_HASHES, _band_sql
+    from pandamapreduce_spark.plans.dedup import NUM_BANDS, _band_sql, minhash_sigs_sql
 
-    grams = word_ngrams_sql("text", 3)
-    sig = minhash_sig_sql(grams, NUM_HASHES)
     bands_list = ", ".join(
         f"struct_pack(band := {b}, key := {_band_sql('sig', b)})" for b in range(NUM_BANDS)
     )
     return f"""
-    WITH sigs AS (
-      SELECT doc_id, {sig} AS sig FROM documents WHERE len({grams}) > 0
-    ),
+    WITH sigs AS ({minhash_sigs_sql("documents")}),
     bands AS (
       SELECT doc_id, unnest([{bands_list}], recursive := true) FROM sigs
     )
