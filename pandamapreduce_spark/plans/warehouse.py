@@ -329,22 +329,19 @@ def q131_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     only integer ids. Lift follows q119's transcendental-free
     discipline: exact integer counts, products in double (exact below
     2^53), one correctly-rounded division on both sides."""
-    items0 = (
-        load_table(spark, sf_dir, "lineitem").select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        )
-    ).distinct()
-    items = scoped_persist(
-        items0.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
-    n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    # r10 reshape (guide §2.3/§2.4, same as _basket_pairs): the sorted
+    # distinct part set per order is built in ONE exchange (map-side
+    # partial collect_set), and the a<b pairs explode from the array
+    # map-side — the old distinct + count-window + self-join pipeline
+    # paid four exchanges for the same frames. ok is unique in
+    # baskets, so countDistinct(ok) over items == count(baskets).
+    baskets = scoped_persist(_baskets(spark, sf_dir))
+    items = baskets.select("ok", F.explode("ps").alias("pk"))
+    n = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     pc = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_pk"))
-    a, b = items.alias("a"), items.alias("b")
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        baskets.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= MIN_SUPPORT)
     )
@@ -823,20 +820,14 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Baskets are capped at MAX_BASKET before pair expansion (q131's
     guard). Everything shuffles as integer id pairs; the census output
     is one bounded row."""
-    items0 = (
-        load_table(spark, sf_dir, "lineitem").select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        )
-    ).distinct()
-    items = (
-        items0.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
-    )
-    a, b = items.alias("a"), items.alias("b")
+    # r10 reshape (guide §2.3/§2.4, same as _basket_pairs): pairs
+    # explode map-side from each capped basket's sorted distinct part
+    # array — one exchange to build baskets, one distinct, where the
+    # old distinct + count-window + self-join paid four.
     e = scoped_persist(
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        _baskets(spark, sf_dir)
+        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+        .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
         .distinct()
     )
     deg = scoped_persist(
@@ -1336,19 +1327,43 @@ def q168_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 KHOP_MAX = 3  # fixed hop budget → unrolled-SQL oracle (q129/q54 precedent)
 KHOP_SUPPORT = 2  # co-purchase edges need >= 2 distinct supporting orders
 
-def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capped basket item set ``(ok, pk)`` (distinct order-part
-    pairs, baskets over MAX_BASKET distinct parts dropped) — persisted,
-    because every consumer reads it at least twice (self-join sides,
-    or item counts alongside pairs)."""
-    return scoped_persist(
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped baskets ``(ok, ps)`` with ``ps`` = the sorted distinct
+    part set of the order, baskets over MAX_BASKET distinct parts
+    dropped. ONE exchange (groupBy ok with a map-side-partial
+    collect_set) replaces the old distinct + count-window pipeline
+    (two exchanges on different keys) — guide §2.4. The set is
+    bounded per order (TPC-H orders hold ≤ 7 lineitems; the cap
+    bounds it at MAX_BASKET anyway), so per-group state is O(cap)."""
+    return (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .where(F.col("sz") <= MAX_BASKET)
-        .drop("sz")
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+        .where(F.size("ps") <= MAX_BASKET)
     )
+
+
+#: In-array ordered pair explode: for the sorted distinct array ps,
+#: every (ps[i], ps[j]) with i < j — the basket's a<b pair set,
+#: generated map-side by array HOFs instead of the old items⋈items
+#: self-join (whose hash relation rebuilt the whole item set per
+#: consumer and cost one more exchange). slice() is 1-based; length
+#: clamps at the array end.
+_PAIR_EXPLODE = (
+    "flatten(transform(ps, (x, i) -> "
+    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+)
+
+
+def _basket_items(spark: SparkSession, sf_dir: str, baskets: DataFrame | None = None) -> DataFrame:
+    """The capped basket item set ``(ok, pk)`` (distinct order-part
+    pairs, baskets over MAX_BASKET distinct parts dropped) — persisted,
+    because every consumer reads it at least twice (pair explode, or
+    item counts alongside pairs)."""
+    if baskets is None:
+        baskets = _baskets(spark, sf_dir)
+    return scoped_persist(baskets.select("ok", F.explode("ps").alias("pk")))
 
 
 def _basket_pairs(
@@ -1357,18 +1372,26 @@ def _basket_pairs(
     """Support-filtered co-purchase pairs ``(a, b, n_ab)`` with a < b —
     the shared edge derivation of the basket/graph lanes (q169/q180/
     q184/q186/q187/q192; q131 keeps its own inline copy as the lane
-    that DOCUMENTS the derivation). The pair counts are
+    that DOCUMENTS the derivation). r10 reshape (guide §2.3/§2.4):
+    pairs explode from each basket's sorted distinct part ARRAY
+    map-side (``_PAIR_EXPLODE``) and flow straight into the (a, b)
+    partial agg — two exchanges end-to-end (groupBy ok, groupBy (a,b))
+    where the old items-self-join shape paid four (distinct,
+    count-window, join, agg). Value-identical: ps is sorted+distinct,
+    so (i < j) enumerates exactly the a < b distinct pairs the
+    self-join produced, once per containing order. The pair counts are
     scoped-persisted: every caller reads the pair list at least twice
-    (direction union, wedge walk, or rule relabel), and an un-persisted
-    frame re-runs the quadratic self-join per reference (observed:
-    ReusedExchange 0, the whole subtree doubled in q186's executed
-    plan). Pass ``items`` to share an already-built item set."""
+    (direction union, wedge walk, or rule relabel). Pass ``items`` to
+    share an already-built item set — pairs then re-group its rows
+    per order (one extra exchange, still fewer than the old join)."""
     if items is None:
-        items = _basket_items(spark, sf_dir)
-    a, b = items.alias("a"), items.alias("b")
+        baskets = _baskets(spark, sf_dir)
+    else:
+        baskets = items.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("ps"))
     return scoped_persist(
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        baskets.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= support)
     )

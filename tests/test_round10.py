@@ -152,3 +152,38 @@ def test_emb_pairs_zero_norm_guard_matches_hof(spark):
     got = {(r.vec_a, r.vec_b): r.cos_sim for r in out.itertuples(index=False)}
     assert got[(1, 2)] == 0.0  # zero-norm pair: guarded to 0.0, not NaN
     assert (2, 2) not in got and (1, 1) not in got  # left<right filter
+
+
+def test_basket_pair_explode_equals_self_join(spark):
+    """r10 optimization: `_basket_pairs`/q131/q136 now explode a<b
+    pairs from each capped basket's sorted distinct part array
+    (`_PAIR_EXPLODE`) instead of the items⋈items self-join. Pin the
+    equivalence on the real sf0.001 fixture: identical (a, b, n_ab)
+    triples, identical capped item set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pandamapreduce_spark.catalog import load_table
+    from pandamapreduce_spark.plans.warehouse import MAX_BASKET, _basket_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("sz") <= MAX_BASKET)
+        .drop("sz")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    want = sorted(
+        tuple(r)
+        for r in (
+            a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+            .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+            .where(F.col("n_ab") >= 2)
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in _basket_pairs(spark, sf_dir, 2).collect())
+    assert got == want and len(got) > 0
