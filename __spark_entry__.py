@@ -105,7 +105,27 @@ from pandamapreduce_spark.plans import REGISTRY
 #: faster: 168.1 s → 6.5 s), and all 12 affected lanes re-MATCHed vs
 #: the new oracles at sf0.001/0.01. This closes the documented sf1
 #: OVER_BUDGET oracle class (sf1 sigs: ~53 s vs ~40 min).
+#: Round 11 window (changed plan ⇒ window row — the r10-VERDICT
+#: contract): the r10 basket-pair reshape consumers the driver never
+#: re-hashed post-change (q131/q136/q184/q187 — only q169 was
+#: in-window), plus every lane whose PLAN changed in r11 — q171's
+#: shared-corpus persist (and the five ANN lanes it composes keep
+#: their standalone plans), the label-prop connected-components
+#: per-round reshape (q94/q103/q172/q183/q203/q106), and the
+#: q129/q187 broadcast-hint one-shot plans.
 _WINDOW_OVERRIDE: list[str] = [
+    "q131_copurchase",
+    "q136_triangle_count",
+    "q184_communities",
+    "q187_link_prediction",
+    "q171_ann_recall",
+    "q203_semdedup_bucketed",
+    "q129_pagerank",
+    "q172_entity_resolution",
+    "q183_semdedup",
+    "q94_dedup_clusters",
+    "q103_dedup_keep_best",
+    "q106_final_corpus",
     "q87_hybrid_neardup",
     "q35_embedding_neardup",
     "q32_minhash_lsh_candidates",
@@ -113,9 +133,6 @@ _WINDOW_OVERRIDE: list[str] = [
     "q69_stream_neardup",
     "q80_clean_corpus",
     "q87b_hybrid_neardup_ann",
-    "q94_dedup_clusters",
-    "q103_dedup_keep_best",
-    "q106_final_corpus",
     "q116_incremental_neardup",
     "q124_corpus_merge",
     "q185_neardup_eval",

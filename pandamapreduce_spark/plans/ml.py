@@ -131,19 +131,31 @@ def q47_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF-style ANN: k-means coarse quantizer (8 cells, 1 probe) -> exact top-5 within the query's cell.",
     tags=("similarity", "ivf", "ml"),
 )
-def q55_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q55_ivf_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    seeds: list | None = None,
+) -> DataFrame:
     """The IVF scale path for billion-vector ANN: assignment is
     map-only against broadcast centroids; search joins on the cell id
     (co-partitioned equi-join). Recall improves with n_probe cells;
-    1 probe here keeps the oracle simple."""
+    1 probe here keeps the oracle simple.
+
+    ``emb``/``seeds`` let a composing caller (q171) share ONE persisted
+    embeddings frame and ONE driver-side seed collect across the IVF
+    lanes instead of re-scanning and re-collecting per lane (guide
+    §2.4/§5); standalone behavior is unchanged."""
     from pandamapreduce_spark.functions import cosine
     from pandamapreduce_spark.operators.ml import assign_clusters
 
-    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
-    seeds = [
-        (int(r.vec_id), [float(v) for v in r.embedding])
-        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    if seeds is None:
+        seeds = [
+            (int(r.vec_id), [float(v) for v in r.embedding])
+            for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
     assigned = assign_clusters(emb, seeds).select("vec_id", "embedding", "cluster_id")
     q = assigned.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("cluster_id").alias("q_cell")
@@ -492,21 +504,31 @@ def q54_kmeans_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF ANN with nprobe=2: each query searches its TWO nearest cells (corpus stays 1 cell/vector) — the IVF recall knob, twin of q74's LSH multi-probe.",
     tags=("similarity", "ivf", "ml"),
 )
-def q77_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q77_ivf_nprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    seeds: list | None = None,
+) -> DataFrame:
     """nprobe is THE recall/cost knob of IVF search: the corpus keeps
     exactly one cell per vector (disjoint candidates, no dedup), while
     each query fans out to its nprobe nearest centroids. Scale: the
     fan-out multiplies only the broadcast query set; the search join
     stays a co-partitioned equi-join on the cell id, touching
-    nprobe/k of the corpus per query."""
+    nprobe/k of the corpus per query.
+
+    ``emb``/``seeds``: shared persisted embeddings frame + one seed
+    collect from a composing caller (q171) — see q55."""
     from pandamapreduce_spark.functions import cosine
     from pandamapreduce_spark.operators.ml import assign_clusters
 
-    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
-    seeds = [
-        (int(r.vec_id), [float(v) for v in r.embedding])
-        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    if seeds is None:
+        seeds = [
+            (int(r.vec_id), [float(v) for v in r.embedding])
+            for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
     corpus = assign_clusters(emb, seeds).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), F.col("cluster_id").alias("c_cell")
     )

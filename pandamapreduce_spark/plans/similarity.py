@@ -75,11 +75,18 @@ def _bucket_col(vec: str, n_planes: int = N_PLANES) -> F.Column:
     bench=True,
     tags=("similarity", "knn"),
 )
-def q40_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_knn_bruteforce(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Scale: the query set broadcasts (it is small by construction);
     the corpus streams once — no corpus self-shuffle. Ranking windows
-    partition by query_id, so parallelism = n_queries × corpus splits."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    partition by query_id, so parallelism = n_queries × corpus splits.
+
+    ``emb`` lets a composing caller (q171) pass ONE shared persisted
+    embeddings frame instead of re-scanning + re-spreading the parquet
+    per lane (guide §2.4/§5); standalone behavior is unchanged."""
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -135,11 +142,17 @@ def q41_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Approximate ANN: top-k within the query's LSH bucket only.",
     tags=("similarity", "lsh", "knn"),
 )
-def q42_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_lsh_knn(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Scale path for ANN: candidates come only from the query's
     bucket (expected corpus/2^8 of the data); join is keyed on bucket,
-    so it's a co-partitioned equi-join, not a cross product."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    so it's a co-partitioned equi-join, not a cross product.
+
+    ``emb``: shared persisted embeddings frame from a composing caller
+    (q171) — see q40."""
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings", spread=True)
     b = emb.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
     q = b.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
@@ -179,7 +192,9 @@ def q42_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multi-probe sign-LSH ANN: query probes its bucket + all 8 Hamming-1 neighbor buckets — ~9/256 of the corpus instead of 1/256, recovering recall lost at bucket boundaries.",
     tags=("similarity", "lsh", "knn"),
 )
-def q74_multiprobe_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q74_multiprobe_lsh_knn(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Multi-probe LSH (Lv et al., VLDB'07 idea specialized to sign
     LSH): a near neighbor that lands one hyperplane-sign away from the
     query is recovered by ALSO probing each single-bit-flip bucket.
@@ -187,8 +202,12 @@ def q74_multiprobe_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus still stores each vector in exactly ONE bucket, so
     candidates are disjoint across probes (no dedup needed) and the
     join stays a co-partitioned equi-join on the bucket key. Probing
-    cost is 9/256 of the corpus per query vs. full-scan brute force."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    cost is 9/256 of the corpus per query vs. full-scan brute force.
+
+    ``emb``: shared persisted embeddings frame from a composing caller
+    (q171) — see q40."""
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings", spread=True)
     b = emb.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
     probe_arr = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)]
@@ -870,10 +889,19 @@ def q171_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query sample only — the standard practice; the recall join keys on
     (query_id, neighbor_id) integer pairs, n_queries x k rows per
     side. Recall = hits / n_exact via one exact int/int IEEE division
-    per method row; the report is 2 rows."""
+    per method row; the report is 2 rows.
+
+    r11 (guide §2.4/§5): the five composed lanes each re-scanned and
+    re-``spread`` the embeddings parquet (28 scans / 78 Exchange in the
+    before-plan) and the IVF pair re-collected the seed centroids; the
+    corpus frame is now persisted ONCE and threaded through every lane,
+    and the seeds are collected once from the cache."""
     from pandamapreduce_spark.caching import scoped_persist
 
-    exact = q40_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    )
+    exact = q40_knn_bruteforce(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
     exact = scoped_persist(exact)
     base = exact.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact"),
@@ -881,15 +909,19 @@ def q171_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pandamapreduce_spark.plans.ml import q55_ivf_knn, q77_ivf_nprobe
 
+    seeds = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
     methods = (
-        ("lsh_bucket", q42_lsh_knn),
-        ("lsh_multiprobe", q74_multiprobe_lsh_knn),
-        ("ivf_1probe", q55_ivf_knn),
-        ("ivf_2probe", q77_ivf_nprobe),
+        ("lsh_bucket", lambda: q42_lsh_knn(spark, sf_dir, emb=emb)),
+        ("lsh_multiprobe", lambda: q74_multiprobe_lsh_knn(spark, sf_dir, emb=emb)),
+        ("ivf_1probe", lambda: q55_ivf_knn(spark, sf_dir, emb=emb, seeds=seeds)),
+        ("ivf_2probe", lambda: q77_ivf_nprobe(spark, sf_dir, emb=emb, seeds=seeds)),
     )
     h = None
     for method, fn in methods:
-        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        approx = fn().select("query_id", "neighbor_id")
         hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).cast("bigint").alias("hits")
         ).withColumn("method", F.lit(method))

@@ -143,10 +143,18 @@ def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    edges = weights.withColumn(
-        "frac",
-        F.col("w").cast("double")
-        / F.sum("w").over(Window.partitionBy("src")).cast("double"),
+    # r11 (guide §2.4/§3.1): the aggregated graph is O(nations²) rows —
+    # persist it WITH the out-weight fractions so the window isn't
+    # re-planned/re-run inside every iteration's inflow join, and
+    # broadcast every bounded-dimension frame in the loop (ranks,
+    # srcs, inflow are all ≤ |nations| rows): the before-plan carried
+    # 101 Exchange / 38 SortMergeJoin over ≤25-row frames.
+    edges = scoped_persist(
+        weights.withColumn(
+            "frac",
+            F.col("w").cast("double")
+            / F.sum("w").over(Window.partitionBy("src")).cast("double"),
+        )
     )
     srcs = edges.select("src").distinct()
 
@@ -159,17 +167,17 @@ def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("nk", (F.lit(1).cast("double") / nn).alias("r"))
     for _ in range(PR_ITERS):
         dang = (
-            ranks.join(srcs, ranks.nk == srcs.src, "left_anti")
+            ranks.join(F.broadcast(srcs), ranks.nk == srcs.src, "left_anti")
             .agg(F.coalesce(dec_sum(F.col("r")), F.lit(0).cast("double")).alias("dang"))
         )
         inflow = (
-            edges.join(ranks, edges.src == ranks.nk)
+            edges.join(F.broadcast(ranks), edges.src == ranks.nk)
             .groupBy(F.col("dst").alias("nk"))
             .agg(dec_sum(F.col("r") * F.col("frac")).alias("inflow"))
         )
         ranks = (
             nodes.select("nk")
-            .join(inflow, "nk", "left")
+            .join(F.broadcast(inflow), "nk", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "nk",
@@ -192,9 +200,9 @@ def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w = weights.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
     in_w = weights.groupBy("dst").agg(F.sum("w").cast("bigint").alias("in_w"))
     return (
-        nodes.join(ranks, "nk")
-        .join(out_w, nodes.nk == out_w.src, "left")
-        .join(in_w, nodes.nk == in_w.dst, "left")
+        nodes.join(F.broadcast(ranks), "nk")
+        .join(F.broadcast(out_w), nodes.nk == out_w.src, "left")
+        .join(F.broadcast(in_w), nodes.nk == in_w.dst, "left")
         .select(
             "n_name",
             F.col("r").alias("pagerank"),
@@ -1486,6 +1494,14 @@ def q169_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hops", F.lit(0))
     )
     visited = frontier  # (pk, hops): min-hop label per reached vertex
+    # r11 NOTE (measured, kept as-is): an explicit-broadcast variant
+    # (frontier∩nodes / visited∩nodes broadcast into every hop's
+    # expansion and anti joins) was implemented and A/B'd in one warm
+    # session at sf0.1 — it was SLOWER (6.4-7.9 s vs 4.4-4.9 s): each
+    # per-hop broadcast is an extra serial driver collect+build job,
+    # while this shape lets AQE broadcast the small side at runtime
+    # where it pays (the executed plan already shows BHJ hops). The
+    # loop is overhead-bound at sf0.1, not shuffle-bound.
     for h in range(1, KHOP_MAX + 1):
         reached = (
             edges.join(frontier.select("pk"), edges["a"] == F.col("pk"))
@@ -1760,6 +1776,12 @@ def q184_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = scoped_persist(pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     labels = edges.select(F.col("a").alias("pk")).distinct().withColumn("lbl", F.col("pk"))
     w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("lbl"))
+    # r11 NOTE (measured, kept as-is): broadcasting the (pk, lbl) label
+    # frame into the superstep join was A/B'd warm at sf0.1 and LOST
+    # (3.4-4.1 s vs 2.8-4.0 s): inside an eager per-round loop every
+    # broadcast is an extra serial driver collect+build, the same
+    # finding as q169's hop loop. One-shot plans (q187) do win from
+    # explicit broadcasts; iterative rounds at this scale do not.
     for _ in range(LPA_ROUNDS):
         new_labels = scoped_checkpoint(
             edges.join(labels, edges["b"] == labels["pk"])
@@ -1932,17 +1954,22 @@ def q187_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _basket_pairs(spark, sf_dir, KHOP_SUPPORT).select("a", "b")
     edges = scoped_persist(pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     deg = edges.groupBy(F.col("a").alias("pk")).agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # r11 (guide §3.1): the support-filtered edge list, the canonical
+    # pair list and the degree table are all bounded small sides
+    # (integer pairs) — broadcast them so the wedge walk streams the
+    # persisted edge frame once with zero pre-join shuffles
+    # (before-plan: 32 Exchange / 10 BHJ built from re-exchanged sides).
     e1, e2 = edges.alias("e1"), edges.alias("e2")
-    tri = e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.b"))).select(
-        F.col("e1.a").alias("u"), F.col("e2.b").alias("w"), F.col("e1.b").alias("v")
-    )
+    tri = e1.join(
+        F.broadcast(e2), (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.b"))
+    ).select(F.col("e1.a").alias("u"), F.col("e2.b").alias("w"), F.col("e1.b").alias("v"))
     nonedge = tri.join(
-        pairs, (tri["u"] == pairs["a"]) & (tri["w"] == pairs["b"]), "left_anti"
+        F.broadcast(pairs), (tri["u"] == pairs["a"]) & (tri["w"] == pairs["b"]), "left_anti"
     )
     dv = deg.select(F.col("pk").alias("v"), F.col("deg").alias("deg_v"))
     ra_term = F.round(F.lit(1.0) / F.col("deg_v").cast("double"), 9).cast("decimal(18,9)")
     scored = (
-        nonedge.join(dv, "v")
+        nonedge.join(F.broadcast(dv), "v")
         .groupBy("u", "w")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
@@ -1952,8 +1979,8 @@ def q187_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("pk").alias("u"), F.col("deg").alias("deg_a"))
     dw = deg.select(F.col("pk").alias("w"), F.col("deg").alias("deg_b"))
     return (
-        scored.join(du, "u")
-        .join(dw, "w")
+        scored.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
         .select(
             F.col("u").alias("part_a"),
             F.col("w").alias("part_b"),
