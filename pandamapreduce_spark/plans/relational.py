@@ -778,25 +778,6 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("bits"))
     )
-    # Dense 1-indexed array, not a map: Catalyst's element_at on map
-    # data is a LINEAR key scan, so BF_M/64 = 2048 entries × BF_K
-    # probes × every fact row is O(m·k·n) comparisons; an array index
-    # is O(1). Built once on the single bitmap row.
-    bmap = (
-        bitmap.agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
-        .select(
-            F.expr(
-                f"transform(sequence(0, {BF_M // 64 - 1}),"
-                " w -> coalesce(element_at(m, cast(w as int)), 0L))"
-            ).alias("barr")
-        )
-    )
-    # digest + positions in a projection BELOW the join: join-condition
-    # expressions are re-evaluated per reference (no subexpression
-    # elimination), so inlining the md5 there costs 8 digests/row.
-    lhash = li.withColumn("_bfh", F.expr(_bf_key_spark_sql("l_orderkey"))).select(
-        "*", *[F.expr(_bf_pos_spark_sql(i, "_bfh")).alias(f"_bp{i}") for i in range(BF_K)]
-    )
     # KB-sized bitmap → driver → ARRAY LITERAL in the filter. This is
     # exactly how Spark's own InjectRuntimeFilter ships its bloom
     # (subquery collected at the driver, reused as a constant): the
@@ -806,17 +787,33 @@ def q121_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted path — measured 3.1 s vs 0.8 s for the same bit math
     # at sf0.1. The driver round-trip is a bounded summary (BF_M/64 =
     # 2048 longs = 16 KB regardless of key count), the
-    # k-means-centroids precedent.
-    barr = F.lit(bmap.first()[0])
-    hits = []
-    for i in range(BF_K):
-        word = (F.col(f"_bp{i}") / F.lit(64)).cast("int") + F.lit(1)
-        mask = F.expr(f"shiftleft(1L, cast(pmod(_bp{i}, 64) as int))")
-        hits.append(F.element_at(barr, word).bitwiseAND(mask) != F.lit(0))
-    bloom_pass = hits[0]
-    for h in hits[1:]:
-        bloom_pass = bloom_pass & h
-    cand = lhash.where(bloom_pass)
+    # k-means-centroids precedent. r11: the dense 1-indexed word array
+    # is assembled DRIVER-SIDE from the ≤2048 collected (w, bits) rows
+    # instead of through a map_from_entries + transform(sequence(...))
+    # tail on the single-row frame — same 16 KB round-trip, minus the
+    # 2048-element expression the old shape compiled per run.
+    words = {int(r["w"]): int(r["bits"]) for r in bitmap.collect()}
+    barr_vals = [words.get(w, 0) for w in range(BF_M // 64)]
+    # r11 probe reshape (guide §2.3 "per-task work", measured): the old
+    # projection of _bfh + BF_K position columns re-inlined the md5
+    # digest into the pushed-down filter per position reference, and
+    # the per-hit element_at over the big array literal defeated
+    # codegen CSE — 1.86 s warm for the probe at sf0.1. Binding the
+    # digest ONCE as a higher-order-function lambda variable (and the
+    # bitmap array once, one level out) evaluates one md5 + 3 bit
+    # probes per row: 1.15 s warm, identical candidate set (same
+    # positions, same bitmap — FP behavior is pinned by the oracle).
+    arr_sql = "array(" + ",".join(f"{v}L" for v in barr_vals) + ")"
+    checks = " AND ".join(
+        f"(element_at(B, cast(pmod(shiftright(h, {BF_BITS * i}), {BF_M}) / 64 as int) + 1)"
+        f" & shiftleft(1L, cast(pmod(pmod(shiftright(h, {BF_BITS * i}), {BF_M}), 64) as int))) != 0L"
+        for i in range(BF_K)
+    )
+    bloom_pass = F.expr(
+        f"exists(array({_bf_key_spark_sql('l_orderkey')}),"
+        f" h -> exists(array({arr_sql}), B -> {checks}))"
+    )
+    cand = li.where(bloom_pass)
     flagged = cand.join(
         F.broadcast(keys.withColumnRenamed("o_orderkey", "k")),
         F.col("l_orderkey") == F.col("k"),

@@ -847,7 +847,7 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     fwd = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oe = scoped_persist(
+    oe = (
         e.join(du, "u")
         .join(dv, "v")
         .select(
@@ -865,12 +865,18 @@ def q136_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs codegen'd per edge: 8.8 → 5.6 s at sf0.1 (the residue is
     # the edge-derivation distinct), and at 100 TB the shuffle is
     # O(edges · degeneracy) longs instead of O(wedges) rows.
-    adj = oe.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    na = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("na"))
+    # r11 (guide §2.4): the oriented edge list is recoverable from the
+    # adjacency table itself — exploding nbrs regenerates (u, v) WITH
+    # u's neighbor array already attached, so the old oe⋈na join (and
+    # its two exchanges: oe by u, na by u) disappears; only the nb
+    # lookup still shuffles, keyed by v. oe is now read once (by adj),
+    # so its persist is dropped too.
+    adj = scoped_persist(
+        oe.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
     nb = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nb"))
     tri = (
-        oe.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(na, "u")
+        adj.select(F.col("nbrs").alias("na"), F.explode("nbrs").alias("v"))
         .join(nb, "v", "left")
         .select(
             F.size(
