@@ -111,8 +111,8 @@ from pandamapreduce_spark.plans import REGISTRY
 #: in-window), plus every lane whose PLAN changed in r11 — q171's
 #: shared-corpus persist (and the five ANN lanes it composes keep
 #: their standalone plans), the label-prop connected-components
-#: per-round reshape (q94/q103/q172/q183/q203/q106), and the
-#: q129/q187 broadcast-hint one-shot plans.
+#: per-round reshape (q94/q103/q172/q183/q203/q106), q129's persisted
+#: edge frame, and q187's broadcast-hint one-shot plan.
 _WINDOW_OVERRIDE: list[str] = [
     "q131_copurchase",
     "q136_triangle_count",

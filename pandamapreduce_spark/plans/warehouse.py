@@ -143,12 +143,17 @@ def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    # r11 (guide §2.4/§3.1): the aggregated graph is O(nations²) rows —
+    # r11 (guide §2.4): the aggregated graph is O(nations²) rows —
     # persist it WITH the out-weight fractions so the window isn't
-    # re-planned/re-run inside every iteration's inflow join, and
-    # broadcast every bounded-dimension frame in the loop (ranks,
-    # srcs, inflow are all ≤ |nations| rows): the before-plan carried
-    # 101 Exchange / 38 SortMergeJoin over ≤25-row frames.
+    # re-planned/re-run inside every iteration's inflow join (the
+    # before-plan re-derived it 3×). Explicit F.broadcast hints on the
+    # ≤25-row rank/dangling/degree frames were ALSO measured (static
+    # plan: 38 SMJ → 0) and dropped again: each hint is an eager
+    # driver-side broadcast build, ~12 of them per run, and the cold
+    # bench A/B showed old 2.9-3.8 s / broadcast-hinted 3.8 s /
+    # persist-only 2.7-3.6 s — AQE already converts these joins to
+    # broadcast at runtime from observed ≤25-row sizes, without the
+    # serial build cost.
     edges = scoped_persist(
         weights.withColumn(
             "frac",
@@ -167,17 +172,17 @@ def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("nk", (F.lit(1).cast("double") / nn).alias("r"))
     for _ in range(PR_ITERS):
         dang = (
-            ranks.join(F.broadcast(srcs), ranks.nk == srcs.src, "left_anti")
+            ranks.join(srcs, ranks.nk == srcs.src, "left_anti")
             .agg(F.coalesce(dec_sum(F.col("r")), F.lit(0).cast("double")).alias("dang"))
         )
         inflow = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.nk)
+            edges.join(ranks, edges.src == ranks.nk)
             .groupBy(F.col("dst").alias("nk"))
             .agg(dec_sum(F.col("r") * F.col("frac")).alias("inflow"))
         )
         ranks = (
             nodes.select("nk")
-            .join(F.broadcast(inflow), "nk", "left")
+            .join(inflow, "nk", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "nk",
@@ -200,9 +205,9 @@ def q129_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w = weights.groupBy("src").agg(F.sum("w").cast("bigint").alias("out_w"))
     in_w = weights.groupBy("dst").agg(F.sum("w").cast("bigint").alias("in_w"))
     return (
-        nodes.join(F.broadcast(ranks), "nk")
-        .join(F.broadcast(out_w), nodes.nk == out_w.src, "left")
-        .join(F.broadcast(in_w), nodes.nk == in_w.dst, "left")
+        nodes.join(ranks, "nk")
+        .join(out_w, nodes.nk == out_w.src, "left")
+        .join(in_w, nodes.nk == in_w.dst, "left")
         .select(
             "n_name",
             F.col("r").alias("pagerank"),
